@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators re-expressed Spark-first.
+  *
+  * Each function mirrors one operator row of SURVEY.md §2 (IDs in scaladoc).
+  * All are pure `DataFrame => DataFrame` / `Column => Column` combinators so
+  * Catalyst sees one lazy plan and can push filters/prune columns across
+  * operator boundaries — the reference executes each step eagerly in-process
+  * (/root/reference/src/senzing_pipeline.py:400-421).
+  */
+object Relational {
+
+  /** F1/STR2 — regex-blacklist rejection filter.
+    * Reference: `filter_bearer` rejects a name when ANY of 17 regexes match
+    * its lowercased form (/root/reference/src/senzing_pipeline.py:83-112).
+    * One alternation regex keeps the predicate codegen-friendly and lets the
+    * whole filter run inside WholeStageCodegen — no UDF, no per-pattern loop.
+    */
+  def keepNotMatching(c: Column, patterns: Seq[String]): Column =
+    !lower(trim(c)).rlike(patterns.mkString("(", ")|(", ")"))
+
+  /** The reference's bearer-share pseudo-name blacklist, behaviorally
+    * (accept/reject pairs recorded in FIXTURES.md A6). Case handled by
+    * `keepNotMatching`'s lower().
+    */
+  val bearerPatterns: Seq[String] = Seq(
+    "^(the )?bearer$",
+    "^(the )?bearer ?\\(",          // "the bearer (1,000)"
+    "^(the )?bearer no\\.? ?\\d*$", // "bearer no. 5"
+    "bearer shares?",
+    "^(el )?portador$",
+    "^nan$",
+    "^\\?+$")
+
+  /** F2 — name-present filter
+    * (/root/reference/src/senzing_pipeline.py:151-155,234-235). */
+  def nonEmpty(c: Column): Column = c.isNotNull && length(trim(c)) > 0
+
+  /** F4/SET2 — ID-set semi-join filter: keep rows of `df` whose `key` appears
+    * in `ids` (/root/reference/src/senzing_pipeline.py:414-415). The id set is
+    * small (hop frontier / seed list) so broadcast the right side: a broadcast
+    * left-semi hash join, no shuffle of the big side.
+    */
+  def semiJoinFilter(df: DataFrame, ids: DataFrame, key: String): DataFrame =
+    df.join(broadcast(ids), Seq(key), "left_semi")
+
+  /** Complement of F4: left-anti (NOT EXISTS). */
+  def antiJoinFilter(df: DataFrame, ids: DataFrame, key: String): DataFrame =
+    df.join(broadcast(ids), Seq(key), "left_anti")
+
+  /** A1 — alias → (entities, probabilities) aggregation, the reference's most
+    * interesting aggregate (/root/reference/src/senzing_pipeline.py:289-305):
+    * per alias, the distinct entities it maps to and
+    * P(entity | alias) = cnt(entity) / total, as parallel arrays.
+    *
+    * Two-level hash aggregation (both map-side combinable — no skew blowup on
+    * celebrity aliases), then pure array expressions. Arrays are sorted by
+    * entity for deterministic output (oracle hash parity; the reference's dict
+    * ordering is insertion order, an accident of scan order).
+    */
+  def aliasProbabilities(df: DataFrame, alias: String, entity: String): DataFrame = {
+    val pairs = df.groupBy(col(alias).as("alias"), col(entity).as("entity"))
+      .agg(count(lit(1)).as("cnt"))
+    pairs.groupBy(col("alias"))
+      .agg(sort_array(collect_list(struct(col("entity"), col("cnt")))).as("ec"))
+      .select(
+        col("alias"),
+        transform(col("ec"), e => e.getField("entity")).as("entities"),
+        transform(col("ec"), e =>
+          e.getField("cnt") / aggregate(col("ec"), lit(0L), (acc, x) => acc + x.getField("cnt")))
+          .as("probabilities"))
+  }
+
+  /** W1 — per-group top-k (reference: `doc._.phrases[:30]` per doc,
+    * /root/reference/src/analysis.py:11). Rank-within-partition window; the
+    * tie-break columns must make ordering total for deterministic output.
+    */
+  def topKPerGroup(df: DataFrame, partitionCols: Seq[Column],
+                   orderCols: Seq[Column], k: Int): DataFrame =
+    df.withColumn("rn",
+        row_number().over(Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)))
+      .filter(col("rn") <= k)
+
+  /** W3 — argmax per group (disambiguation winner,
+    * /root/reference/dev.ipynb cells 73-74). */
+  def argmaxPerGroup(df: DataFrame, partitionCols: Seq[Column],
+                     orderCols: Seq[Column]): DataFrame =
+    topKPerGroup(df, partitionCols, orderCols, 1).drop("rn")
+
+  /** STR5 — default/coalesce semantics: empty string → default
+    * (/root/reference/src/senzing_pipeline.py:345-353). */
+  def emptyToDefault(c: Column, default: Column): Column =
+    coalesce(nullif(trim(c), lit("")), default)
+}
