@@ -1,0 +1,109 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph operators (SURVEY.md §2 G1-G7, plus PageRank for V4).
+  *
+  * The reference keeps the graph as one in-memory dict per entity
+  * (/root/reference/src/senzing_pipeline.py:315-370). Spark-first shape:
+  * an `edges(src, dst)` DataFrame for join-based traversal (k is small and
+  * fixed → k shuffle joins beat Pregel's per-superstep overhead), plus GraphX
+  * twins for the genuinely iterative algorithms (connected components,
+  * PageRank) where the fixpoint iteration count is data-dependent.
+  *
+  * No GraphFrames on the classpath (BASELINE.md) — motif-style queries are
+  * DataFrame self-joins, analytics are GraphX.
+  */
+object GraphOps {
+
+  /** Make an edge list undirected: union both directions, distinct.
+    * Senzing's RELATED_ENTITIES adjacency is stored symmetrically; for
+    * derived edge sets we enforce symmetry once up front so every traversal
+    * is a plain src-equi-join.
+    */
+  def symmetrize(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** G3-G6 — k-hop closure with the reference's frontier semantics: each hop
+    * expands from the UNION of all previously reached ids, not just the last
+    * frontier (/root/reference/src/senzing_pipeline.py:392-397 expands hop 2
+    * from hops 0 ∪ 1). For symmetric edges this is the BFS ball of radius k.
+    *
+    * Scale shape: the reached set stays small (seed neighborhoods), so it is
+    * broadcast to the big edge table each round — k broadcast hash joins, no
+    * shuffle of `edges`. At 100 TB the edge scan is the only big input and it
+    * is touched k times; caching `edges` between rounds amortizes the IO.
+    *
+    * @param seeds single-column DataFrame `id`
+    * @param edges two-column DataFrame `src, dst` (already symmetric)
+    */
+  def kHop(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    var reached = seeds.select(col("id")).distinct()
+    for (_ <- 1 to k) {
+      val neighbors = edges.join(broadcast(reached), col("src") === col("id"))
+        .select(col("dst").as("id"))
+      reached = reached.union(neighbors).distinct()
+    }
+    reached
+  }
+
+  /** GraphX twin of [[kHop]]: Pregel BFS, vertices within distance k.
+    * Used as a cross-check (same result set) and as the scale path when k is
+    * large enough that join-per-hop materialization hurts.
+    */
+  def kHopGraphX(spark: SparkSession, edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val seedSet = spark.sparkContext.broadcast(
+      seeds.select(col("id").cast("long")).as[Long].collect().toSet)
+    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    val graph = Graph.fromEdges[Int, Unit](edgeRdd, Int.MaxValue,
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => if (seedSet.value.contains(id)) 0 else Int.MaxValue)
+    val bfs = graph.pregel(Int.MaxValue, maxIterations = k)(
+      (_, dist, msg) => math.min(dist, msg),
+      t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+             Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
+      (a, b) => math.min(a, b))
+    bfs.vertices.filter { case (_, d) => d <= k }.map(_._1).toDF("id")
+  }
+
+  /** G7 — connected components (GraphX label = lowest vertex id in the
+    * component). The reference consumes Senzing's ER clusters prebuilt; this
+    * re-derives the grouping when only pairwise edges exist.
+    */
+  def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    val graph = Graph.fromEdges[Unit, Unit](edgeRdd, (),
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    graph.connectedComponents().vertices.toDF("id", "component")
+  }
+
+  /** V4 support / W2 — PageRank, fixed iteration count for determinism
+    * (GraphX staticPageRank; resetProb 0.15 like the pytextrank default).
+    */
+  def pageRank(spark: SparkSession, edges: DataFrame, numIter: Int): DataFrame = {
+    import spark.implicits._
+    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, 1.0) }
+    val graph = Graph.fromEdges[Double, Double](edgeRdd, 1.0,
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    graph.staticPageRank(numIter).vertices.toDF("id", "rank")
+  }
+
+  /** G2 — reverse-reachability flag: does any edge point at this vertex?
+    * (`has_ref`, /root/reference/src/senzing_pipeline.py:363-368.)
+    */
+  def hasRef(vertices: DataFrame, edges: DataFrame, idCol: String): DataFrame = {
+    val referenced = edges.select(col("dst").as(idCol)).distinct()
+    vertices.join(referenced.withColumn("has_ref", lit(true)), Seq(idCol), "left")
+      .withColumn("has_ref", coalesce(col("has_ref"), lit(false)))
+  }
+}

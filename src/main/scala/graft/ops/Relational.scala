@@ -72,7 +72,8 @@ object Relational {
         transform(col("ec"), e => e.getField("entity")).as("entities"),
         transform(col("ec"), e =>
           e.getField("cnt") / aggregate(col("ec"), lit(0L), (acc, x) => acc + x.getField("cnt")))
-          .as("probabilities"))
+          .as("probabilities"),
+        aggregate(col("ec"), lit(0L), (acc, x) => acc + x.getField("cnt")).as("n_obs"))
   }
 
   /** W1 — per-group top-k (reference: `doc._.phrases[:30]` per doc,

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphOps
+import graft.pipeline.Erkg
+
+/** Graph queries (SURVEY.md §2 G1-G7 + W2) over the customer↔supplier entity
+  * graph derived from the test tables (see [[graft.pipeline.Erkg]]).
+  *
+  * q13/q17 have exact DuckDB oracles (fixed k → explicit join unrolling;
+  * recursive CTE for components). q15 PageRank is float-iterative and
+  * partition-order-sensitive in its sums, so it ships without an oracle
+  * (driver records the weaker rows-only check) but is cross-checked against
+  * a hand-rolled power iteration in ScalaTest.
+  */
+object GraphQueries {
+
+  private val seedsSqlList = Erkg.suspiciousNames.map(n => s"'$n'").mkString(", ")
+
+  /** Shared SQL prelude: the symmetric edge list + 2-hop closure, mirroring
+    * Erkg.entityEdges/kHop exactly (hop i+1 expands from all reached ids). */
+  private val networkCte =
+    s"""WITH e0 AS (
+       |  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE l_quantity >= 48),
+       |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+       |hop0 AS (SELECT c_custkey AS id FROM customer
+       |         WHERE c_name IN ($seedsSqlList)),
+       |r1 AS (SELECT id FROM hop0
+       |       UNION SELECT e.dst FROM edges e JOIN hop0 ON e.src = hop0.id),
+       |r2 AS (SELECT id FROM r1
+       |       UNION SELECT e.dst FROM edges e JOIN r1 ON e.src = r1.id)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // G3-G6 — 2-hop closure from the suspicion seeds.
+    "q13_two_hop_network" -> ((s, d) =>
+      Erkg.suspiciousNetwork(s, d).orderBy(col("id"))),
+
+    // G7 — connected components of the entity graph (GraphX; label = min
+    // vertex id in component, matching the oracle's MIN over reachability).
+    "q14_connected_components" -> ((s, d) =>
+      GraphOps.connectedComponents(s, Erkg.entityEdges(s, d))
+        .orderBy(col("id"))),
+
+    // W2/V4 — PageRank over the entity graph, 10 fixed iterations.
+    "q15_pagerank" -> ((s, d) =>
+      GraphOps.pageRank(s, Erkg.entityEdges(s, d), 10)
+        .orderBy(col("rank").desc, col("id")).limit(20)),
+
+    // G2 — reverse-reachability flag over supplier vertices.
+    "q16_has_ref" -> ((s, d) => {
+      val verts = graft.Tables.supplier(s, d)
+        .select((col("s_suppkey") + lit(Erkg.supplierOffset)).as("id"))
+      val e = Erkg.entityEdges(s, d)
+      GraphOps.hasRef(verts, e, "id").orderBy(col("id"))
+    }),
+
+    // Flagship — suspicious-network alias report (J2+G3-G6+F4+A1).
+    "q17_suspicious_aliases" -> ((s, d) =>
+      Erkg.suspiciousAliasReport(s, d)))
+
+  def oracles: Map[String, String] = Map(
+    "q13_two_hop_network" ->
+      s"""$networkCte
+         |SELECT id FROM r2 ORDER BY id""".stripMargin,
+    "q14_connected_components" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity >= 48),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |reach(root, node) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+        |  UNION
+        |  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT root AS id, MIN(node) AS component
+        |FROM reach GROUP BY root ORDER BY id""".stripMargin,
+    "q16_has_ref" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity >= 48),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)
+        |SELECT s_suppkey + 100000 AS id,
+        |  EXISTS (SELECT 1 FROM edges WHERE dst = s_suppkey + 100000) AS has_ref
+        |FROM supplier ORDER BY id""".stripMargin,
+    "q17_suspicious_aliases" ->
+      s"""$networkCte,
+         |supp AS (SELECT id - 100000 AS l_suppkey FROM r2 WHERE id >= 100000),
+         |obs AS (
+         |  SELECT p_name AS alias, p_brand AS entity, COUNT(*) AS cnt
+         |  FROM lineitem
+         |  JOIN supp USING (l_suppkey)
+         |  JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2),
+         |ag AS (
+         |  SELECT alias,
+         |    list(entity ORDER BY entity, cnt) AS entities,
+         |    list(cnt ORDER BY entity, cnt) AS cnts,
+         |    SUM(cnt) AS total
+         |  FROM obs GROUP BY alias)
+         |SELECT alias, entities,
+         |  list_transform(cnts, c -> CAST(c AS DOUBLE) / total) AS probabilities,
+         |  CAST(total AS BIGINT) AS n_obs
+         |FROM ag ORDER BY alias""".stripMargin
+  )
+}

@@ -220,7 +220,8 @@ object RelationalQueries {
         |    SUM(cnt) AS total
         |  FROM bc GROUP BY alias)
         |SELECT alias, entities,
-        |  list_transform(cnts, c -> CAST(c AS DOUBLE) / total) AS probabilities
+        |  list_transform(cnts, c -> CAST(c AS DOUBLE) / total) AS probabilities,
+        |  CAST(total AS BIGINT) AS n_obs
         |FROM ag ORDER BY alias""".stripMargin,
     "q08_topk_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

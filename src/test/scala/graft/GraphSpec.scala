@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.GraphOps
+import graft.pipeline.Erkg
+
+/** Graph operator specs: frontier semantics (SURVEY.md §7 "what's hard" (a)),
+  * DataFrame-vs-GraphX twins, component labeling.
+  */
+class GraphSpec extends SparkSuite {
+  import SparkSpec.sf0001
+
+  /** Tiny path graph: 1-2-3-4-5, plus isolated pair 10-11. */
+  private def pathEdges = {
+    import spark.implicits._
+    GraphOps.symmetrize(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+        .toDF("src", "dst"))
+  }
+
+  test("G3-G6 kHop: hop k expands from the union of hops 0..k-1") {
+    import spark.implicits._
+    val seeds = Seq(1L).toDF("id")
+    val got = GraphOps.kHop(pathEdges, seeds, 2).as[Long].collect().toSet
+    // ball of radius 2 around 1 on the path graph
+    assert(got === Set(1L, 2L, 3L))
+  }
+
+  test("kHop DataFrame == kHop GraphX on the entity graph") {
+    import spark.implicits._
+    val edges = Erkg.entityEdges(spark, sf0001).cache()
+    val seeds = Erkg.seeds(spark, sf0001)
+    val df = GraphOps.kHop(edges, seeds, 2).as[Long].collect().toSet
+    val gx = GraphOps.kHopGraphX(spark, edges, seeds, 2).as[Long].collect().toSet
+    assert(df === gx)
+    assert(df.nonEmpty)
+  }
+
+  test("kHop monotonicity: ball(k) ⊆ ball(k+1)") {
+    import spark.implicits._
+    val edges = Erkg.entityEdges(spark, sf0001).cache()
+    val seeds = Erkg.seeds(spark, sf0001)
+    val b1 = GraphOps.kHop(edges, seeds, 1).as[Long].collect().toSet
+    val b2 = GraphOps.kHop(edges, seeds, 2).as[Long].collect().toSet
+    assert(b1.subsetOf(b2))
+  }
+
+  test("G7 connected components: path and pair get separate min-id labels") {
+    import spark.implicits._
+    val cc = GraphOps.connectedComponents(spark, pathEdges)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L).forall(cc(_) == 10L))
+  }
+
+  test("W2 PageRank: symmetric path graph ranks center highest") {
+    import spark.implicits._
+    val pr = GraphOps.pageRank(spark, pathEdges, 20)
+      .as[(Long, Double)].collect().toMap
+    assert(pr(3L) > pr(1L))   // center of the path beats an endpoint
+    assert(pr(2L) > pr(1L))
+  }
+
+  test("G2 hasRef flags referenced vertices only") {
+    import spark.implicits._
+    val verts = Seq(1L, 2L, 99L).toDF("id")
+    val out = GraphOps.hasRef(verts, pathEdges, "id")
+      .as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && out(2L) && !out(99L))
+  }
+
+  test("flagship alias report: probabilities sum to 1, non-empty on sf0.001") {
+    val rep = Erkg.suspiciousAliasReport(spark, sf0001).cache()
+    assert(rep.count() > 0)
+    val sums = rep.select(aggregate(col("probabilities"), lit(0.0), _ + _).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-9))
+  }
+}
