@@ -1,0 +1,128 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Deduplication operators for the 100 TB training-data surface (north star):
+  * exact (hash group-by), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design:
+  *  - Exact dedup is one hash aggregation on a 16-byte fingerprint — the
+  *    shuffle moves fingerprints, never document text.
+  *  - Exact Jaccard joins docs on shared shingles — quadratic in bucket size,
+  *    kept as the CORRECTNESS baseline/oracle path.
+  *  - MinHash+LSH is the scale path: k portable hash functions → per-band
+  *    bucket join → candidate pairs ≪ all pairs → exact-Jaccard verify on
+  *    candidates only. All hashes are md5-derived (see
+  *    [[TextOps.tokenHash60]]) so every stage has a DuckDB oracle twin.
+  *  - SimHash reduces each doc to one integer; near-dup = small Hamming
+  *    distance; implemented as pure relational explode/agg (shuffle-friendly,
+  *    no wide lambdas).
+  */
+object DedupOps {
+
+  /** Exact dedup: canonical = lowest doc_id per normalized-text fingerprint.
+    * Adds `fp_md5` and `is_canonical`. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.withColumn("fp_md5", TextOps.fingerprintMd5(col(textCol)))
+    val canon = fp.groupBy(col("fp_md5")).agg(min(col(idCol)).as("__canon_id"))
+    fp.join(canon, Seq("fp_md5"))
+      .withColumn("is_canonical", col(idCol) === col("__canon_id"))
+      .drop("__canon_id")
+  }
+
+  /** Exploded (doc_id, shingle) long table — the shuffle-friendly form. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs (da < db, jaccard >= threshold).
+    * Join on shared shingle → count common → |A|+|B|-common denominator.
+    * Map-side combine on both aggregations; the shingle join is the hot spot
+    * and is what LSH replaces at scale. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), Seq("db"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** Portable MinHash hash family: h_i(s) = 60-bit md5 of "i|s".
+    * Seeded by index, exactly reproducible in DuckDB. */
+  def minhashHash(i: Column, shingle: Column): Column =
+    TextOps.tokenHash60(concat(i.cast("string"), lit("|"), shingle))
+
+  /** MinHash signatures as long rows (doc_id, i, minhash): one shuffle
+    * (groupBy doc_id, i) with map-side min combine. k×|shingles| expansion
+    * happens map-side via posexplode of the hash index range. */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+    sh.select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("i"),
+        col("shingle"))
+      .select(col("doc_id"), col("i"), minhashHash(col("i"), col("shingle")).as("h"))
+      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("minhash"))
+
+  /** LSH banding: band id = i / rowsPerBand, bucket key = md5 of the
+    * "|"-joined signature slice. Docs sharing any (band, bucket) are
+    * candidates. */
+  def lshBuckets(sig: DataFrame, rowsPerBand: Int): DataFrame =
+    sig.withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(array_join(
+        transform(sort_array(collect_list(struct(col("i"), col("minhash")))),
+          e => e.getField("minhash").cast("string")), "|")).as("bucket"))
+
+  /** Full MinHash+LSH near-dup pipeline: candidates from band buckets,
+    * verified with the exact per-position signature agreement estimate.
+    * Output: (da, db, est_jaccard) with est >= threshold. */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val sig = minhashSignatures(sh, k).cache()
+    val buckets = lshBuckets(sig, rowsPerBand)
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    val est = cands
+      .join(sig.select(col("doc_id").as("da"), col("i"), col("minhash").as("ha")), Seq("da"))
+      .join(sig.select(col("doc_id").as("db"), col("i"), col("minhash").as("hb")),
+        Seq("db", "i"))
+      .groupBy(col("da"), col("db"))
+      .agg((sum(when(col("ha") === col("hb"), 1).otherwise(0)).cast("double") / k)
+        .as("est_jaccard"))
+    est.filter(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash (32-bit, md5-derived bit hashes) as a pure relational plan:
+    * explode tokens → per-(doc, token) count → explode 32 bit positions →
+    * signed contributions → per-(doc, bit) sum → pack bits into one long.
+    * Every stage is a hash aggregation with map-side combine. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"))
+    val bits = tok.select(col("doc_id"),
+        explode(sequence(lit(0), lit(31))).as("bit"),
+        col("cnt"), col("h"))
+      .withColumn("contrib",
+        when(expr("shiftright(h, bit)").bitwiseAND(1L) === 1L,
+          col("cnt")).otherwise(-col("cnt")))
+    bits.groupBy(col("doc_id"), col("bit")).agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), bit)"))
+        .otherwise(0L)).as("simhash"))
+  }
+}

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.DedupOps
+import graft.text.TextOps
+
+/** Text-analysis + dedup queries over `documents` (north-star LLM-pipeline
+  * surface). Every query here INCLUDING MinHash+LSH has an exact DuckDB
+  * oracle: all hashing is md5-derived (portable), all ratios are
+  * integer-count arithmetic.
+  *
+  * Shared SQL fragments mirror graft.text.TextOps exactly: tokens =
+  * whitespace split of trimmed text with empties dropped.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens (north star).
+    "q18_token_stats" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextOps.nTokens(col("text")).as("n_ws_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("n_bpe_tokens"),
+        length(col("text")).as("n_chars_computed"))
+        .orderBy(col("doc_id"))),
+
+    // Language-ID heuristic: stopword-hit argmax (deterministic tie-break).
+    "q19_lang_id" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // Quality scoring: length/stopword/alpha/word-length ratios.
+    "q20_quality_score" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        TextOps.nTokens(col("text")).as("n_tokens"),
+        TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextOps.alphaRatio(col("text")).as("alpha_ratio"),
+        TextOps.avgWordLen(col("text")).as("avg_word_len"),
+        TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // Exact dedup: md5 + rolling fingerprints, canonical flag per group.
+    "q21_fingerprint_dedup" -> ((s, d) =>
+      DedupOps.exactDedup(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("fp_md5"),
+          TextOps.fingerprintRolling(col("text")).as("fp_rolling"),
+          col("is_canonical"))
+        .orderBy(col("doc_id"))),
+
+    // Exact 3-gram Jaccard near-dup pairs (the correctness baseline that
+    // LSH approximates at scale).
+    "q22_jaccard_pairs" -> ((s, d) =>
+      DedupOps.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5)
+        .orderBy(col("da"), col("db"))),
+
+    // MinHash+LSH near-dup pairs: 32 portable hashes, 8 bands × 4 rows,
+    // candidates from band buckets, signature-agreement estimate >= 0.5.
+    "q23_minhash_pairs" -> ((s, d) =>
+      DedupOps.minhashPairs(docs(s, d), "doc_id", "text", 3, 32, 4, 0.5)
+        .orderBy(col("da"), col("db"))),
+
+    // SimHash document signatures (32-bit, relational plan).
+    "q24_simhash" -> ((s, d) =>
+      DedupOps.simhash(docs(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))))
+
+  /** DuckDB mirror of TextOps.tokens. */
+  private val toksSql =
+    "list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0)"
+
+  private def langScoreSql(words: Seq[String]) =
+    s"len(list_filter(toks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
+
+  /** DuckDB mirror of TextOps.shingles (n=3) + DedupOps.shingleTable. */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest([array_to_string(w[i:i+2], '|') for i in range(1, len(w) - 1)]) AS shingle
+      |    FROM (SELECT doc_id,
+      |            list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS w
+      |          FROM documents) t0) t1)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q18_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS INTEGER) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+         |  CAST(length(text) AS INTEGER) AS n_chars_computed
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q19_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sc AS (SELECT doc_id,
+         |  ${langScoreSql(TextOps.langStopwords.toMap.apply("en"))} AS s_en,
+         |  ${langScoreSql(TextOps.langStopwords.toMap.apply("es"))} AS s_es,
+         |  ${langScoreSql(TextOps.langStopwords.toMap.apply("de"))} AS s_de,
+         |  ${langScoreSql(TextOps.langStopwords.toMap.apply("fr"))} AS s_fr
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE
+         |    WHEN s_en = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'en'
+         |    WHEN s_es = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'es'
+         |    WHEN s_de = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'de'
+         |    WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) AND greatest(s_en, s_es, s_de, s_fr) > 0 THEN 'fr'
+         |    ELSE 'und' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q20_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(toks) AS INTEGER) AS n_tokens,
+         |  CAST(${langScoreSql(TextOps.langStopwords.toMap.apply("en"))} AS DOUBLE) / greatest(len(toks), 1) AS stopword_ratio,
+         |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) AS alpha_ratio,
+         |  CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / greatest(len(toks), 1) AS avg_word_len
+         |  FROM t)
+         |SELECT doc_id, n_tokens, stopword_ratio, alpha_ratio, avg_word_len,
+         |  0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+         |  + 0.3 * stopword_ratio + 0.2 * alpha_ratio
+         |  + 0.2 * (1.0 - least(avg_word_len / 10.0, 1.0)) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q21_fingerprint_dedup" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5,
+         |    list_reduce(
+         |      list_prepend(CAST(0 AS BIGINT),
+         |        list_transform($toksSql,
+         |          t -> (CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 268435456))),
+         |      (acc, h) -> (acc * 31 + h) % 1000000007) AS fp_rolling
+         |  FROM documents)
+         |SELECT doc_id, fp_md5, fp_rolling,
+         |  doc_id = MIN(doc_id) OVER (PARTITION BY fp_md5) AS is_canonical
+         |FROM fp ORDER BY doc_id""".stripMargin,
+    "q22_jaccard_pairs" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT da, db,
+         |  CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON da = sa.doc_id
+         |JOIN sizes sb ON db = sb.doc_id
+         |WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+         |ORDER BY da, db""".stripMargin,
+    "q23_minhash_pairs" ->
+      s"""WITH $shingleCte,
+         |mh AS (
+         |  SELECT doc_id, i,
+         |    MIN(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || shingle), 1, 15) AS BIGINT)) AS minhash
+         |  FROM sh CROSS JOIN range(32) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |    md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT da, db,
+         |    CAST(SUM(CASE WHEN ha.minhash = hb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
+         |  FROM cands
+         |  JOIN mh ha ON ha.doc_id = da
+         |  JOIN mh hb ON hb.doc_id = db AND hb.i = ha.i
+         |  GROUP BY da, db)
+         |SELECT da, db, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY da, db""".stripMargin,
+    "q24_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, token, COUNT(*) AS cnt,
+         |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents) t
+         |  GROUP BY doc_id, token),
+         |bits AS (
+         |  SELECT doc_id, i AS bit,
+         |    SUM(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+         |  FROM tok CROSS JOIN range(32) t(i) GROUP BY doc_id, i)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

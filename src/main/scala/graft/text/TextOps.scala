@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data-pipeline surface
+  * (north star in BASELINE.json; reference NLP surface SURVEY.md §2 V/STR
+  * rows): tokenization, language-ID heuristic, quality scoring, document
+  * fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` expressions — no UDFs —
+  * so the whole doc pipeline stays inside WholeStageCodegen and each op has
+  * an exact DuckDB oracle twin. Portable hashing discipline: when a hash must
+  * match the oracle, derive it from md5 hex (identical across engines) rather
+  * than Spark-internal murmur3/xxhash64.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer: trim, split on runs of whitespace, drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish token count: letter runs, digit runs, and single symbols —
+    * the classic pre-tokenization regex shape. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Stopword lists for the language-ID heuristic (closed, tiny — shipped as
+    * literal arrays so the predicate is pure expression, broadcast-free). */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un"))
+
+  /** Per-language stopword hit count over a token array. */
+  def langScore(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+
+  /** Language-ID: argmax of stopword hits, first-listed language wins ties,
+    * all-zero → "und". Deterministic by construction. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scores = langStopwords.map { case (l, sw) => l -> langScore(t, sw) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), el) =>
+      when(s === best && best > 0, lit(l)).otherwise(el)
+    }
+  }
+
+  /** Quality-score feature columns (ratios over counts — all integer-derived
+    * doubles, so oracle-exact). */
+  def nTokens(text: Column): Column = size(tokens(text))
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    val en = langStopwords.toMap.apply("en")
+    langScore(t, en).cast("double") / greatest(size(t), lit(1))
+  }
+  def alphaRatio(text: Column): Column =
+    (length(regexp_replace(lower(text), "[^a-z]", "")).cast("double")
+      / greatest(length(text), lit(1)))
+  def avgWordLen(text: Column): Column = {
+    val t = tokens(text)
+    (aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double")
+      / greatest(size(t), lit(1)))
+  }
+
+  /** Composite quality score in [0,1]: length saturation + stopword signal +
+    * alphabetic purity + word-length sanity. Fixed weights; the exact formula
+    * is mirrored in the oracle SQL. */
+  def qualityScore(text: Column): Column =
+    lit(0.3) * least(nTokens(text).cast("double") / 100.0, lit(1.0)) +
+    lit(0.3) * stopwordRatio(text) +
+    lit(0.2) * alphaRatio(text) +
+    lit(0.2) * (lit(1.0) - least(avgWordLen(text) / 10.0, lit(1.0)))
+
+  /** Exact-dup fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprintMd5(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  /** Portable 60-bit token hash: first 15 hex digits of md5, as a long.
+    * Identical in DuckDB via CAST('0x' || substr(md5(t), 1, 15) AS BIGINT). */
+  def tokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** Rolling (Karp-Rabin-style) fingerprint over the token stream:
+    * fold acc = (acc * 31 + h(token) mod 2^28) mod (1e9+7). Bounded operands
+    * keep it overflow-free on both engines (DuckDB errors on BIGINT overflow
+    * rather than wrapping, so wrap-around hashing is not portable). */
+  def fingerprintRolling(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => (acc * 31L + pmod(tokenHash60(t), lit(1L << 28))) % 1000000007L)
+
+  /** Word n-gram shingles ("|"-joined, distinct) — the dedup unit for
+    * Jaccard/MinHash. Docs shorter than n yield an empty array. */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    array_distinct(
+      when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws("|", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>")))
+  }
+}
