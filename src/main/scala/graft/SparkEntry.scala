@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{GraphQueries, RelationalQueries, TextQueries}
+import graft.queries.{GraphQueries, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +20,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ GraphQueries.queries ++ TextQueries.queries
+    RelationalQueries.queries ++ GraphQueries.queries ++ TextQueries.queries ++
+      VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ GraphQueries.oracles ++ TextQueries.oracles
+    RelationalQueries.oracles ++ GraphQueries.oracles ++ TextQueries.oracles ++
+      VectorQueries.oracles
 }

@@ -1,0 +1,160 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector / similarity-search operators for the embedding surface
+  * (SURVEY.md §2 V1-V3; north-star ANN requirement). The reference consumes
+  * sentence-transformer vectors through LanceDB ANN search
+  * (/root/reference/dev.ipynb cells 70-75); here the engine operates on a
+  * precomputed `embedding: array<float>` column.
+  *
+  * Determinism discipline: every similarity is computed as a SEQUENTIAL
+  * left-fold over the array (`aggregate` HOF) with each element cast to
+  * double BEFORE multiplying — bit-identical to a DuckDB `list_reduce` over
+  * the same expression, so even float-heavy queries keep exact oracle parity.
+  *
+  * Scale design (100 TB):
+  *  - similarity math is per-row expression work — stays inside
+  *    WholeStageCodegen, no shuffle, no UDF.
+  *  - brute-force kNN broadcasts the (small) query set: one pass over the
+  *    corpus, map-side top-k via window on (query, cosine) — O(Q·N) compute
+  *    but N is scanned once and never shuffled in full (only Q·N candidate
+  *    rows shrink to Q·k after the per-query window).
+  *  - random-hyperplane LSH reduces self-join ANN from O(N²) to bucketed
+  *    candidates; the signature is computed per-row (no shuffle), the bucket
+  *    join shuffles on an 8-bit key — the classic sign-LSH plan.
+  *  - IVF: coarse quantizer = per-label centroids (tiny, broadcast); probe =
+  *    equi-join on the assigned cell, so the expensive scan touches one
+  *    inverted list per query instead of the corpus.
+  */
+object VectorOps {
+
+  /** Sequential-fold dot product with per-element double casts:
+    * fold(0.0, zip(a,b), (acc,(x,y)) -> acc + double(x)*double(y)). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, p) => acc + p)
+
+  /** L2 norm, same fold discipline. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity = dot / (|a|·|b|); 0-norm inputs yield null (0/0). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** L2 (Euclidean) distance. */
+  def l2Dist(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => x.cast("double") - y.cast("double")),
+      lit(0.0), (acc, dd) => acc + dd * dd))
+
+  /** Deterministic pseudo-random hyperplane weight in [-1, 1] for (plane p,
+    * dim d): pure 64-bit integer arithmetic, portable to any SQL engine. */
+  def planeWeight(p: Column, d: Column): Column =
+    (((p.cast("long") * 73856093L + d.cast("long") * 19349663L) % 10007L)
+      .cast("double") / 10007.0) * 2.0 - 1.0
+
+  /** Sign-LSH signature: an `nPlanes`-char '0'/'1' string, bit p = sign of
+    * the projection of `vec` onto pseudo-random hyperplane p. Computed
+    * entirely per-row (sequential folds) — no shuffle, codegen-friendly. */
+  def lshSignature(vec: Column, nPlanes: Int): Column = {
+    val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeWeight(p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit("1")).otherwise(lit("0"))
+    })
+    array_join(bits, "")
+  }
+
+  /** Brute-force cosine top-k: for each row of `queries` (small — broadcast),
+    * the k nearest rows of `corpus` by cosine, self-pairs excluded.
+    * Output: (query_id, neighbor_id, cosine, rn). */
+  def knnBruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rn"))
+  }
+
+  /** Exact cosine near-dup pairs (ia < ib, cosine >= threshold). O(N²) —
+    * the correctness baseline that [[lshNeighborPairs]] approximates. */
+  def cosinePairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    val a = vecs.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = vecs.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    a.join(b, col("ia") < col("ib"))
+      .withColumn("cosine", cosine(col("ea"), col("eb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("ia"), col("ib"), col("cosine"))
+  }
+
+  /** LSH-bucketed ANN pairs: per-row signatures → equi-join on the bucket →
+    * exact cosine on candidates only → threshold. The scale path: candidate
+    * count ≈ N²/2^nPlanes instead of N². */
+  def lshNeighborPairs(vecs: DataFrame, nPlanes: Int, threshold: Double): DataFrame = {
+    val sig = vecs.select(col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), nPlanes).as("bucket"))
+    val a = sig.select(col("vec_id").as("ia"), col("embedding").as("ea"),
+      col("bucket"))
+    val b = sig.select(col("vec_id").as("ib"), col("embedding").as("eb"),
+      col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("ia") < col("ib"))
+      .withColumn("cosine", cosine(col("ea"), col("eb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("ia"), col("ib"), col("cosine"))
+  }
+
+  /** IVF coarse centroids: per-cell, per-dimension mean. The double sums go
+    * through DECIMAL(28,12) so the result is partition-order-independent
+    * (exact oracle parity); output (cell, centroid array<double>). */
+  def centroids(vecs: DataFrame, cellCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 12)
+    vecs.select(col(cellCol).as("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("col").cast("double").cast(dec)).cast("double")
+        / count(lit(1))).as("mean"))
+      .groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean")))),
+        e => e.getField("mean")).as("centroid"))
+  }
+
+  /** IVF probe: assign each query to its nearest centroid (broadcast argmin),
+    * then search ONLY that cell's inverted list; top-k per query.
+    * Output: (query_id, neighbor_id, cosine, rn). */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
+             cellCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val assigned = q.crossJoin(broadcast(cents))
+      .withColumn("dist", l2Dist(col("q_emb"), col("centroid")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("crn") === 1)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    val list = corpus.select(col(cellCol).as("cell"),
+      col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    broadcast(assigned).join(list, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("cell"), col("neighbor_id"),
+        col("cosine"), col("rn"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.vector.VectorOps
+
+class VectorSpec extends SparkSuite {
+
+  private val schema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private def vecs = {
+    val rows = Seq(
+      Row(0L, Seq(1f, 0f, 0f), 0),
+      Row(1L, Seq(0.9f, 0.1f, 0f), 0),
+      Row(2L, Seq(0f, 1f, 0f), 1),
+      Row(3L, Seq(0f, 0.95f, 0.05f), 1),
+      Row(4L, Seq(-1f, 0f, 0f), 2))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        Row(r.get(0), r.getSeq[Float](1), r.get(2)))), schema)
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0, opposite is -1") {
+    val d = vecs
+    val out = d.as("a").crossJoin(d.as("b"))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        VectorOps.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out((0L, 0L)) - 1.0) < 1e-12)
+    assert(math.abs(out((0L, 2L))) < 1e-12)
+    assert(math.abs(out((0L, 4L)) + 1.0) < 1e-12)
+  }
+
+  test("knnBruteForce returns k ranked neighbors per query, no self-pairs") {
+    val out = VectorOps.knnBruteForce(vecs.filter(col("vec_id") < 2), vecs, 2)
+      .collect()
+    assert(out.length == 4)
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    // nearest neighbor of v0=(1,0,0) is v1=(.9,.1,0)
+    assert(out.filter(r => r.getLong(0) == 0L && r.getInt(3) == 1)
+      .head.getLong(1) == 1L)
+  }
+
+  test("lshNeighborPairs is a subset of exact cosinePairs at same threshold") {
+    val exact = VectorOps.cosinePairs(vecs, 0.5)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.lshNeighborPairs(vecs, 4, 0.5)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("centroids: mean of each cell, dimension order preserved") {
+    val c = VectorOps.centroids(vecs, "label")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // inputs are float32 — 0.9f widens to 0.8999999761…, so tolerance is 1e-6
+    assert(c(0).zip(Seq(0.95, 0.05, 0.0)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    assert(c(2) == Seq(-1.0, 0.0, 0.0))
+  }
+
+  test("ivfKnn probes only the nearest cell") {
+    val cents = VectorOps.centroids(vecs, "label")
+    val out = VectorOps.ivfKnn(vecs.filter(col("vec_id") === 0), vecs, cents, "label", 3)
+      .collect()
+    // query v0 lands in cell 0; only neighbor there is v1
+    assert(out.length == 1)
+    assert(out.head.getLong(2) == 1L)
+  }
+}
