@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of [[graft.events.EventOps]] (SURVEY.md §2 X3).
+  * The batch-only reference has no streaming surface; the north star requires
+  * tumbling/sliding windows, watermarks, streaming dedup, and custom state.
+  *
+  * Every transform here takes a STREAMING DataFrame (`isStreaming == true`)
+  * with the `events` schema (`ts timestamp, user_id long, event_type string,
+  * value double, event_id long`) and stays inside Spark's incremental
+  * execution model: watermark-bounded state, append/update-mode-compatible
+  * aggregations, no collect.
+  *
+  * Scale notes: streaming state lives in the state store keyed by
+  * (window/key) — watermarks bound its size; `dropDuplicates` state is
+  * likewise GC'd past the watermark. At 100 TB/day these are the only
+  * streaming plans that don't accumulate unbounded state.
+  */
+object StreamOps {
+
+  /** Tumbling event-time aggregation with a watermark; append-mode ready. */
+  def tumblingAgg(events: DataFrame, width: String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding (hopping) windows with a watermark. */
+  def slidingAgg(events: DataFrame, width: String, slide: String,
+                 watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Built-in session windows with a watermark (state merges sessions). */
+  def sessionAgg(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("s_start"),
+        col("w.end").as("s_end"), col("n"))
+
+  /** Streaming exact dedup on `event_id` within the watermark horizon —
+    * the streaming twin of [[graft.dedup.DedupOps.exactDedup]]'s semantics. */
+  def dedup(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  /** Input/output/state rows for the custom stateful sessionizer. */
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, lastTs: Long, n: Long, sumValue: Double)
+  case class Session(user_id: Long, s_start: java.sql.Timestamp,
+                     s_end: java.sql.Timestamp, n: Long, sum_value: Double)
+
+  /** Custom sessionization via `flatMapGroupsWithState`: per-user sessions
+    * closed after `gapMs` of event-time inactivity (event-time timeout).
+    * Demonstrates the arbitrary-state API the built-in `session_window`
+    * cannot express (e.g. carrying running sums with custom close logic). */
+  def sessionizeWithState(events: Dataset[Ev], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastTs + gapMs), s.n, s.sumValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sumValue + e.value))
+                case Some(s) =>
+                  closed += Session(user, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.lastTs + gapMs), s.n, s.sumValue)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** File-based streaming source over an events directory (parquet), for
+    * production wiring; tests use MemoryStream instead. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .parquet(dir)
+}

@@ -1,0 +1,42 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.events.EventOps
+
+class EventSpec extends SparkSuite {
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("asofJoin: inclusive <=, latest right row wins, null when no prior") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, ts(10), 100L), (1L, ts(5), 101L), (2L, ts(3), 102L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts(5), 900L, 1.0), (1L, ts(8), 901L, 2.0),
+        (3L, ts(1), 902L, 9.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = EventOps.asofJoin(left, right, "user_id", "ts",
+        Seq("value", "event_id"), "event_id")
+      .collect().map(r => r.getLong(2) ->
+        (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(out(100L) == (Some(2.0), Some(901L)))   // latest prior = ts(8)
+    assert(out(101L) == (Some(1.0), Some(900L)))   // equal ts included
+    assert(out(102L) == (None, None))              // user 2 has no errors
+  }
+
+  test("sessionAgg matches hand-computed sessions") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((1L, ts(1), 1.0), (1L, ts(10), 2.0), (1L, ts(50), 3.0))
+      .toDF("user_id", "ts", "value")
+    val out = EventOps.sessionAgg(ev, "30 minutes")
+      .orderBy(col("s_start")).collect()
+    assert(out.length == 2)
+    assert(out(0).getTimestamp(1) == ts(1) && out(0).getTimestamp(2) == ts(40))
+    assert(out(0).getLong(3) == 2 && out(0).getDouble(4) == 3.0)
+    assert(out(1).getLong(3) == 1 && out(1).getDouble(4) == 3.0)
+  }
+}

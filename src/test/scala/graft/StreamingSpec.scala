@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** Structured Streaming specs driven by MemoryStream — the streaming surface
+  * has no DuckDB oracle, so invariants are locked here instead.
+  */
+case class Raw(event_id: Long, ts: Timestamp, user_id: Long,
+               event_type: String, value: Double)
+
+class StreamingSpec extends SparkSuite {
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  test("streaming tumbling agg emits finalized windows past the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Raw]
+    val q = StreamOps.tumblingAgg(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tumble")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Raw(0, ts(1), 1, "click", 1.0), Raw(1, ts(2), 1, "click", 2.0),
+        Raw(2, ts(11), 2, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first two windows
+      in.addData(Raw(3, ts(40), 1, "click", 4.0))
+      q.processAllAvailable()
+      val out = s.table("tumble").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(out.contains((ts(0), "click", 2L, 3.0)))
+      assert(out.contains((ts(10), "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated event_ids within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Raw]
+    val q = StreamOps.dedup(in.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Raw(7, ts(1), 1, "click", 1.0),
+        Raw(7, ts(1), 1, "click", 1.0),
+        Raw(8, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(Raw(7, ts(3), 1, "click", 1.0)) // dup again, still in horizon
+      q.processAllAvailable()
+      assert(s.table("dedup").collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 8L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer closes sessions on gap timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.sessionizeWithState(in.toDS(), gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 00:01 and 00:03 (one session), then silence
+      in.addData(StreamOps.Ev(1, ts(1), 1.0), StreamOps.Ev(1, ts(3), 2.0))
+      q.processAllAvailable()
+      // a later event advances the watermark past 00:03+gap → session closes
+      in.addData(StreamOps.Ev(2, ts(30), 9.0))
+      q.processAllAvailable()
+      in.addData(StreamOps.Ev(2, ts(59), 1.0))
+      q.processAllAvailable()
+      val out = s.table("sessions").as[StreamOps.Session].collect()
+      val u1 = out.filter(_.user_id == 1)
+      assert(u1.length == 1)
+      assert(u1.head.n == 2 && u1.head.sum_value == 3.0)
+      assert(u1.head.s_start == ts(1) && u1.head.s_end == ts(8))
+    } finally q.stop()
+  }
+
+  test("batch and streaming tumbling aggs agree on the same data") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Seq(
+      Raw(0, ts(1), 1, "click", 1.5), Raw(1, ts(4), 1, "click", 2.5),
+      Raw(2, ts(12), 2, "view", 3.0), Raw(3, ts(25), 3, "click", 4.0))
+    val batch = graft.events.EventOps.tumblingAgg(rows.toDF(), "10 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val in = MemoryStream[Raw]
+    val q = StreamOps.tumblingAgg(in.toDF(), "10 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("parity")
+      .outputMode("complete").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = s.table("parity").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(stream == batch)
+    } finally q.stop()
+  }
+}
