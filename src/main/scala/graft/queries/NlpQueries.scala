@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.{EntityLinking, TextOps, TextRank}
+
+/** Entity-linking + keyphrase queries (SURVEY.md §2 V2-V6, W3) — the
+  * reference's flagship NLP surface instantiated on the test tables:
+  * gazetteer aliases from part-name tokens with lineitem-frequency priors,
+  * mentions from document tokens, disambiguation against `embeddings`
+  * context/entity vectors, TextRank keyphrases, and the EL review report.
+  * Every query has an exact DuckDB oracle — the per-doc PageRank oracle is a
+  * mechanically unrolled fixed-iteration CTE chain with fixed-point (1e-15)
+  * contribution sums matching [[graft.text.TextRank]] bit for bit.
+  */
+object NlpQueries {
+
+  private val gazCandidates = 8
+  private val trWindow = 2
+  private val trIters = 4
+  private val trK = 3
+
+  /** Gazetteer observations: each lineitem contributes its part's name
+    * tokens as alias sightings of that part. */
+  private def aliasObs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(explode(TextOps.tokens(col("p_name"))).as("alias"),
+        col("p_partkey").as("entity"))
+
+  private def gaz(s: SparkSession, d: String): DataFrame =
+    EntityLinking.gazetteer(aliasObs(s, d), "alias", "entity", gazCandidates)
+
+  private def candidates(s: SparkSession, d: String): DataFrame =
+    EntityLinking.mentionCandidates(Tables.documents(s, d), gaz(s, d))
+
+  /** Context vectors: doc_id → embeddings[doc_id % nvec]; entity vectors:
+    * p_partkey → embeddings[p_partkey % nvec] (nvec computed, not assumed —
+    * documents and embeddings scale differently across SFs). */
+  private def linked(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val nv = broadcast(e.agg(count(lit(1)).as("nvec")))
+    val docVecs = Tables.documents(s, d).select(col("doc_id"))
+      .crossJoin(nv).withColumn("vid", col("doc_id") % col("nvec"))
+      .join(e.select(col("vec_id").as("vid"), col("embedding").as("ctx_emb")), "vid")
+      .select(col("doc_id"), col("ctx_emb"))
+    val entVecs = Tables.part(s, d).select(col("p_partkey").as("entity"))
+      .crossJoin(nv).withColumn("vid", col("entity") % col("nvec"))
+      .join(e.select(col("vec_id").as("vid"), col("embedding").as("ent_emb")), "vid")
+      .select(col("entity"), col("ent_emb"))
+    EntityLinking.disambiguate(candidates(s, d), docVecs, entVecs)
+  }
+
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    EntityLinking.tokenStream(Tables.documents(s, d), "doc_id", "text")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // V5 — gazetteer mention candidates (broadcast alias join, top-8 priors).
+    "q33_gazetteer_mentions" -> ((s, d) =>
+      candidates(s, d).orderBy(col("doc_id"), col("pos"), col("entity"))),
+
+    // V2/V3/W3 — full entity linking: prior × context-cosine argmax.
+    "q34_entity_linking" -> ((s, d) =>
+      linked(s, d).orderBy(col("doc_id"), col("pos"))),
+
+    // V4/W2 — TextRank keyphrases: co-occurrence PageRank, top-3 per doc.
+    "q35_textrank" -> ((s, d) =>
+      TextRank.topPhrases(docTokens(s, d), trWindow, trIters, trK)
+        .orderBy(col("doc_id"), col("rn"))),
+
+    // V6 — EL review report: top phrases per doc + linked-mention flag.
+    "q36_el_report" -> ((s, d) => {
+      val phrases = TextRank.topPhrases(docTokens(s, d), trWindow, trIters, trK)
+      val links = linked(s, d).select(col("doc_id"), col("token")).distinct()
+        .withColumn("is_linked", lit(true))
+      phrases.join(links, Seq("doc_id", "token"), "left")
+        .select(col("doc_id"), col("token").as("phrase"),
+          col("rank").as("phrase_rank"), col("rn"),
+          coalesce(col("is_linked"), lit(false)).as("is_linked"))
+        .orderBy(col("doc_id"), col("rn"))
+    }))
+
+  // ---- DuckDB oracle SQL ---------------------------------------------------
+
+  private def toksSql(c: String) =
+    s"list_filter(string_split_regex(trim($c), '\\s+'), w -> len(w) > 0)"
+
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  private def cosSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** tok: (doc_id, pos, token) via zipped unnests (positions 0-based). */
+  private val tokCte =
+    s"""tok AS (
+       |  SELECT doc_id, unnest(w) AS token, unnest(range(len(w))) AS pos
+       |  FROM (SELECT doc_id, ${toksSql("text")} AS w FROM documents) t0)""".stripMargin
+
+  /** gz: capped weighted gazetteer (alias, entity, prior). */
+  private val gazCte =
+    s"""obs AS (
+       |  SELECT unnest(${toksSql("p_name")}) AS alias, p_partkey AS entity
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |cg AS (SELECT alias, entity, COUNT(*) AS cnt FROM obs GROUP BY 1, 2),
+       |gz AS (
+       |  SELECT alias, entity, prior FROM (
+       |    SELECT alias, entity,
+       |      CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY alias) AS prior,
+       |      ROW_NUMBER() OVER (PARTITION BY alias
+       |        ORDER BY cnt DESC, entity ASC) AS rn
+       |    FROM cg) t WHERE rn <= $gazCandidates)""".stripMargin
+
+  /** cand: mention candidates = tok ⋈ gz. */
+  private val candCte =
+    s"""cand AS (
+       |  SELECT doc_id, pos, token, entity, prior
+       |  FROM tok JOIN gz ON token = alias)""".stripMargin
+
+  /** links: disambiguated (rn=1) entity links incl. score. */
+  private val linkCte =
+    s"""nv AS (SELECT COUNT(*) AS nvec FROM embeddings),
+       |dv AS (
+       |  SELECT d.doc_id, e.embedding AS ctx_emb
+       |  FROM documents d CROSS JOIN nv
+       |  JOIN embeddings e ON e.vec_id = d.doc_id % nvec),
+       |ev AS (
+       |  SELECT p_partkey AS entity, e.embedding AS ent_emb
+       |  FROM part CROSS JOIN nv
+       |  JOIN embeddings e ON e.vec_id = p_partkey % nvec),
+       |sc AS (
+       |  SELECT c.doc_id, c.pos, c.token, c.entity, c.prior,
+       |    c.prior * ${cosSql("ctx_emb", "ent_emb")} AS score
+       |  FROM cand c JOIN dv USING (doc_id) JOIN ev USING (entity)),
+       |links AS (
+       |  SELECT doc_id, pos, token, entity, prior, score FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, pos
+       |      ORDER BY score DESC, entity ASC) AS lrn FROM sc) t
+       |  WHERE lrn = 1)""".stripMargin
+
+  /** Unrolled fixed-iteration PageRank over the co-occurrence graph,
+    * terminal CTE `topk(doc_id, token, "rank", rn)`. */
+  private val textrankCtes: String = {
+    val head =
+      s"""nodes AS (SELECT DISTINCT doc_id, token FROM tok),
+         |nn AS (SELECT doc_id, COUNT(*) AS n FROM nodes GROUP BY doc_id),
+         |eg AS (
+         |  SELECT DISTINCT a.doc_id, a.token AS src, b.token AS dst
+         |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.pos <> b.pos
+         |    AND abs(a.pos - b.pos) <= $trWindow AND a.token <> b.token),
+         |odeg AS (SELECT doc_id, src, COUNT(*) AS odeg FROM eg GROUP BY 1, 2),
+         |pr0 AS (
+         |  SELECT nodes.doc_id, nodes.token, CAST(1.0 AS DOUBLE) / nn.n AS "rank"
+         |  FROM nodes JOIN nn USING (doc_id))""".stripMargin
+    val iters = (1 to trIters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.doc_id, e.dst AS token,
+         |    CAST(SUM(CAST(floor((p."rank" / o.odeg) * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS inflow
+         |  FROM pr${k - 1} p
+         |  JOIN eg e ON e.doc_id = p.doc_id AND e.src = p.token
+         |  JOIN odeg o ON o.doc_id = e.doc_id AND o.src = e.src
+         |  GROUP BY 1, 2),
+         |pr$k AS (
+         |  SELECT nodes.doc_id, nodes.token,
+         |    CAST(0.15 AS DOUBLE) / nn.n
+         |      + CAST(0.85 AS DOUBLE) * COALESCE(c$k.inflow, CAST(0 AS DOUBLE)) AS "rank"
+         |  FROM nodes JOIN nn USING (doc_id)
+         |  LEFT JOIN c$k ON c$k.doc_id = nodes.doc_id AND c$k.token = nodes.token)""".stripMargin
+    }
+    val topk =
+      s"""topk AS (
+         |  SELECT doc_id, token, "rank", CAST(rn AS INTEGER) AS rn FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY "rank" DESC, token ASC) AS rn FROM pr$trIters) t
+         |  WHERE rn <= $trK)""".stripMargin
+    (head +: iters :+ topk).mkString(",\n")
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q33_gazetteer_mentions" ->
+      s"""WITH $tokCte,
+         |$gazCte,
+         |$candCte
+         |SELECT doc_id, pos, token, entity, prior FROM cand
+         |ORDER BY doc_id, pos, entity""".stripMargin,
+    "q34_entity_linking" ->
+      s"""WITH $tokCte,
+         |$gazCte,
+         |$candCte,
+         |$linkCte
+         |SELECT doc_id, pos, token, entity, prior, score FROM links
+         |ORDER BY doc_id, pos""".stripMargin,
+    "q35_textrank" ->
+      s"""WITH $tokCte,
+         |$textrankCtes
+         |SELECT doc_id, token, "rank", rn FROM topk ORDER BY doc_id, rn""".stripMargin,
+    "q36_el_report" ->
+      s"""WITH $tokCte,
+         |$gazCte,
+         |$candCte,
+         |$linkCte,
+         |$textrankCtes
+         |SELECT p.doc_id, p.token AS phrase, p."rank" AS phrase_rank, p.rn,
+         |  (l.doc_id IS NOT NULL) AS is_linked
+         |FROM topk p
+         |LEFT JOIN (SELECT DISTINCT doc_id, token FROM links) l
+         |  ON l.doc_id = p.doc_id AND l.token = p.token
+         |ORDER BY p.doc_id, p.rn""".stripMargin
+  )
+}

@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TextRank keyphrase extraction (SURVEY.md §2 V4/W2): the reference runs
+  * pytextrank — noun-chunk candidates → word co-occurrence graph → PageRank →
+  * per-doc top-k (/root/reference/dagster_icij/assets.py:133,
+  * src/analysis.py:10-23). Here: token co-occurrence within a ±`window`
+  * positional window → per-doc PageRank → top-k.
+  *
+  * ALL docs' graphs are ranked in ONE iterated DataFrame plan keyed by
+  * (doc_id, token) — no per-doc driver loop, so a billion-doc corpus runs as
+  * `iterations` shuffle rounds regardless of doc count.
+  *
+  * Determinism: per-node contribution sums are FIXED-POINT — each
+  * contribution is floored to 1e-15 resolution and summed as BIGINT, which is
+  * exact and partition-order-independent, then rescaled to double. (A double
+  * sum would drift with shuffle order; a DECIMAL cast rounds differently in
+  * Spark [HALF_UP] vs DuckDB, breaking oracle parity at the 16th digit.)
+  */
+object TextRank {
+
+  /** Teleport and damping are INDEPENDENT double literals (0.15, 0.85), never
+    * derived as `1.0 - d`: DuckDB parses numeric literals as DECIMAL, so
+    * `1.0 - 0.85` is exact there but binary here — the oracle twin uses
+    * `CAST(0.15 AS DOUBLE)` and both sides must mean the same bits. */
+  val damping = 0.85
+  val teleport = 0.15
+
+  /** Distinct undirected co-occurrence edges (both directions) between
+    * tokens within ±window positions, loops excluded:
+    * (doc_id, src, dst). */
+  def coocEdges(tokens: DataFrame, window: Int): DataFrame = {
+    val a = tokens.select(col("doc_id"), col("pos").as("pa"), col("token").as("src"))
+    val b = tokens.select(col("doc_id"), col("pos").as("pb"), col("token").as("dst"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("pa") =!= col("pb") &&
+        abs(col("pa") - col("pb")) <= window && col("src") =!= col("dst"))
+      .select(col("doc_id"), col("src"), col("dst"))
+      .distinct()
+  }
+
+  /** Per-doc PageRank over the co-occurrence graph, `iterations` rounds of
+    * r(v) = (1-d)/n + d·Σ_{u→v} r(u)/outdeg(u).
+    * Output: (doc_id, token, rank). */
+  def pageRank(tokens: DataFrame, window: Int, iterations: Int): DataFrame = {
+    val nodes = tokens.select(col("doc_id"), col("token")).distinct()
+    val n = nodes.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val edges = coocEdges(tokens, window)
+    val outdeg = edges.groupBy(col("doc_id"), col("src"))
+      .agg(count(lit(1)).as("odeg"))
+
+    var ranks = nodes.join(n, Seq("doc_id"))
+      .select(col("doc_id"), col("token"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = ranks.as("r")
+        .join(edges.as("e"), col("r.doc_id") === col("e.doc_id") &&
+          col("r.token") === col("e.src"))
+        .join(outdeg.as("o"), col("e.doc_id") === col("o.doc_id") &&
+          col("e.src") === col("o.src"))
+        .select(col("e.doc_id").as("doc_id"), col("e.dst").as("token"),
+          floor((col("r.rank") / col("o.odeg")) * lit(1e15)).as("contrib"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg((sum(col("contrib")).cast("double") / lit(1e15)).as("inflow"))
+      ranks = nodes.join(n, Seq("doc_id"))
+        .join(contribs, Seq("doc_id", "token"), "left")
+        .select(col("doc_id"), col("token"),
+          (lit(teleport) / col("n") +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
+  /** Per-doc top-k tokens by rank (W1 window top-k; ties → token asc).
+    * Output: (doc_id, token, rank, rn). */
+  def topPhrases(tokens: DataFrame, window: Int, iterations: Int, k: Int): DataFrame =
+    pageRank(tokens, window, iterations)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("rank").desc, col("token").asc)))
+      .filter(col("rn") <= k)
+}
