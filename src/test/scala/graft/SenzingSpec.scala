@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Senzing
+
+/** Fixture-driven spec for the Senzing export surface: the JSONL below
+  * exercises every branch observed in the reference (bearer filter, dead-MISC
+  * type inference, description order, empty-MATCH_KEY default, record dedup,
+  * match-level alias filter, has_ref propagation).
+  */
+class SenzingSpec extends SparkSuite {
+
+  private def feat(k: String, v: String) = s""""$k": [{"FEAT_DESC": "$v"}]"""
+
+  private lazy val exportPath: String = {
+    val dir = Files.createTempDirectory("senzing").toFile
+    val f = new java.io.File(dir, "export.jsonl")
+    val lines = Seq(
+      // 1: full ORG — all description segments, country GB resolves
+      s"""{"RESOLVED_ENTITY": {"ENTITY_ID": 1, "ENTITY_NAME": "Acme Corp",
+         |"FEATURES": {${feat("NAME", "Acme Corp")}, ${feat("RECORD_TYPE", "ORGANIZATION")},
+         |${feat("ADDRESS", "1 Main St")}, ${feat("DUNS_NUMBER", "123")},
+         |${feat("PHONE", "555")}, ${feat("COUNTRY_OF_ASSOCIATION", "GB")},
+         |${feat("WEBSITE", "acme.com")}},
+         |"RECORDS": [
+         |  {"DATA_SOURCE": "icij", "RECORD_ID": "r1", "MATCH_KEY": "", "ENTITY_DESC": "", "INTERNAL_ID": 11},
+         |  {"DATA_SOURCE": "ICIJ", "RECORD_ID": "r1", "MATCH_KEY": "NAME", "ENTITY_DESC": "Acme Corp", "INTERNAL_ID": 11},
+         |  {"DATA_SOURCE": "open", "RECORD_ID": "r2", "MATCH_KEY": "ADDR", "ENTITY_DESC": "ACME", "INTERNAL_ID": 12}]},
+         |"RELATED_ENTITIES": [
+         |  {"ENTITY_ID": 2, "MATCH_LEVEL_CODE": "POSSIBLY_SAME"},
+         |  {"ENTITY_ID": 5, "MATCH_LEVEL_CODE": "POSSIBLY_RELATED"}]}""",
+      // 2: PER with unknown country (no ", in" segment)
+      s"""{"RESOLVED_ENTITY": {"ENTITY_ID": 2, "ENTITY_NAME": "John Doe",
+         |"FEATURES": {${feat("NAME", "John Doe")}, ${feat("RECORD_TYPE", "PERSON")},
+         |${feat("DOB", "1970-01-01")}, ${feat("PHONE", "777")},
+         |${feat("ADDRESS", "2 Side St")}, ${feat("GROUP_ASSOCIATION", "Acme")},
+         |${feat("COUNTRY_OF_ASSOCIATION", "XX")}},
+         |"RECORDS": [{"DATA_SOURCE": "icij", "RECORD_ID": "p1", "MATCH_KEY": "NAME", "ENTITY_DESC": "John Doe", "INTERNAL_ID": 21}]},
+         |"RELATED_ENTITIES": [{"ENTITY_ID": 1, "MATCH_LEVEL_CODE": "DISCLOSED"}]}""",
+      // 3: bearer pseudo-name — dropped from the KB
+      s"""{"RESOLVED_ENTITY": {"ENTITY_ID": 3, "ENTITY_NAME": "The Bearer",
+         |"FEATURES": {${feat("NAME", "The Bearer")}},
+         |"RECORDS": []},
+         |"RELATED_ENTITIES": []}""",
+      // 4: no NAME feature + empty ENTITY_NAME — dropped everywhere
+      s"""{"RESOLVED_ENTITY": {"ENTITY_ID": 4, "ENTITY_NAME": "",
+         |"FEATURES": {${feat("ADDRESS", "nowhere")}},
+         |"RECORDS": []},
+         |"RELATED_ENTITIES": []}""",
+      // 5: no RECORD_TYPE, no DOB/GROUP — lands in ORG (dead-MISC semantics);
+      //    no records at all → name falls back to uid
+      s"""{"RESOLVED_ENTITY": {"ENTITY_ID": 5, "ENTITY_NAME": "Mystery Ltd",
+         |"FEATURES": {${feat("NAME", "Mystery Ltd")}},
+         |"RECORDS": []},
+         |"RELATED_ENTITIES": []}""",
+      // 6: no RECORD_TYPE but DOB → PER via the fallthrough branch
+      s"""{"RESOLVED_ENTITY": {"ENTITY_ID": 6, "ENTITY_NAME": "Jane Roe",
+         |"FEATURES": {${feat("NAME", "Jane Roe")}, ${feat("DOB", "1980-02-02")}},
+         |"RECORDS": [{"DATA_SOURCE": "icij", "RECORD_ID": "p2", "MATCH_KEY": "", "ENTITY_DESC": "Jane Roe", "INTERNAL_ID": 61}]},
+         |"RELATED_ENTITIES": []}"""
+    ).map(_.stripMargin.replace("\n", " "))
+    Files.write(f.toPath, String.join("\n", lines: _*).getBytes)
+    f.getAbsolutePath
+  }
+
+  private lazy val countries = {
+    val s = spark
+    import s.implicits._
+    Seq(("GB", "United Kingdom"), ("PA", "Panama")).toDF("code", "country")
+  }
+
+  private lazy val raw = Senzing.readExport(spark, exportPath).cache()
+
+  test("entities: filters, type inference, ordered description synthesis") {
+    val out = Senzing.entities(raw, countries).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(3))).toMap
+    assert(out.keySet == Set("1", "2", "5", "6")) // 3 bearer-dropped, 4 nameless
+    assert(out("1") == ("ORG",
+      "Acme Corp, located at 1 Main St, DUNS 123, phone 555, in United Kingdom, website acme.com"))
+    assert(out("2") == ("PER",
+      "John Doe, born 1970-01-01, phone 777, located at 2 Side St, associated with Acme"))
+    assert(out("5")._1 == "ORG") // dead-MISC: no features at all still ORG
+    assert(out("6")._1 == "PER") // DOB fallthrough
+  }
+
+  test("bearer filter accepts real names, rejects the recorded pseudo-names") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq("the bearer", "EL PORTADOR", "bearer 1234", "Bearer Shares",
+      "nan", "???", "-to the bearer. 5a", "Acme Corp", "bearer island hotel")
+    val kept = cases.toDF("name").filter(Senzing.bearerKeep(trim(col("name"))))
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("Acme Corp", "bearer island hotel"))
+  }
+
+  test("aliasRecords: record + match-level-filtered related aliases, raw-keyed type") {
+    val recs = Senzing.aliasRecords(raw).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // record aliases (incl. empty ENTITY_DESC string — reference keeps them)
+    assert(recs.contains(("Acme Corp", 11L, "ORG")))
+    assert(recs.contains(("ACME", 12L, "ORG")))
+    // related: POSSIBLY_SAME + DISCLOSED kept, POSSIBLY_RELATED dropped
+    assert(recs.contains(("Acme Corp", 2L, "ORG")))
+    assert(recs.contains(("John Doe", 1L, "PER"))) // raw-keyed: DOB → PER
+    assert(!recs.exists { case (_, e, _) => e == 5L })
+    // entity 4 (empty ENTITY_NAME) contributes nothing
+    assert(!recs.exists { case (a, _, _) => a == "nowhere" })
+  }
+
+  test("aliases: P(entity|alias) with deterministic array order") {
+    val s = spark
+    import s.implicits._
+    val recs = Seq(("X", "7", "ORG"), ("X", "7", "ORG"), ("X", "8", "ORG"))
+      .toDF("alias", "entity", "type")
+    val row = Senzing.aliases(recs.withColumn("entity", col("entity").cast("long")))
+      .filter(col("alias") === "X").collect().head
+    assert(row.getSeq[String](1) == Seq("7", "8"))
+    assert(row.getSeq[Double](2).zip(Seq(2.0 / 3, 1.0 / 3))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("graph: record-uid dedup, name fallback, INITIAL default, has_ref") {
+    val v = Senzing.graphVertices(raw).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(v(1L) == ("Acme Corp", 2)) // ICIJ.r1 deduped; first non-empty desc
+    assert(v(5L) == ("5", 0))         // nameless record set → uid fallback
+    val recs = Senzing.recordTable(raw).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(recs.contains((1L, "ICIJ.r1", "INITIAL"))) // empty MATCH_KEY default
+    assert(recs.contains((6L, "ICIJ.p2", "INITIAL")))
+    val hr = Senzing.withHasRef(Senzing.graphVertices(raw),
+      Senzing.graphEdges(raw)).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(hr(1L))  // has records + referenced
+    assert(hr(5L))  // no records but neighbor of 1
+    assert(!hr(3L)) // no records, never referenced
+  }
+
+  test("jsonl round-trip: entities sink re-reads identically") {
+    val dir = Files.createTempDirectory("sink").toFile.getAbsolutePath
+    val ents = Senzing.entities(raw, countries)
+    Senzing.writeJsonl(ents, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() == ents.count())
+    assert(back.select("entity_id", "type", "name", "description").collect().toSet ==
+      ents.collect().toSet)
+  }
+}
