@@ -1,0 +1,109 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators (north-star surface): image/audio/video
+  * handled as OPAQUE `binary` payloads with typed metadata, exactly as a
+  * 100 TB training-data pipeline carries them — the engine never interprets
+  * media bytes except inside an explicit decode stage.
+  *
+  * The decode kernels here are DETERMINISTIC STUBS (this container has no
+  * image/audio codecs): they derive stable pseudo-features from the payload
+  * bytes. The Spark-side plumbing — schema, encoders, batched
+  * `mapPartitions` (the JVM analog of `mapInPandas`: one iterator per
+  * partition, processed in fixed-size batches as a vectorized codec would),
+  * partition sizing, frame explosion — is real and tested, so swapping the
+  * stub for jpeg/ffmpeg decoding changes one function.
+  *
+  * Scale notes: payloads never enter a shuffle key; metadata-only transforms
+  * are pure column expressions (codegen); decode is per-partition streaming
+  * with bounded memory (`batchSize` rows in flight).
+  */
+object MultimodalOps {
+
+  /** One media row: opaque payload + typed metadata. */
+  case class MediaRow(doc_id: Long, modality: String, payload: Array[Byte],
+                      format: String, width: Int, height: Int,
+                      duration_ms: Long)
+
+  /** Stub decode output: per-payload pseudo-features. */
+  case class MediaFeatures(doc_id: Long, modality: String, n_bytes: Int,
+                           mean_byte: Double, checksum: Long)
+
+  /** A sampled video frame (plumbing for frame-level training data). */
+  case class Frame(doc_id: Long, frame_idx: Int, offset_ms: Long,
+                   payload: Array[Byte])
+
+  /** STUB — deterministic pseudo-decode: byte statistics standing in for
+    * pixel statistics. Replace with a real codec (jpeg/PNG) to productionize;
+    * signature and batch shape stay identical. */
+  def decodeStub(row: MediaRow): MediaFeatures = {
+    val bytes = row.payload
+    var sum = 0L
+    var crc = 1L
+    var i = 0
+    while (i < bytes.length) {
+      sum += bytes(i) & 0xff
+      crc = crc * 31 + (bytes(i) & 0xff)
+      i += 1
+    }
+    MediaFeatures(row.doc_id, row.modality, bytes.length,
+      if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length, crc)
+  }
+
+  /** Batched per-partition decode: the mapInPandas-shaped entry point. The
+    * iterator is consumed in `batchSize` groups so a vectorized codec can
+    * process arrays-of-payloads without materializing the partition. */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // batch boundary = where a real codec would run one vectorized call
+        batch.iterator.map(decodeStub)
+      }
+    }
+  }
+
+  /** Metadata-only resize: pure expression work, payload untouched (a real
+    * resize would pair this with a decode→scale→encode kernel). */
+  def resizeMeta(media: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxDim) / greatest(col("width"), col("height"), lit(1)))
+    media
+      .withColumn("out_width", ceil(col("width") * scale).cast("int"))
+      .withColumn("out_height", ceil(col("height") * scale).cast("int"))
+  }
+
+  /** Frame sampling plumbing: one row per sampled frame every `everyMs`
+    * (payload sliced deterministically as the stub "frame"). */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "video").flatMap { row =>
+      val n = math.max(1L, row.duration_ms / everyMs).toInt
+      (0 until n).iterator.map { i =>
+        val off = i * everyMs
+        val b = row.payload
+        val slice = if (b.isEmpty) b
+          else b.slice((i * 4) % b.length, math.min(b.length, (i * 4) % b.length + 4))
+        Frame(row.doc_id, i, off, slice)
+      }
+    }
+  }
+
+  /** Deterministic synthetic media table derived from `documents` — the
+    * fixture builder for environments with no real media: payload = md5
+    * bytes of the text (16-byte "image"), metadata derived from doc stats.
+    * Mirrored 1:1 by the DuckDB oracle (unhex(md5(text))). */
+  def syntheticMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("modality"),
+      unhex(md5(col("text"))).as("payload"),
+      lit("fake").as("format"),
+      (col("n_chars") % 640).cast("int").as("width"),
+      (col("n_chars") % 480).cast("int").as("height"),
+      (col("n_chars") * 10).cast("long").as("duration_ms"))
+}
