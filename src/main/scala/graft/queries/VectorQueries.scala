@@ -35,6 +35,16 @@ object VectorQueries {
       VectorOps.lshNeighborPairs(emb(s, d), 8, 0.2)
         .orderBy(col("ia"), col("ib"))),
 
+    // Same query as q26 but through the NATIVE codegen'd cosine expression
+    // (graft.functions.CosineSimilarity) — bit-identical, shares q26's
+    // oracle; the bench delta vs q26 measures HOF-vs-native speedup.
+    "q38_cosine_native" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      VectorOps.cosinePairs(emb(s, d), 0.35,
+          (a, b) => call_function("cosine_sim", a, b))
+        .orderBy(col("ia"), col("ib"))
+    }),
+
     // IVF: label-cell centroids (decimal-exact means) → nearest-cell probe.
     "q28_ivf_knn" -> ((s, d) => {
       val e = emb(s, d)
@@ -69,6 +79,12 @@ object VectorQueries {
       ")), (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END), '')"
 
   def oracles: Map[String, String] = Map(
+    "q38_cosine_native" ->
+      s"""SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |       ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+         |ORDER BY ia, ib""".stripMargin,
     "q25_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
          |           FROM embeddings WHERE vec_id < 8),

@@ -89,12 +89,15 @@ object VectorOps {
   }
 
   /** Exact cosine near-dup pairs (ia < ib, cosine >= threshold). O(N²) —
-    * the correctness baseline that [[lshNeighborPairs]] approximates. */
-  def cosinePairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    * the correctness baseline that [[lshNeighborPairs]] approximates.
+    * `cosineFn` swaps the HOF fold for the native codegen expression
+    * ([[graft.functions.CosineSimilarity]]) — bit-identical results. */
+  def cosinePairs(vecs: DataFrame, threshold: Double,
+                  cosineFn: (Column, Column) => Column = cosine): DataFrame = {
     val a = vecs.select(col("vec_id").as("ia"), col("embedding").as("ea"))
     val b = vecs.select(col("vec_id").as("ib"), col("embedding").as("eb"))
     a.join(b, col("ia") < col("ib"))
-      .withColumn("cosine", cosine(col("ea"), col("eb")))
+      .withColumn("cosine", cosineFn(col("ea"), col("eb")))
       .filter(col("cosine") >= threshold)
       .select(col("ia"), col("ib"), col("cosine"))
   }
