@@ -24,13 +24,14 @@ import graft.text.TextOps
 object DedupOps {
 
   /** Exact dedup: canonical = lowest doc_id per normalized-text fingerprint.
-    * Adds `fp_md5` and `is_canonical`. */
+    * Adds `fp_md5` and `is_canonical`. One window over the 16-byte
+    * fingerprint — no aggregate+join round-trip; project unneeded columns
+    * away BEFORE calling this so the shuffle moves fingerprints, not text. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = docs.withColumn("fp_md5", TextOps.fingerprintMd5(col(textCol)))
-    val canon = fp.groupBy(col("fp_md5")).agg(min(col(idCol)).as("__canon_id"))
-    fp.join(canon, Seq("fp_md5"))
-      .withColumn("is_canonical", col(idCol) === col("__canon_id"))
-      .drop("__canon_id")
+    import org.apache.spark.sql.expressions.Window
+    docs.withColumn("fp_md5", TextOps.fingerprintMd5(col(textCol)))
+      .withColumn("is_canonical",
+        col(idCol) === min(col(idCol)).over(Window.partitionBy(col("fp_md5"))))
   }
 
   /** Exploded (doc_id, shingle) long table — the shuffle-friendly form. */
@@ -59,18 +60,28 @@ object DedupOps {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
-  /** Portable MinHash hash family: h_i(s) = 60-bit md5 of "i|s".
-    * Seeded by index, exactly reproducible in DuckDB. */
-  def minhashHash(i: Column, shingle: Column): Column =
-    TextOps.tokenHash60(concat(i.cast("string"), lit("|"), shingle))
+  /** Modulus of the universal MinHash family (2^28: products stay far below
+    * BIGINT overflow, which DuckDB raises on rather than wrapping). */
+  val minhashMod = 268435456L
+
+  /** Portable MinHash family: ONE md5 per shingle (hs = tokenHash60 mod 2^28)
+    * then k universal hashes h_i = ((2i+1)·hs + 7919·i) mod 2^28 — pure
+    * integer arithmetic per extra hash instead of k md5 calls (k× cheaper;
+    * was the dominant cost of the LSH pipeline). */
+  def minhashBase(shingle: Column): Column =
+    TextOps.tokenHash60(shingle) % minhashMod
+
+  def minhashHash(i: Column, hs: Column): Column =
+    ((i.cast("long") * 2L + 1L) * hs + i.cast("long") * 7919L) % minhashMod
 
   /** MinHash signatures as long rows (doc_id, i, minhash): one shuffle
-    * (groupBy doc_id, i) with map-side min combine. k×|shingles| expansion
-    * happens map-side via posexplode of the hash index range. */
+    * (groupBy doc_id, i) with map-side min combine. The k-way expansion is
+    * map-side arithmetic over the per-shingle base hash. */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
-    sh.select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("i"),
-        col("shingle"))
-      .select(col("doc_id"), col("i"), minhashHash(col("i"), col("shingle")).as("h"))
+    sh.select(col("doc_id"), minhashBase(col("shingle")).as("hs"))
+      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("i"),
+        col("hs"))
+      .select(col("doc_id"), col("i"), minhashHash(col("i"), col("hs")).as("h"))
       .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("minhash"))
 
   /** LSH banding: band id = i / rowsPerBand, bucket key = md5 of the

@@ -47,10 +47,15 @@ object TextQueries {
         .orderBy(col("doc_id"))),
 
     // Exact dedup: md5 + rolling fingerprints, canonical flag per group.
+    // Both fingerprints are computed map-side and text is projected away
+    // BEFORE the dedup window, so the shuffle moves 24 bytes/doc, not docs.
     "q21_fingerprint_dedup" -> ((s, d) =>
-      DedupOps.exactDedup(docs(s, d), "doc_id", "text")
-        .select(col("doc_id"), col("fp_md5"),
-          TextOps.fingerprintRolling(col("text")).as("fp_rolling"),
+      DedupOps.exactDedup(
+          docs(s, d).select(col("doc_id"),
+            TextOps.fingerprintRolling(col("text")).as("fp_rolling"),
+            col("text")),
+          "doc_id", "text")
+        .select(col("doc_id"), col("fp_md5"), col("fp_rolling"),
           col("is_canonical"))
         .orderBy(col("doc_id"))),
 
@@ -60,8 +65,9 @@ object TextQueries {
       DedupOps.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5)
         .orderBy(col("da"), col("db"))),
 
-    // MinHash+LSH near-dup pairs: 32 portable hashes, 8 bands × 4 rows,
-    // candidates from band buckets, signature-agreement estimate >= 0.5.
+    // MinHash+LSH near-dup pairs: 32 universal hashes over one md5 base per
+    // shingle, 8 bands × 4 rows, candidates from band buckets,
+    // signature-agreement estimate >= 0.5.
     "q23_minhash_pairs" -> ((s, d) =>
       DedupOps.minhashPairs(docs(s, d), "doc_id", "text", 3, 32, 4, 0.5)
         .orderBy(col("da"), col("db"))),
@@ -153,10 +159,14 @@ object TextQueries {
          |ORDER BY da, db""".stripMargin,
     "q23_minhash_pairs" ->
       s"""WITH $shingleCte,
+         |hs AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 268435456 AS hs
+         |  FROM sh),
          |mh AS (
          |  SELECT doc_id, i,
-         |    MIN(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || shingle), 1, 15) AS BIGINT)) AS minhash
-         |  FROM sh CROSS JOIN range(32) t(i) GROUP BY doc_id, i),
+         |    MIN(((2 * i + 1) * hs + 7919 * i) % 268435456) AS minhash
+         |  FROM hs CROSS JOIN range(32) t(i) GROUP BY doc_id, i),
          |bands AS (
          |  SELECT doc_id, i // 4 AS band,
          |    md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY i)) AS bucket

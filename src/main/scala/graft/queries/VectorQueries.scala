@@ -25,25 +25,27 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rn"))
     }),
 
-    // Embedding-cosine near-dup pairs — exact O(N²) baseline.
-    "q26_cosine_pairs" -> ((s, d) =>
-      VectorOps.cosinePairs(emb(s, d), 0.35)
-        .orderBy(col("ia"), col("ib"))),
+    // Embedding-cosine near-dup pairs — exact O(N²) baseline, computed with
+    // the native codegen'd cosine (30× the HOF fold at sf0.1: 2.7s vs 83s).
+    "q26_cosine_pairs" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      VectorOps.cosinePairs(emb(s, d), 0.35,
+          (a, b) => call_function("cosine_sim", a, b))
+        .orderBy(col("ia"), col("ib"))
+    }),
 
     // Sign-LSH ANN: 8 hyperplanes → 256 buckets → candidates → exact cosine.
     "q27_lsh_pairs" -> ((s, d) =>
       VectorOps.lshNeighborPairs(emb(s, d), 8, 0.2)
         .orderBy(col("ia"), col("ib"))),
 
-    // Same query as q26 but through the NATIVE codegen'd cosine expression
-    // (graft.functions.CosineSimilarity) — bit-identical, shares q26's
-    // oracle; the bench delta vs q26 measures HOF-vs-native speedup.
-    "q38_cosine_native" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      VectorOps.cosinePairs(emb(s, d), 0.35,
-          (a, b) => call_function("cosine_sim", a, b))
-        .orderBy(col("ia"), col("ib"))
-    }),
+    // HOF-fold cross-check of the native expression on a vec_id<300 subset:
+    // same math through `aggregate`/`zip_with`, bit-identical per element —
+    // keeps the portable reference implementation in the correctness gate
+    // without paying its 30× cost on the full corpus.
+    "q38_cosine_hof" -> ((s, d) =>
+      VectorOps.cosinePairs(emb(s, d).filter(col("vec_id") < 300), 0.35)
+        .orderBy(col("ia"), col("ib"))),
 
     // IVF: label-cell centroids (decimal-exact means) → nearest-cell probe.
     "q28_ivf_knn" -> ((s, d) => {
@@ -79,11 +81,12 @@ object VectorQueries {
       ")), (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END), '')"
 
   def oracles: Map[String, String] = Map(
-    "q38_cosine_native" ->
+    "q38_cosine_hof" ->
       s"""SELECT a.vec_id AS ia, b.vec_id AS ib,
          |       ${cosSql("a.embedding", "b.embedding")} AS cosine
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
+         |WHERE a.vec_id < 300 AND b.vec_id < 300
+         |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.35
          |ORDER BY ia, ib""".stripMargin,
     "q25_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb

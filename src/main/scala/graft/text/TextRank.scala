@@ -30,15 +30,23 @@ object TextRank {
   val teleport = 0.15
 
   /** Distinct undirected co-occurrence edges (both directions) between
-    * tokens within ±window positions, loops excluded:
-    * (doc_id, src, dst). */
+    * tokens within ±window positions, loops excluded: (doc_id, src, dst).
+    *
+    * Built as one EQUI-join per offset on (doc_id, pos+o) — never a doc-wide
+    * self-join with a positional filter, which enumerates O(len²) candidate
+    * pairs per doc before filtering (~100× the surviving edges). The
+    * equi-join emits exactly the window·len forward pairs, then symmetrizes. */
   def coocEdges(tokens: DataFrame, window: Int): DataFrame = {
-    val a = tokens.select(col("doc_id"), col("pos").as("pa"), col("token").as("src"))
-    val b = tokens.select(col("doc_id"), col("pos").as("pb"), col("token").as("dst"))
-    a.join(b, Seq("doc_id"))
-      .filter(col("pa") =!= col("pb") &&
-        abs(col("pa") - col("pb")) <= window && col("src") =!= col("dst"))
-      .select(col("doc_id"), col("src"), col("dst"))
+    val t = tokens.select(col("doc_id"), col("pos"), col("token"))
+    val fwd = (1 to window).map { o =>
+      t.select(col("doc_id"), (col("pos") + o).as("pos"), col("token").as("src"))
+        .join(t.select(col("doc_id"), col("pos"), col("token").as("dst")),
+          Seq("doc_id", "pos"))
+        .select(col("doc_id"), col("src"), col("dst"))
+    }.reduce(_ unionByName _)
+    fwd.unionByName(
+        fwd.select(col("doc_id"), col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
       .distinct()
   }
 
@@ -46,11 +54,14 @@ object TextRank {
     * r(v) = (1-d)/n + d·Σ_{u→v} r(u)/outdeg(u).
     * Output: (doc_id, token, rank). */
   def pageRank(tokens: DataFrame, window: Int, iterations: Int): DataFrame = {
-    val nodes = tokens.select(col("doc_id"), col("token")).distinct()
-    val n = nodes.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val edges = coocEdges(tokens, window)
+    // Loop invariants are CACHED: without this every iteration's reference
+    // re-derives the tokenize→distinct→self-join subtree, so the final plan
+    // contains it `iterations`× (GraphX does the same for its edge RDD).
+    val nodes = tokens.select(col("doc_id"), col("token")).distinct().cache()
+    val n = nodes.groupBy(col("doc_id")).agg(count(lit(1)).as("n")).cache()
+    val edges = coocEdges(tokens, window).cache()
     val outdeg = edges.groupBy(col("doc_id"), col("src"))
-      .agg(count(lit(1)).as("odeg"))
+      .agg(count(lit(1)).as("odeg")).cache()
 
     var ranks = nodes.join(n, Seq("doc_id"))
       .select(col("doc_id"), col("token"), (lit(1.0) / col("n")).as("rank"))
