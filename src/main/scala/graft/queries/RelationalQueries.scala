@@ -163,6 +163,31 @@ object RelationalQueries {
             lit("INITIAL")).as("status"),
           col("o_custkey").cast("string").as("custkey_str"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // ROLLUP hierarchy totals: revenue per (region, nation), per region, and
+    // grand total in one aggregation pass.
+    "q39_rollup_revenue" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    // INTERSECT / EXCEPT: nation keys by customer-vs-supplier presence.
+    "q40_set_ops" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      c.intersect(sup).withColumn("side", lit("both"))
+        .unionByName(c.except(sup).withColumn("side", lit("customer_only")))
+        .unionByName(sup.except(c).withColumn("side", lit("supplier_only")))
+        .orderBy(col("side"), col("nationkey"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -251,6 +276,29 @@ object RelationalQueries {
       """SELECT o_orderkey,
         |  COALESCE(NULLIF(TRIM(CASE WHEN o_orderstatus = 'P' THEN '' ELSE o_orderstatus END), ''), 'INITIAL') AS status,
         |  CAST(o_custkey AS VARCHAR) AS custkey_str
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q39_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q40_set_ops" ->
+      """SELECT nationkey, 'both' AS side FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   INTERSECT SELECT s_nationkey FROM supplier) t1
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   EXCEPT SELECT s_nationkey FROM supplier) t2
+        |UNION ALL
+        |SELECT nationkey, 'supplier_only' FROM
+        |  (SELECT s_nationkey AS nationkey FROM supplier
+        |   EXCEPT SELECT c_nationkey FROM customer) t3
+        |ORDER BY side, nationkey""".stripMargin
   )
 }
