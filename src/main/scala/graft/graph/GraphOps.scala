@@ -98,6 +98,36 @@ object GraphOps {
     graph.staticPageRank(numIter).vertices.toDF("id", "rank")
   }
 
+  /** Deterministic DataFrame PageRank over one symmetric graph — the
+    * oracle-parity twin of [[pageRank]]: normalized ranks
+    * (r = 0.15/n + 0.85·Σ inflow), fixed-point (1e-15 BIGINT) contribution
+    * sums so the result is partition-order-independent and exactly
+    * reproducible in DuckDB (same discipline as [[graft.text.TextRank]]).
+    * GraphX `staticPageRank` keeps double sums whose order varies run to run
+    * — fine for analytics, unusable for a hash-compared gate. */
+  def pageRankDeterministic(edges: DataFrame, iterations: Int): DataFrame = {
+    val nodes = edges.select(col("src").as("id")).distinct().cache()
+    val nAgg = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg")).cache()
+    var ranks = nodes.crossJoin(nAgg)
+      .select(col("id"), (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = ranks.as("r")
+        .join(edges.as("e"), col("r.id") === col("e.src"))
+        .join(outdeg.as("o"), col("e.src") === col("o.src"))
+        .select(col("e.dst").as("id"),
+          floor((col("r.rank") / col("o.odeg")) * lit(1e15)).as("contrib"))
+        .groupBy(col("id"))
+        .agg((sum(col("contrib")).cast("double") / lit(1e15)).as("inflow"))
+      ranks = nodes.crossJoin(nAgg)
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(0.15) / col("n") +
+            lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
   /** G2 — reverse-reachability flag: does any edge point at this vertex?
     * (`has_ref`, /root/reference/src/senzing_pipeline.py:363-368.)
     */

@@ -46,9 +46,11 @@ object GraphQueries {
       GraphOps.connectedComponents(s, Erkg.entityEdges(s, d))
         .orderBy(col("id"))),
 
-    // W2/V4 — PageRank over the entity graph, 10 fixed iterations.
+    // W2/V4 — PageRank over the entity graph, 10 fixed iterations,
+    // fixed-point deterministic (exact DuckDB oracle; the GraphX twin
+    // GraphOps.pageRank is cross-checked in GraphSpec instead).
     "q15_pagerank" -> ((s, d) =>
-      GraphOps.pageRank(s, Erkg.entityEdges(s, d), 10)
+      GraphOps.pageRankDeterministic(Erkg.entityEdges(s, d), 10)
         .orderBy(col("rank").desc, col("id")).limit(20)),
 
     // G2 — reverse-reachability flag over supplier vertices.
@@ -63,7 +65,43 @@ object GraphQueries {
     "q17_suspicious_aliases" -> ((s, d) =>
       Erkg.suspiciousAliasReport(s, d)))
 
+  /** Unrolled 10-iteration fixed-point PageRank oracle over the entity
+    * graph (mirrors GraphOps.pageRankDeterministic bit for bit). */
+  private val pagerankSql: String = {
+    val head =
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity >= 48),
+        |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |odeg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
+        |pr0 AS (
+        |  SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS "rank"
+        |  FROM nodes CROSS JOIN nn)""".stripMargin
+    val iters = (1 to 10).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS id,
+         |    CAST(SUM(CAST(floor((p."rank" / o.odeg) * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS inflow
+         |  FROM pr${k - 1} p
+         |  JOIN edges e ON e.src = p.id
+         |  JOIN odeg o ON o.src = e.src
+         |  GROUP BY e.dst),
+         |pr$k AS (
+         |  SELECT nodes.id,
+         |    CAST(0.15 AS DOUBLE) / nn.n
+         |      + CAST(0.85 AS DOUBLE) * COALESCE(c$k.inflow, CAST(0 AS DOUBLE)) AS "rank"
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN c$k ON c$k.id = nodes.id)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"""
+         |SELECT id, "rank" FROM pr10 ORDER BY "rank" DESC, id LIMIT 20""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q15_pagerank" -> pagerankSql,
     "q13_two_hop_network" ->
       s"""$networkCte
          |SELECT id FROM r2 ORDER BY id""".stripMargin,
