@@ -1,0 +1,73 @@
+package graft
+
+/** Physical-plan shape assertions: the scale properties the Scaladoc claims
+  * (broadcasts, pushdown, pruning, codegen) are checked here so a regression
+  * in plan shape fails CI, not a 100 TB run.
+  */
+class PlanSpec extends SparkSuite {
+
+  private val sf = SparkSpec.sf0001
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.toString
+
+  /** Post-execution plan: AQE-final, with exchanges inserted and codegen
+    * stages marked `*(n)` (sparkPlan has neither). */
+  private def executedPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("q02 dimension joins are broadcast hash joins, never shuffle joins") {
+    val p = plan("q02_region_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q01 pushes the shipdate filter into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"))
+    assert(p.contains("LessThanOrEqual") || p.contains("lessThanOrEqual"))
+  }
+
+  test("q18 scan is pruned to the referenced document columns") {
+    val p = plan("q18_token_stats")
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(scanLine.contains("doc_id") && scanLine.contains("text"))
+    assert(!scanLine.contains("source") && !scanLine.contains("lang"))
+  }
+
+  test("q33 gazetteer mention match is a broadcast join against the token stream") {
+    val p = plan("q33_gazetteer_mentions")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q01/q26 hot paths stay inside whole-stage codegen") {
+    // `*(n)` prefixes are WholeStageCodegen stage markers; the aggregates and
+    // the native cosine join must carry them
+    assert(executedPlan("q01_pricing_summary").linesIterator
+      .exists(l => l.contains("*(") && l.contains("HashAggregate")))
+    assert(executedPlan("q26_cosine_pairs").linesIterator
+      .exists(l => l.contains("*(") && l.contains("cosine_sim")))
+  }
+
+  test("q13 k-hop frontier joins broadcast the reached set") {
+    val p = plan("q13_two_hop_network")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q21 dedup window input carries fingerprints, not document text") {
+    val p = executedPlan("q21_fingerprint_dedup")
+    // the exchange feeding the window partitions by fp_md5; text must have
+    // been projected away before it (hashpartitioning on fp_md5 present,
+    // and no Exchange row containing the raw text column)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.exists(_.contains("fp_md5")))
+    assert(!exchanges.exists(_.contains("text#")))
+  }
+}
