@@ -96,4 +96,23 @@ object Relational {
     * (/root/reference/src/senzing_pipeline.py:345-353). */
   def emptyToDefault(c: Column, default: Column): Column =
     coalesce(nullif(trim(c), lit("")), default)
+
+  /** Skew-safe two-level aggregation: celebrity keys (the data has them —
+    * "Arzu Aliyeva" maps to ≥4 entities, SURVEY.md §4) are split across
+    * `salt` shards in round 1, then the per-shard partials combine in a
+    * second tiny aggregation. Result is identical to a plain
+    * `groupBy(key).agg(count, sum)` — locked by a PropertySpec law — but no
+    * single reducer ever sees a whole hot key. AQE's skew handling covers
+    * joins; this is the aggregation-side analog for when one key dominates.
+    * The salt is derived from stable columns (`saltFrom`), not rand(), so
+    * the plan stays deterministic and retry-safe. */
+  def saltedCountSum(df: DataFrame, key: String, valueCol: String,
+                     salt: Int, saltFrom: Column): DataFrame =
+    df.withColumn("__salt", pmod(hash(saltFrom), lit(salt)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("__s"))
+      .groupBy(col(key))
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__s")).cast("double").as("sum_value"))
 }

@@ -188,6 +188,16 @@ object Senzing {
       aliasRecs.withColumn("entity", col("entity").cast("string")),
       "alias", "entity")
 
+  /** J3 — self-alias union (tutorial.ipynb cell 7; dagster_icij/assets.py:
+    * 121-124): every KB entity contributes its own name as an alias with
+    * probability 1. `entities` must have (entity_id, name). */
+  def withSelfAliases(aliases: DataFrame, entities: DataFrame): DataFrame =
+    aliases.unionByName(entities.select(
+      col("name").as("alias"),
+      array(col("entity_id")).as("entities"),
+      array(lit(1.0)).as("probabilities"),
+      lit(1L).as("n_obs")))
+
   /** G1 — graph vertices (senzing_pipeline.py:329-361): name = first
     * non-empty ENTITY_DESC in record order (fallback: uid as string);
     * num_recs counts DISTINCT record uids (`DATA_SOURCE.upper() + "." +

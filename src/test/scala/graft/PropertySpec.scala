@@ -68,6 +68,23 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("salted aggregation equals plain groupBy for any data and salt width") {
+    val s = spark
+    import s.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("hot", "k1", "k2"),
+      Gen.choose(0.0, 50.0).map(v => math.round(v * 100) / 100.0)))
+    check(Prop.forAll(gen, Gen.choose(1, 8)) { (rows, salt) =>
+      val df = rows.toDF("k", "v")
+      val salted = Relational.saltedCountSum(df, "k", "v", salt, col("v"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val plain = df.groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,2)")).cast("double").as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      salted == plain
+    })
+  }
+
   test("shingles are distinct, size-bounded, and empty below n tokens") {
     val s = spark
     import s.implicits._

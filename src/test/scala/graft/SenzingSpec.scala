@@ -122,6 +122,17 @@ class SenzingSpec extends SparkSuite {
       .forall { case (a, b) => math.abs(a - b) < 1e-12 })
   }
 
+  test("withSelfAliases appends each entity's own name at probability 1") {
+    val ents = Senzing.entities(raw, countries)
+    val base = Senzing.aliases(Senzing.aliasRecords(raw))
+    val all = Senzing.withSelfAliases(base, ents)
+    assert(all.count() == base.count() + ents.count())
+    val self = all.filter(org.apache.spark.sql.functions.col("alias") === "Mystery Ltd")
+      .collect().head
+    assert(self.getSeq[String](1) == Seq("5"))
+    assert(self.getSeq[Double](2) == Seq(1.0))
+  }
+
   test("graph: record-uid dedup, name fallback, INITIAL default, has_ref") {
     val v = Senzing.graphVertices(raw).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
