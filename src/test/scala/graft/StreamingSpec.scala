@@ -86,6 +86,28 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("file-source stream: readEvents over a parquet directory aggregates correctly") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toFile.getAbsolutePath
+    Seq(
+      (0L, ts(1), 1L, "click", 2.0, """{"k":1}"""),
+      (1L, ts(2), 2L, "click", 3.0, """{"k":2}"""),
+      (2L, ts(12), 1L, "view", 4.0, """{"k":3}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.StreamOps
+      .tumblingAgg(graft.streaming.StreamOps.readEvents(s, dir), "10 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("filesrc")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val out = s.table("filesrc").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(out == Set((ts(0), "click", 2L, 5.0), (ts(10), "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling aggs agree on the same data") {
     val s = spark
     import s.implicits._
