@@ -60,6 +60,44 @@ object DedupOps {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
+  /** Prefix-filtered exact Jaccard (same result set as [[jaccardPairs]],
+    * locked by the shared oracle): shingles get a global rare-first total
+    * order (frequency, then lexicographic); a doc's PREFIX is its first
+    * `n - ceil(t·n) + 1` shingles in that order. Pigeonhole: any pair with
+    * J ≥ t shares a prefix shingle, so the candidate join runs on prefixes
+    * only — and because prefixes are the RAREST shingles, the quadratic
+    * bucket blowup concentrates exactly where buckets are smallest. The
+    * survivors are verified with an exact common-count. The all-pairs
+    * shingle self-join this replaces is the textbook similarity-join
+    * bottleneck at corpus scale. */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleTable(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
+    val ranked = sh.join(freq, "shingle")
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("freq").asc, col("shingle").asc)))
+      .join(sizes, "doc_id")
+      .filter(col("rnk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cands = ranked.as("a").join(ranked.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    val common = cands
+      .join(sh.select(col("doc_id").as("da"), col("shingle")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), Seq("db"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
   /** Modulus of the universal MinHash family (2^28: products stay far below
     * BIGINT overflow, which DuckDB raises on rather than wrapping). */
   val minhashMod = 268435456L

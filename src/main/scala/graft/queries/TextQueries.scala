@@ -59,10 +59,11 @@ object TextQueries {
           col("is_canonical"))
         .orderBy(col("doc_id"))),
 
-    // Exact 3-gram Jaccard near-dup pairs (the correctness baseline that
-    // LSH approximates at scale).
+    // Exact 3-gram Jaccard near-dup pairs via prefix filtering (identical
+    // result to the all-pairs shingle join, which remains as
+    // DedupOps.jaccardPairs and is equality-tested in DedupSpec).
     "q22_jaccard_pairs" -> ((s, d) =>
-      DedupOps.jaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5)
+      DedupOps.jaccardPairsPrefix(docs(s, d), "doc_id", "text", 3, 0.5)
         .orderBy(col("da"), col("db"))),
 
     // MinHash+LSH near-dup pairs: 32 universal hashes over one md5 base per

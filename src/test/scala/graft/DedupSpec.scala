@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupOps
+
+class DedupSpec extends SparkSuite {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c d e g"),   // jaccard 4/6? shingles overlap high with 0
+      (2L, "a b c d e f"),   // exact dup of 0
+      (3L, "x y z w v u"),
+      (4L, "x y z w v u t"),
+      (5L, "p q r")).toDF("doc_id", "text")
+  }
+
+  test("prefix-filtered Jaccard equals the all-pairs join at every threshold") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val full = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = DedupOps.jaccardPairsPrefix(docs, "doc_id", "text", 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == full, s"threshold $t")
+    }
+  }
+
+  test("exact dups score jaccard 1.0 and appear at any threshold") {
+    val pairs = DedupOps.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 2L)) == 1.0)
+  }
+
+  test("minhash estimate of an exact dup is 1.0 and of disjoint docs absent") {
+    val pairs = DedupOps.minhashPairs(docs, "doc_id", "text", 3, 32, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 2L)) == 1.0)
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("simhash of identical docs is identical, of disjoint docs differs") {
+    val h = DedupOps.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) == h(2L))
+    assert(h(0L) != h(3L))
+  }
+}
