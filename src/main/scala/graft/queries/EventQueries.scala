@@ -31,6 +31,27 @@ object EventQueries {
       EventOps.sessionAgg(ev(s, d), "30 minutes")
         .orderBy(col("user_id"), col("s_start"))),
 
+    // Semi-structured JSON column: extract props.k, bucket it, aggregate —
+    // the 100 TB pipeline's "JSON sidecar column" pattern (schema-on-read
+    // extraction stays in the scan stage, aggregation on the typed value).
+    "q41_json_props" -> ((s, d) =>
+      ev(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"), col("k_bucket"))),
+
+    // Pivot: events per type × hour-of-day, expressed as conditional
+    // aggregation (the portable form of `groupBy.pivot` with fixed keys).
+    "q42_pivot_hours" -> ((s, d) => {
+      val typed = ev(s, d).select(col("event_type"), hour(col("ts")).as("h"))
+      val cols = Seq("click", "view", "purchase", "signup", "error").map(t =>
+        sum(when(col("event_type") === t, 1).otherwise(0)).as(s"n_$t"))
+      typed.groupBy(col("h")).agg(cols.head, cols.tail: _*).orderBy(col("h"))
+    }),
+
     // As-of join: each click picks up the latest prior error of its user.
     "q32_asof_join" -> ((s, d) => {
       val e = ev(s, d)
@@ -83,6 +104,22 @@ object EventQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sess ORDER BY user_id, s_start""".stripMargin,
+    "q41_json_props" ->
+      """SELECT event_type, k % 10 AS k_bucket, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |      FROM events) t
+        |WHERE k IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, k_bucket""".stripMargin,
+    "q42_pivot_hours" ->
+      """SELECT CAST(hour(ts) AS INTEGER) AS h,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY 1 ORDER BY h""".stripMargin,
     "q32_asof_join" ->
       """SELECT c.event_id, c.user_id, c.ts,
         |  e.value AS err_value, e.event_id AS err_event_id
