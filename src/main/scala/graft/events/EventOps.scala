@@ -48,6 +48,34 @@ object EventOps {
       .select(col("user_id"), col("w.start").as("s_start"),
         col("w.end").as("s_end"), col("n"), col("sum_value"))
 
+  /** Bucketed range join: for each left row, count right rows with the same
+    * key and `right.ts ∈ [left.ts, left.ts + windowMs)`.
+    *
+    * A naive range join degenerates to a per-key nested loop (Spark plans
+    * range-only conditions as SMJ-with-filter or BNLJ). Bucketing by
+    * `windowMs`-wide time buckets turns it into an EQUI-join: a left row can
+    * only match rights in its own or the next bucket, so the left side
+    * explodes into 2 bucket keys, the join runs on (key, bucket), and the
+    * exact range predicate filters the ~2× candidates. Scales as a hash join
+    * on (key, bucket) regardless of time span. Left rows with no matches
+    * are kept with n = 0.
+    */
+  def rangeCountJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                     idCol: String, windowMs: Long): DataFrame = {
+    val w = windowMs * 1000L // µs
+    val lb = left.select(col(keyCol), col(idCol), col("ts"),
+        explode(array((unix_micros(col("ts")) / w).cast("long"),
+          (unix_micros(col("ts")) / w).cast("long") + 1)).as("__b"))
+    val rb = right.select(col(keyCol), col("ts").as("__rts"),
+      (unix_micros(col("ts")) / w).cast("long").as("__b"))
+    val counts = lb.join(rb, Seq(keyCol, "__b"))
+      .filter(unix_micros(col("__rts")) >= unix_micros(col("ts")) &&
+        unix_micros(col("__rts")) < unix_micros(col("ts")) + w)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    left.join(counts, Seq(idCol), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+
   /** As-of join (inclusive): for each left row, the latest right row with
     * `right.ts <= left.ts` and equal keys — DuckDB `ASOF JOIN` semantics,
     * "latest" broken by greatest `tiebreak` among equal timestamps.

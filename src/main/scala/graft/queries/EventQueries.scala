@@ -52,6 +52,20 @@ object EventQueries {
       typed.groupBy(col("h")).agg(cols.head, cols.tail: _*).orderBy(col("h"))
     }),
 
+    // Range (interval) join, bucketed: clicks of the same user within one
+    // hour after each error.
+    "q43_range_join" -> ((s, d) => {
+      val e = ev(s, d)
+      EventOps.rangeCountJoin(
+          e.filter(col("event_type") === "error")
+            .select(col("user_id"), col("event_id"), col("ts")),
+          e.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts")),
+          keyCol = "user_id", idCol = "event_id", windowMs = 3600 * 1000L)
+        .select(col("event_id"), col("user_id"), col("n").as("n_clicks_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     // As-of join: each click picks up the latest prior error of its user.
     "q32_asof_join" -> ((s, d) => {
       val e = ev(s, d)
@@ -120,6 +134,13 @@ object EventQueries {
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
         |FROM events GROUP BY 1 ORDER BY h""".stripMargin,
+    "q43_range_join" ->
+      """SELECT e.event_id, e.user_id, COUNT(c.ts) AS n_clicks_1h
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        | AND c.ts < e.ts + INTERVAL '1 hour'
+        |GROUP BY 1, 2 ORDER BY e.event_id""".stripMargin,
     "q32_asof_join" ->
       """SELECT c.event_id, c.user_id, c.ts,
         |  e.value AS err_value, e.event_id AS err_event_id

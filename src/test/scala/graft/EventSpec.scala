@@ -27,6 +27,23 @@ class EventSpec extends SparkSuite {
     assert(out(102L) == (None, None))              // user 2 has no errors
   }
 
+  test("rangeCountJoin counts matches across bucket boundaries, keeps zero-match rows") {
+    val s = spark
+    import s.implicits._
+    // 10-minute window; error at 00:55 must see the click at 01:02
+    // (next bucket) but not the one at 01:06 — wait, 01:02 is within 7min: yes
+    val errors = Seq((1L, 100L, ts(55)), (2L, 101L, ts(10)))
+      .toDF("user_id", "event_id", "ts")
+    val clicks = Seq((1L, ts(56)), (1L, Timestamp.valueOf("2024-01-01 01:02:00")),
+        (1L, Timestamp.valueOf("2024-01-01 01:06:00")), (3L, ts(11)))
+      .toDF("user_id", "ts")
+    val out = graft.events.EventOps.rangeCountJoin(errors, clicks,
+        "user_id", "event_id", 10 * 60 * 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(100L) == 2) // 00:56 same bucket + 01:02 next bucket; 01:06 outside
+    assert(out(101L) == 0) // user 2 has no clicks at all
+  }
+
   test("sessionAgg matches hand-computed sessions") {
     val s = spark
     import s.implicits._
