@@ -63,7 +63,22 @@ object GraphQueries {
 
     // Flagship — suspicious-network alias report (J2+G3-G6+F4+A1).
     "q17_suspicious_aliases" -> ((s, d) =>
-      Erkg.suspiciousAliasReport(s, d)))
+      Erkg.suspiciousAliasReport(s, d)),
+
+    // Motif query — (a)-[]->(s)<-[]-(b): customer pairs sharing ≥2 suppliers.
+    // GraphFrames is not on the classpath (BASELINE.md); motif finding is a
+    // DataFrame self-join on the shared vertex — which is exactly what
+    // GraphFrames compiles motifs to anyway.
+    "q44_motif_coshoppers" -> ((s, d) => {
+      val e = Erkg.entityEdges(s, d)
+        .filter(col("src") < Erkg.supplierOffset) // customer→supplier direction
+      e.as("a").join(e.as("b"),
+          col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+        .groupBy(col("a.src").as("cust_a"), col("b.src").as("cust_b"))
+        .agg(count(lit(1)).as("shared_suppliers"))
+        .filter(col("shared_suppliers") >= 2)
+        .orderBy(col("cust_a"), col("cust_b"))
+    }))
 
   /** Unrolled 10-iteration fixed-point PageRank oracle over the entity
     * graph (mirrors GraphOps.pageRankDeterministic bit for bit). */
@@ -101,6 +116,16 @@ object GraphQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q44_motif_coshoppers" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity >= 48)
+        |SELECT a.src AS cust_a, b.src AS cust_b,
+        |  COUNT(*) AS shared_suppliers
+        |FROM e0 a JOIN e0 b ON a.dst = b.dst AND a.src < b.src
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY cust_a, cust_b""".stripMargin,
     "q15_pagerank" -> pagerankSql,
     "q13_two_hop_network" ->
       s"""$networkCte
