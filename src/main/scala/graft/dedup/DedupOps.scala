@@ -122,18 +122,6 @@ object DedupOps {
       .select(col("doc_id"), col("i"), minhashHash(col("i"), col("hs")).as("h"))
       .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("minhash"))
 
-  /** Whole signature as ONE per-row array expression — zero shuffle: the
-    * k×|shingles| expansion that [[minhashSignatures]] materializes as rows
-    * is a nested `transform`/`array_min` here, entirely inside codegen.
-    * Docs with no shingles yield null. Same hash family, same values. */
-  def minhashSignatureExpr(text: Column, n: Int, k: Int): Column = {
-    val hs = transform(TextOps.shingles(text, n), s => minhashBase(s))
-    when(size(hs) > 0,
-      transform(sequence(lit(0), lit(k - 1)),
-        i => array_min(transform(hs, h => minhashHash(i, h)))))
-      .otherwise(lit(null))
-  }
-
   /** LSH banding: band id = i / rowsPerBand, bucket key = md5 of the
     * "|"-joined signature slice. Docs sharing any (band, bucket) are
     * candidates. */
@@ -146,39 +134,24 @@ object DedupOps {
 
   /** Full MinHash+LSH near-dup pipeline: candidates from band buckets,
     * verified with the exact per-position signature agreement estimate.
-    * Output: (da, db, est_jaccard) with est >= threshold.
-    *
-    * Fully expression-side until the band join: signatures are per-row array
-    * math ([[minhashSignatureExpr]]), band buckets a narrow k/r-row explode,
-    * and the agreement estimate a `zip_with` fold over the two signature
-    * arrays — the only shuffles are the candidate equi-join and its dedup
-    * (the row-oriented [[minhashSignatures]]/[[lshBuckets]] pipeline this
-    * replaces shuffled k rows per document). */
+    * Output: (da, db, est_jaccard) with est >= threshold. */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val sig = docs.select(col(idCol).as("doc_id"),
-        minhashSignatureExpr(col(textCol), n, k).as("sig"))
-      .filter(col("sig").isNotNull)
-      .cache()
-    val buckets = sig.select(col("doc_id"),
-        explode(sequence(lit(0), lit(k / rowsPerBand - 1))).as("band"),
-        col("sig"))
-      .select(col("doc_id"), col("band"),
-        md5(array_join(transform(
-          slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
-          h => h.cast("string")), "|")).as("bucket"))
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val sig = minhashSignatures(sh, k).cache()
+    val buckets = lshBuckets(sig, rowsPerBand)
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
-    cands
-      .join(sig.select(col("doc_id").as("da"), col("sig").as("sa")), Seq("da"))
-      .join(sig.select(col("doc_id").as("db"), col("sig").as("sb")), Seq("db"))
-      .select(col("da"), col("db"),
-        (aggregate(zip_with(col("sa"), col("sb"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-          lit(0L), (acc, v) => acc + v).cast("double") / k).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+    val est = cands
+      .join(sig.select(col("doc_id").as("da"), col("i"), col("minhash").as("ha")), Seq("da"))
+      .join(sig.select(col("doc_id").as("db"), col("i"), col("minhash").as("hb")),
+        Seq("db", "i"))
+      .groupBy(col("da"), col("db"))
+      .agg((sum(when(col("ha") === col("hb"), 1).otherwise(0)).cast("double") / k)
+        .as("est_jaccard"))
+    est.filter(col("est_jaccard") >= threshold)
   }
 
   /** SimHash (32-bit, md5-derived bit hashes) as a pure relational plan:
