@@ -71,6 +71,16 @@ object NlpQueries {
       TextRank.topPhrases(docTokens(s, d), trWindow, trIters, trK)
         .orderBy(col("doc_id"), col("rn"))),
 
+    // V5 (phrase form) — multi-token gazetteer matching with longest-match
+    // resolution: collocation gazetteer (top-30 n-grams per length ≤ 3),
+    // spans matched on full surface form.
+    "q45_phrase_mentions" -> ((s, d) => {
+      val spans = EntityLinking.ngramSpans(Tables.documents(s, d), 3)
+      val gaz = EntityLinking.phraseGazetteer(spans, 30)
+      EntityLinking.phraseMentions(spans, gaz)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // V6 — EL review report: top phrases per doc + linked-mention flag.
     "q36_el_report" -> ((s, d) => {
       val phrases = TextRank.topPhrases(docTokens(s, d), trWindow, trIters, trK)
@@ -194,6 +204,28 @@ object NlpQueries {
          |$linkCte
          |SELECT doc_id, pos, token, entity, prior, score FROM links
          |ORDER BY doc_id, pos""".stripMargin,
+    "q45_phrase_mentions" ->
+      s"""WITH spans AS (
+         |  SELECT doc_id, n AS len,
+         |    unnest([array_to_string(w[i:i+n-1], ' ')
+         |            for i in range(1, len(w) - n + 2)]) AS surface,
+         |    unnest(range(0, greatest(len(w) - n + 1, 0))) AS pos
+         |  FROM (SELECT doc_id, ${toksSql("text")} AS w FROM documents) t
+         |  CROSS JOIN range(1, 4) ns(n)),
+         |g0 AS (SELECT surface, len, COUNT(*) AS freq FROM spans GROUP BY 1, 2),
+         |g1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY len
+         |         ORDER BY freq DESC, surface ASC) AS rn FROM g0),
+         |gz AS (SELECT surface, len,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY len ASC, rn ASC) AS INTEGER) AS entity
+         |       FROM g1 WHERE rn <= 30),
+         |m AS (
+         |  SELECT s.doc_id, s.pos, s.surface, s.len, g.entity,
+         |    ROW_NUMBER() OVER (PARTITION BY s.doc_id, s.pos
+         |      ORDER BY s.len DESC) AS mrn
+         |  FROM spans s JOIN gz g ON s.surface = g.surface)
+         |SELECT doc_id, CAST(pos AS INTEGER) AS pos, surface,
+         |  CAST(len AS INTEGER) AS len, entity
+         |FROM m WHERE mrn = 1 ORDER BY doc_id, pos""".stripMargin,
     "q35_textrank" ->
       s"""WITH $tokCte,
          |$textrankCtes

@@ -54,6 +54,50 @@ object EntityLinking {
       .join(broadcast(gaz), col("token") === col("alias"))
       .select(col("doc_id"), col("pos"), col("token"), col("entity"), col("prior"))
 
+  /** All n-gram candidate spans up to `maxN` tokens:
+    * (doc_id, pos, len, surface) — pos is the 0-based start token. This is
+    * the candidate-span generation under gazetteer PHRASE matching
+    * (EntityRuler semantics, dev.ipynb cells 112-116): spans are enumerated
+    * map-side from the token array, no shuffle. */
+  def ngramSpans(docs: DataFrame, maxN: Int): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    (1 to maxN).map { n =>
+      docs.select(col("doc_id"),
+          posexplode(when(size(t) >= n,
+            transform(sequence(lit(1), size(t) - (n - 1)),
+              i => concat_ws(" ", slice(t, i, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as(Seq("pos", "surface")))
+        .withColumn("len", lit(n))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Corpus-collocation phrase gazetteer: the `topK` most frequent n-grams
+    * per length (count desc, surface asc), entity id = dense rank across the
+    * whole gazetteer. Output: (surface, len, entity, freq). */
+  def phraseGazetteer(spans: DataFrame, topK: Int): DataFrame = {
+    val counted = spans.groupBy(col("surface"), col("len"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("len"))
+        .orderBy(col("freq").desc, col("surface").asc)))
+      .filter(col("rn") <= topK)
+    counted.withColumn("entity",
+        row_number().over(Window.orderBy(col("len").asc, col("rn").asc)))
+      .select(col("surface"), col("len"), col("entity"), col("freq"))
+  }
+
+  /** V5 phrase matching with LONGEST-MATCH-per-start resolution (the
+    * EntityRuler rule restricted to spans sharing a start token — fully
+    * relational; the reference's global greedy overlap pruning is
+    * order-dependent and not well-defined under parallel evaluation).
+    * Output: (doc_id, pos, surface, len, entity). */
+  def phraseMentions(spans: DataFrame, gaz: DataFrame): DataFrame =
+    spans.join(broadcast(gaz.select(col("surface"), col("entity"))), Seq("surface"))
+      .withColumn("mrn", row_number().over(
+        Window.partitionBy(col("doc_id"), col("pos"))
+          .orderBy(col("len").desc)))
+      .filter(col("mrn") === 1)
+      .select(col("doc_id"), col("pos"), col("surface"), col("len"), col("entity"))
+
   /** V3/W3 — disambiguation: score = prior × cosine(context embedding,
     * entity embedding), argmax per mention (ties → lower entity id).
     * `docVecs`: (doc_id, ctx_emb); `entVecs`: (entity, ent_emb).
