@@ -75,7 +75,9 @@ object NlpQueries {
     // resolution: collocation gazetteer (top-30 n-grams per length ≤ 3),
     // spans matched on full surface form.
     "q45_phrase_mentions" -> ((s, d) => {
-      val spans = EntityLinking.ngramSpans(Tables.documents(s, d), 3)
+      // cached: the span table feeds both the gazetteer aggregation and the
+      // mention join — without it the 3-way n-gram enumeration runs twice
+      val spans = EntityLinking.ngramSpans(Tables.documents(s, d), 3).cache()
       val gaz = EntityLinking.phraseGazetteer(spans, 30)
       EntityLinking.phraseMentions(spans, gaz)
         .orderBy(col("doc_id"), col("pos"))
