@@ -1,15 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. Measures STEADY-STATE: one untimed warm-up pass
+  * first (JIT + whole-stage-codegen compilation dominate cold numbers on
+  * this suite — cold-vs-warm varies 2× run to run), then the timed pass.
+  * Set SPARK_GRAFT_WARMUP=0 to time the cold pass instead.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (warmup) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      }
+      // drop caches populated by the warm-up so the timed pass measures the
+      // real plans (cache() inside queries would otherwise alias by logical
+      // plan and turn the timed pass into a cache read)
+      spark.sharedState.cacheManager.clearCache()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
