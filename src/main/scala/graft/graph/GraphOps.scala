@@ -106,14 +106,18 @@ object GraphOps {
     * GraphX `staticPageRank` keeps double sums whose order varies run to run
     * — fine for analytics, unusable for a hash-compared gate. */
   def pageRankDeterministic(edges: DataFrame, iterations: Int): DataFrame = {
-    val nodes = edges.select(col("src").as("id")).distinct().cache()
+    // ALL loop invariants are cached — including `edges` itself: the caller
+    // usually passes a derived edge list (join+distinct+symmetrize), and an
+    // uncached reference would re-derive that subtree once per iteration.
+    val e = edges.select(col("src"), col("dst")).cache()
+    val nodes = e.select(col("src").as("id")).distinct().cache()
     val nAgg = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg")).cache()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg")).cache()
     var ranks = nodes.crossJoin(nAgg)
       .select(col("id"), (lit(1.0) / col("n")).as("rank"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = ranks.as("r")
-        .join(edges.as("e"), col("r.id") === col("e.src"))
+        .join(e.as("e"), col("r.id") === col("e.src"))
         .join(outdeg.as("o"), col("e.src") === col("o.src"))
         .select(col("e.dst").as("id"),
           floor((col("r.rank") / col("o.odeg")) * lit(1e15)).as("contrib"))
@@ -124,8 +128,16 @@ object GraphOps {
         .select(col("id"),
           (lit(0.15) / col("n") +
             lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+      // Truncate lineage every few rounds: the rank table is small (one row
+      // per vertex) but its plan grows one join-agg layer per iteration —
+      // analysis/optimization cost alone goes superlinear without this.
+      if (i % 3 == 0) ranks = ranks.localCheckpoint()
     }
-    ranks
+    // Materialize the final ranks so the invariant caches can be dropped
+    // without the caller's later action re-deriving the whole loop.
+    val out = ranks.localCheckpoint()
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    out
   }
 
   /** G2 — reverse-reachability flag: does any edge point at this vertex?

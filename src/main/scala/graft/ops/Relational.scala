@@ -76,6 +76,26 @@ object Relational {
         aggregate(col("ec"), lit(0L), (acc, x) => acc + x.getField("cnt")).as("n_obs"))
   }
 
+  /** A1 in LONG form — one row per (alias, entity) with
+    * P(entity | alias) = cnt / total and the per-alias observation total.
+    * Same aggregation tree as [[aliasProbabilities]] (two-level map-side
+    * combinable hash agg; the window total is an integer sum, exact), but the
+    * output is all-scalar columns: this is the form the hash-compared
+    * correctness gate consumes — array-typed result columns are not sortable
+    * by the driver's pandas harness. The array form stays available for
+    * library users who want the reference's (entities[], probabilities[])
+    * shape. Output: (alias, entity, cnt, probability, n_obs).
+    */
+  def aliasProbabilitiesLong(df: DataFrame, alias: String, entity: String): DataFrame = {
+    val pairs = df.groupBy(col(alias).as("alias"), col(entity).as("entity"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("alias"))
+    pairs.select(
+      col("alias"), col("entity"), col("cnt"),
+      (col("cnt").cast("double") / sum(col("cnt")).over(w)).as("probability"),
+      sum(col("cnt")).over(w).as("n_obs"))
+  }
+
   /** W1 — per-group top-k (reference: `doc._.phrases[:30]` per doc,
     * /root/reference/src/analysis.py:11). Rank-within-partition window; the
     * tie-break columns must make ordering total for deterministic output.

@@ -59,17 +59,30 @@ object Erkg {
   def suspiciousNetwork(s: SparkSession, d: String): DataFrame =
     GraphOps.kHop(entityEdges(s, d), seeds(s, d), 2)
 
-  /** Flagship: alias report over the network's suppliers — per part name
-    * ("alias"), which brands ("entities") supply it and with what
-    * probability, plus the observation count. */
-  def suspiciousAliasReport(s: SparkSession, d: String): DataFrame = {
+  /** Alias observations over the network's suppliers: every lineitem shipped
+    * by a 2-hop-network supplier, joined to its part (alias = p_name,
+    * entity = p_brand). The network id set is tiny → broadcast semi-side. */
+  def suspiciousAliasObs(s: SparkSession, d: String): DataFrame = {
     val supp = suspiciousNetwork(s, d)
       .filter(col("id") >= supplierOffset)
       .select((col("id") - supplierOffset).as("l_suppkey"))
-    val obs = Tables.lineitem(s, d)
+    Tables.lineitem(s, d)
       .join(broadcast(supp), Seq("l_suppkey"))
       .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
-    Relational.aliasProbabilities(obs, "p_name", "p_brand")
-      .orderBy(col("alias"))
   }
+
+  /** Flagship: alias report over the network's suppliers — per part name
+    * ("alias"), which brands ("entities") supply it and with what
+    * probability, plus the observation count (array form, the reference's
+    * (entities[], probabilities[]) shape). */
+  def suspiciousAliasReport(s: SparkSession, d: String): DataFrame =
+    Relational.aliasProbabilities(suspiciousAliasObs(s, d), "p_name", "p_brand")
+      .orderBy(col("alias"))
+
+  /** Flagship in LONG form — all-scalar columns for the hash-compared
+    * correctness gate (array columns are unsortable by the driver's pandas
+    * harness). One row per (alias, entity). */
+  def suspiciousAliasReportLong(s: SparkSession, d: String): DataFrame =
+    Relational.aliasProbabilitiesLong(suspiciousAliasObs(s, d), "p_name", "p_brand")
+      .orderBy(col("alias"), col("entity"))
 }

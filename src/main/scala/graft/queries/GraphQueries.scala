@@ -61,9 +61,10 @@ object GraphQueries {
       GraphOps.hasRef(verts, e, "id").orderBy(col("id"))
     }),
 
-    // Flagship — suspicious-network alias report (J2+G3-G6+F4+A1).
+    // Flagship — suspicious-network alias report (J2+G3-G6+F4+A1), long form
+    // (scalar columns for the hash gate; array form = suspiciousAliasReport).
     "q17_suspicious_aliases" -> ((s, d) =>
-      Erkg.suspiciousAliasReport(s, d)),
+      Erkg.suspiciousAliasReportLong(s, d)),
 
     // Motif query — (a)-[]->(s)<-[]-(b): customer pairs sharing ≥2 suppliers.
     // GraphFrames is not on the classpath (BASELINE.md); motif finding is a
@@ -159,16 +160,10 @@ object GraphQueries {
          |  FROM lineitem
          |  JOIN supp USING (l_suppkey)
          |  JOIN part ON l_partkey = p_partkey
-         |  GROUP BY 1, 2),
-         |ag AS (
-         |  SELECT alias,
-         |    list(entity ORDER BY entity, cnt) AS entities,
-         |    list(cnt ORDER BY entity, cnt) AS cnts,
-         |    SUM(cnt) AS total
-         |  FROM obs GROUP BY alias)
-         |SELECT alias, entities,
-         |  list_transform(cnts, c -> CAST(c AS DOUBLE) / total) AS probabilities,
-         |  CAST(total AS BIGINT) AS n_obs
-         |FROM ag ORDER BY alias""".stripMargin
+         |  GROUP BY 1, 2)
+         |SELECT alias, entity, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY alias) AS BIGINT) AS probability,
+         |  CAST(SUM(cnt) OVER (PARTITION BY alias) AS BIGINT) AS n_obs
+         |FROM obs ORDER BY alias, entity""".stripMargin
   )
 }

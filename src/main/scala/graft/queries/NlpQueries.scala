@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.text.{EntityLinking, TextOps, TextRank}
+import graft.text.{EntityLinking, FuzzyMatch, TextOps, TextRank}
 
 /** Entity-linking + keyphrase queries (SURVEY.md §2 V2-V6, W3) — the
   * reference's flagship NLP surface instantiated on the test tables:
@@ -38,8 +38,11 @@ object NlpQueries {
 
   /** Context vectors: doc_id → embeddings[doc_id % nvec]; entity vectors:
     * p_partkey → embeddings[p_partkey % nvec] (nvec computed, not assumed —
-    * documents and embeddings scale differently across SFs). */
-  private def linked(s: SparkSession, d: String): DataFrame = {
+    * documents and embeddings scale differently across SFs). Disambiguation
+    * scores with the NATIVE codegen cosine (bit-identical to the HOF fold by
+    * CosineSpec, ~30× faster) over distinct (doc_id, entity) pairs. */
+  private def linkedFrom(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, d)
     val nv = broadcast(e.agg(count(lit(1)).as("nvec")))
     val docVecs = Tables.documents(s, d).select(col("doc_id"))
@@ -50,8 +53,12 @@ object NlpQueries {
       .crossJoin(nv).withColumn("vid", col("entity") % col("nvec"))
       .join(e.select(col("vec_id").as("vid"), col("embedding").as("ent_emb")), "vid")
       .select(col("entity"), col("ent_emb"))
-    EntityLinking.disambiguate(candidates(s, d), docVecs, entVecs)
+    EntityLinking.disambiguate(cand, docVecs, entVecs,
+      (a, b) => call_function("cosine_sim", a, b))
   }
+
+  private def linked(s: SparkSession, d: String): DataFrame =
+    linkedFrom(s, d, candidates(s, d))
 
   private def docTokens(s: SparkSession, d: String): DataFrame =
     EntityLinking.tokenStream(Tables.documents(s, d), "doc_id", "text")
@@ -84,14 +91,63 @@ object NlpQueries {
     }),
 
     // V6 — EL review report: top phrases per doc + linked-mention flag.
+    // The token stream is tokenized ONCE (cached) and feeds both branches —
+    // TextRank's co-occurrence graph and the gazetteer mention join.
     "q36_el_report" -> ((s, d) => {
-      val phrases = TextRank.topPhrases(docTokens(s, d), trWindow, trIters, trK)
-      val links = linked(s, d).select(col("doc_id"), col("token")).distinct()
+      val toks = docTokens(s, d).cache()
+      val phrases = TextRank.topPhrases(toks, trWindow, trIters, trK)
+      val cand = EntityLinking.mentionCandidatesFromTokens(toks, gaz(s, d))
+      val links = linkedFrom(s, d, cand).select(col("doc_id"), col("token")).distinct()
         .withColumn("is_linked", lit(true))
       phrases.join(links, Seq("doc_id", "token"), "left")
         .select(col("doc_id"), col("token").as("phrase"),
           col("rank").as("phrase_rank"), col("rn"),
           coalesce(col("is_linked"), lit(false)).as("is_linked"))
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
+    // V2 (fuzzy form) — the reference's tantivy fuzzy candidate search
+    // (dev.ipynb cells 70-72): document tokens matched to part-name alias
+    // surface forms within 2 edits, rare-bigram blocking + levenshtein
+    // verify, top-5 candidates per token.
+    "q46_fuzzy_candidates" -> ((s, d) => {
+      val probes = EntityLinking.tokenStream(Tables.documents(s, d), "doc_id", "text")
+        .select(col("token"))
+      val aliases = Tables.part(s, d)
+        .select(explode(TextOps.tokens(col("p_name"))).as("alias"))
+      FuzzyMatch.fuzzyCandidates(probes, aliases, maxDist = 2, blockK = 2, topK = 5)
+        .orderBy(col("token"), col("rn"))
+    }),
+
+    // V4 (phrase form) — doc._.phrases semantics: spans of 1..3 tokens
+    // ranked by aggregated member-token TextRank, with occurrence counts,
+    // top-30 per doc (the reference's [:30], analysis.py:11).
+    "q47_phrase_rank" -> ((s, d) =>
+      TextRank.topPhraseSpans(Tables.documents(s, d), docTokens(s, d),
+          maxN = 3, trWindow, trIters, k = 30)
+        .orderBy(col("doc_id"), col("rn"))),
+
+    // V5 (global form) — gazetteer phrase matching under the EntityRuler's
+    // GLOBAL longest-match overlap pruning (dominance anti-join), vs q45's
+    // same-start-only resolution.
+    "q48_global_spans" -> ((s, d) => {
+      val spans = EntityLinking.ngramSpans(Tables.documents(s, d), 3).cache()
+      val gaz = EntityLinking.phraseGazetteer(spans, 30)
+      EntityLinking.phraseMentionsGlobal(spans, gaz)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // F5 (literal form) — the reference's review report: phrases that did
+    // NOT link (text.notnull() & kb_id == "", analysis.py:35), per-doc
+    // top-30 cap, original ranks preserved.
+    "q49_unlinked_review" -> ((s, d) => {
+      val toks = docTokens(s, d).cache()
+      val phrases = TextRank.topPhrases(toks, trWindow, trIters, 30)
+      val cand = EntityLinking.mentionCandidatesFromTokens(toks, gaz(s, d))
+      val links = linkedFrom(s, d, cand).select(col("doc_id"), col("token")).distinct()
+      phrases.join(links, Seq("doc_id", "token"), "left_anti")
+        .select(col("doc_id"), col("token").as("phrase"),
+          col("rank").as("phrase_rank"), col("rn"))
         .orderBy(col("doc_id"), col("rn"))
     }))
 
@@ -154,9 +210,30 @@ object NlpQueries {
        |      ORDER BY score DESC, entity ASC) AS lrn FROM sc) t
        |  WHERE lrn = 1)""".stripMargin
 
+  /** spans(doc_id, len, surface, pos): all 1..3-token n-gram spans —
+    * mirrors EntityLinking.ngramSpans(docs, 3). */
+  private val spansCte =
+    s"""spans AS (
+       |  SELECT doc_id, n AS len,
+       |    unnest([array_to_string(w[i:i+n-1], ' ')
+       |            for i in range(1, len(w) - n + 2)]) AS surface,
+       |    unnest(range(0, greatest(len(w) - n + 1, 0))) AS pos
+       |  FROM (SELECT doc_id, ${toksSql("text")} AS w FROM documents) t
+       |  CROSS JOIN range(1, 4) ns(n))""".stripMargin
+
+  /** gz(surface, len, entity): top-30-per-length collocation phrase
+    * gazetteer — mirrors EntityLinking.phraseGazetteer(spans, 30). */
+  private val phraseGazCte =
+    s"""g0 AS (SELECT surface, len, COUNT(*) AS freq FROM spans GROUP BY 1, 2),
+       |g1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY len
+       |         ORDER BY freq DESC, surface ASC) AS rn FROM g0),
+       |gz AS (SELECT surface, len,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY len ASC, rn ASC) AS INTEGER) AS entity
+       |       FROM g1 WHERE rn <= 30)""".stripMargin
+
   /** Unrolled fixed-iteration PageRank over the co-occurrence graph,
-    * terminal CTE `topk(doc_id, token, "rank", rn)`. */
-  private val textrankCtes: String = {
+    * terminal CTE `topk(doc_id, token, "rank", rn)` capped at `topN`. */
+  private def textrankCtes(topN: Int): String = {
     val head =
       s"""nodes AS (SELECT DISTINCT doc_id, token FROM tok),
          |nn AS (SELECT doc_id, COUNT(*) AS n FROM nodes GROUP BY doc_id),
@@ -188,7 +265,7 @@ object NlpQueries {
          |  SELECT doc_id, token, "rank", CAST(rn AS INTEGER) AS rn FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
          |      ORDER BY "rank" DESC, token ASC) AS rn FROM pr$trIters) t
-         |  WHERE rn <= $trK)""".stripMargin
+         |  WHERE rn <= $topN)""".stripMargin
     (head +: iters :+ topk).mkString(",\n")
   }
 
@@ -207,19 +284,8 @@ object NlpQueries {
          |SELECT doc_id, pos, token, entity, prior, score FROM links
          |ORDER BY doc_id, pos""".stripMargin,
     "q45_phrase_mentions" ->
-      s"""WITH spans AS (
-         |  SELECT doc_id, n AS len,
-         |    unnest([array_to_string(w[i:i+n-1], ' ')
-         |            for i in range(1, len(w) - n + 2)]) AS surface,
-         |    unnest(range(0, greatest(len(w) - n + 1, 0))) AS pos
-         |  FROM (SELECT doc_id, ${toksSql("text")} AS w FROM documents) t
-         |  CROSS JOIN range(1, 4) ns(n)),
-         |g0 AS (SELECT surface, len, COUNT(*) AS freq FROM spans GROUP BY 1, 2),
-         |g1 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY len
-         |         ORDER BY freq DESC, surface ASC) AS rn FROM g0),
-         |gz AS (SELECT surface, len,
-         |         CAST(ROW_NUMBER() OVER (ORDER BY len ASC, rn ASC) AS INTEGER) AS entity
-         |       FROM g1 WHERE rn <= 30),
+      s"""WITH $spansCte,
+         |$phraseGazCte,
          |m AS (
          |  SELECT s.doc_id, s.pos, s.surface, s.len, g.entity,
          |    ROW_NUMBER() OVER (PARTITION BY s.doc_id, s.pos
@@ -230,19 +296,87 @@ object NlpQueries {
          |FROM m WHERE mrn = 1 ORDER BY doc_id, pos""".stripMargin,
     "q35_textrank" ->
       s"""WITH $tokCte,
-         |$textrankCtes
+         |${textrankCtes(trK)}
          |SELECT doc_id, token, "rank", rn FROM topk ORDER BY doc_id, rn""".stripMargin,
     "q36_el_report" ->
       s"""WITH $tokCte,
          |$gazCte,
          |$candCte,
          |$linkCte,
-         |$textrankCtes
+         |${textrankCtes(trK)}
          |SELECT p.doc_id, p.token AS phrase, p."rank" AS phrase_rank, p.rn,
          |  (l.doc_id IS NOT NULL) AS is_linked
          |FROM topk p
          |LEFT JOIN (SELECT DISTINCT doc_id, token FROM links) l
          |  ON l.doc_id = p.doc_id AND l.token = p.token
+         |ORDER BY p.doc_id, p.rn""".stripMargin,
+    "q46_fuzzy_candidates" ->
+      s"""WITH dt AS (SELECT DISTINCT unnest(${toksSql("text")}) AS token FROM documents),
+         |al AS (SELECT DISTINCT unnest(${toksSql("p_name")}) AS alias FROM part),
+         |abg AS (SELECT alias,
+         |          unnest(list_distinct([alias[i:i+1] for i in range(1, len(alias))])) AS bg
+         |        FROM al),
+         |bgf AS (SELECT bg, COUNT(*) AS freq FROM abg GROUP BY bg),
+         |tbg AS (SELECT token,
+         |          unnest(list_distinct([token[i:i+1] for i in range(1, len(token))])) AS bg
+         |        FROM dt),
+         |keys AS (SELECT token, bg FROM (
+         |    SELECT t.token, t.bg, ROW_NUMBER() OVER (PARTITION BY t.token
+         |      ORDER BY f.freq ASC, t.bg ASC) AS krn
+         |    FROM tbg t JOIN bgf f USING (bg)) k
+         |  WHERE krn <= 2),
+         |cand AS (SELECT DISTINCT k.token, a.alias FROM keys k JOIN abg a USING (bg)),
+         |ver AS (SELECT token, alias, levenshtein(token, alias) AS dist FROM cand
+         |        WHERE abs(len(token) - len(alias)) <= 2
+         |          AND levenshtein(token, alias) <= 2)
+         |SELECT token, alias, CAST(dist AS INTEGER) AS dist, CAST(rn AS INTEGER) AS rn
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY token
+         |        ORDER BY dist ASC, alias ASC) AS rn FROM ver) t
+         |WHERE rn <= 5 ORDER BY token, rn""".stripMargin,
+    "q47_phrase_rank" ->
+      s"""WITH $tokCte,
+         |${textrankCtes(trK)},
+         |$spansCte,
+         |sc AS (SELECT doc_id, surface, len, COUNT(*) AS cnt
+         |       FROM spans GROUP BY 1, 2, 3),
+         |mem AS (SELECT doc_id, surface, len, cnt,
+         |          unnest(string_split(surface, ' ')) AS token
+         |        FROM sc),
+         |pj AS (
+         |  SELECT m.doc_id, m.surface, m.len, m.cnt,
+         |    CAST(SUM(CAST(floor(p."rank" * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 / m.len AS phrase_rank
+         |  FROM mem m JOIN pr$trIters p ON p.doc_id = m.doc_id AND p.token = m.token
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT doc_id, surface, CAST(len AS INTEGER) AS len,
+         |  CAST(cnt AS BIGINT) AS cnt, phrase_rank, CAST(prn AS INTEGER) AS rn
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |        ORDER BY phrase_rank DESC, surface ASC) AS prn FROM pj) t
+         |WHERE prn <= 30 ORDER BY doc_id, rn""".stripMargin,
+    "q48_global_spans" ->
+      s"""WITH $spansCte,
+         |$phraseGazCte,
+         |m AS (
+         |  SELECT s.doc_id, s.pos, s.surface, s.len, g.entity
+         |  FROM spans s JOIN gz g ON s.surface = g.surface)
+         |SELECT doc_id, CAST(pos AS INTEGER) AS pos, surface,
+         |  CAST(len AS INTEGER) AS len, entity
+         |FROM m s
+         |WHERE NOT EXISTS (SELECT 1 FROM m t
+         |  WHERE t.doc_id = s.doc_id
+         |    AND (t.len > s.len OR (t.len = s.len AND t.pos < s.pos))
+         |    AND t.pos <= s.pos + s.len - 1 AND s.pos <= t.pos + t.len - 1)
+         |ORDER BY doc_id, pos""".stripMargin,
+    "q49_unlinked_review" ->
+      s"""WITH $tokCte,
+         |$gazCte,
+         |$candCte,
+         |$linkCte,
+         |${textrankCtes(30)}
+         |SELECT p.doc_id, p.token AS phrase, p."rank" AS phrase_rank, p.rn
+         |FROM topk p
+         |LEFT JOIN (SELECT DISTINCT doc_id, token FROM links) l
+         |  ON l.doc_id = p.doc_id AND l.token = p.token
+         |WHERE l.doc_id IS NULL
          |ORDER BY p.doc_id, p.rn""".stripMargin
   )
 }

@@ -101,11 +101,13 @@ object RelationalQueries {
         .orderBy(col("p_partkey"))
     }),
 
-    // A1 — alias-probability aggregation: per part name (the "alias"), the
-    // sorted brands (the "entities") and P(brand | name) by count.
+    // A1 — alias-probability aggregation: per part name (the "alias"), each
+    // brand (the "entity") with P(brand | name) by count, in LONG form (one
+    // scalar row per pair — the gate's pandas sort cannot handle array
+    // columns; the array form is Relational.aliasProbabilities).
     "q07_alias_probabilities" -> ((s, d) => {
-      Relational.aliasProbabilities(Tables.part(s, d), "p_name", "p_brand")
-        .orderBy(col("alias"))
+      Relational.aliasProbabilitiesLong(Tables.part(s, d), "p_name", "p_brand")
+        .orderBy(col("alias"), col("entity"))
     }),
 
     // W1 — per-group top-k: top 3 orders by totalprice per customer.
@@ -237,17 +239,11 @@ object RelationalQueries {
     "q07_alias_probabilities" ->
       """WITH bc AS (
         |  SELECT p_name AS alias, p_brand AS entity, COUNT(*) AS cnt
-        |  FROM part GROUP BY 1, 2),
-        |ag AS (
-        |  SELECT alias,
-        |    list(entity ORDER BY entity, cnt) AS entities,
-        |    list(cnt ORDER BY entity, cnt) AS cnts,
-        |    SUM(cnt) AS total
-        |  FROM bc GROUP BY alias)
-        |SELECT alias, entities,
-        |  list_transform(cnts, c -> CAST(c AS DOUBLE) / total) AS probabilities,
-        |  CAST(total AS BIGINT) AS n_obs
-        |FROM ag ORDER BY alias""".stripMargin,
+        |  FROM part GROUP BY 1, 2)
+        |SELECT alias, entity, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY alias) AS BIGINT) AS probability,
+        |  CAST(SUM(cnt) OVER (PARTITION BY alias) AS BIGINT) AS n_obs
+        |FROM bc ORDER BY alias, entity""".stripMargin,
     "q08_topk_window" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

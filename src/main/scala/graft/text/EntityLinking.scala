@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -50,7 +50,13 @@ object EntityLinking {
     * the token stream. Output: (doc_id, pos, token, entity, prior) — one row
     * per candidate per mention. */
   def mentionCandidates(docs: DataFrame, gaz: DataFrame): DataFrame =
-    tokenStream(docs, "doc_id", "text")
+    mentionCandidatesFromTokens(tokenStream(docs, "doc_id", "text"), gaz)
+
+  /** [[mentionCandidates]] over a pre-built (possibly cached) token stream —
+    * lets a multi-branch query (e.g. the EL review report) tokenize once and
+    * feed both the mention join and TextRank from the same cached table. */
+  def mentionCandidatesFromTokens(tokens: DataFrame, gaz: DataFrame): DataFrame =
+    tokens
       .join(broadcast(gaz), col("token") === col("alias"))
       .select(col("doc_id"), col("pos"), col("token"), col("entity"), col("prior"))
 
@@ -98,17 +104,57 @@ object EntityLinking {
       .filter(col("mrn") === 1)
       .select(col("doc_id"), col("pos"), col("surface"), col("len"), col("entity"))
 
+  /** V5 with GLOBAL longest-match overlap pruning — the EntityRuler rule
+    * (/root/reference/dev.ipynb cells 112-116) in relational form: a matched
+    * span survives iff NO other matched span in its doc DOMINATES it, where
+    * t dominates s when t overlaps s and t is longer (ties: earlier start).
+    * spaCy's filter_spans is a sequential greedy sweep over that same
+    * ordering; the dominance rule is its order-independent relational
+    * counterpart and agrees with it except on suppression chains (a span
+    * beaten only by spans that were themselves beaten), which
+    * EntityLinkingSpec pins with a hand-built doc.
+    *
+    * The anti-join is an equi-join on doc_id with range predicates — matched
+    * spans per doc are few (gazetteer hits only), so the per-doc comparison
+    * set stays small at any corpus size.
+    * Output: (doc_id, pos, surface, len, entity). */
+  def phraseMentionsGlobal(spans: DataFrame, gaz: DataFrame): DataFrame = {
+    val m = spans
+      .join(broadcast(gaz.select(col("surface"), col("entity"))), Seq("surface"))
+      .select(col("doc_id"), col("pos"), col("len"), col("surface"), col("entity"))
+    m.as("s").join(m.as("t"),
+        col("t.doc_id") === col("s.doc_id") &&
+        (col("t.len") > col("s.len") ||
+          (col("t.len") === col("s.len") && col("t.pos") < col("s.pos"))) &&
+        col("t.pos") <= col("s.pos") + col("s.len") - 1 &&
+        col("s.pos") <= col("t.pos") + col("t.len") - 1,
+        "left_anti")
+      .select(col("doc_id"), col("pos"), col("surface"), col("len"), col("entity"))
+  }
+
   /** V3/W3 — disambiguation: score = prior × cosine(context embedding,
     * entity embedding), argmax per mention (ties → lower entity id).
     * `docVecs`: (doc_id, ctx_emb); `entVecs`: (entity, ent_emb).
+    *
+    * The cosine depends only on (doc_id, entity), not on the mention
+    * position, so it is computed once per DISTINCT pair and joined back to
+    * the mention fan-out — a popular alias appearing 50× in a doc costs one
+    * cosine, not 50. `cosineFn` swaps the portable HOF fold for the native
+    * codegen expression ([[graft.functions.CosineSimilarity]]), bit-identical
+    * by spec, ~30× faster.
+    *
     * Output: (doc_id, pos, token, entity, prior, score). */
   def disambiguate(candidates: DataFrame, docVecs: DataFrame,
-                   entVecs: DataFrame): DataFrame = {
-    val scored = candidates
+                   entVecs: DataFrame,
+                   cosineFn: (Column, Column) => Column = VectorOps.cosine): DataFrame = {
+    val pairCos = candidates.select(col("doc_id"), col("entity")).distinct()
       .join(docVecs, Seq("doc_id"))
       .join(entVecs, Seq("entity"))
-      .withColumn("score",
-        col("prior") * VectorOps.cosine(col("ctx_emb"), col("ent_emb")))
+      .select(col("doc_id"), col("entity"),
+        cosineFn(col("ctx_emb"), col("ent_emb")).as("ctx_cos"))
+    val scored = candidates
+      .join(pairCos, Seq("doc_id", "entity"))
+      .withColumn("score", col("prior") * col("ctx_cos"))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id"), col("pos"))

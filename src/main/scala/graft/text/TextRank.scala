@@ -92,4 +92,36 @@ object TextRank {
         Window.partitionBy(col("doc_id"))
           .orderBy(col("rank").desc, col("token").asc)))
       .filter(col("rn") <= k)
+
+  /** V4 PHRASE form — the reference's `doc._.phrases` semantics
+    * (/root/reference/src/analysis.py:14-15): multi-word spans ranked by
+    * aggregating member-token TextRank scores, with occurrence counts, top-k
+    * per doc (the reference caps at `[:30]`, analysis.py:11).
+    *
+    * For each distinct surface of 1..maxN tokens in a doc:
+    *   phrase_rank = (Σ member-token rank) / n_tokens
+    *   cnt         = occurrences of that surface in the doc
+    * The rank sum is FIXED-POINT (floor to 1e-15 → BIGINT sum) like every
+    * other float aggregation crossing a shuffle — partition-order-exact,
+    * reproducible in DuckDB.
+    *
+    * Output: (doc_id, surface, len, cnt, phrase_rank, rn). */
+  def topPhraseSpans(docs: DataFrame, tokens: DataFrame, maxN: Int,
+                     window: Int, iterations: Int, k: Int): DataFrame = {
+    val ranks = pageRank(tokens, window, iterations)
+    val spanCounts = EntityLinking.ngramSpans(docs, maxN)
+      .groupBy(col("doc_id"), col("surface"), col("len"))
+      .agg(count(lit(1)).as("cnt"))
+    val members = spanCounts.select(
+      col("doc_id"), col("surface"), col("len"), col("cnt"),
+      explode(split(col("surface"), " ")).as("token"))
+    members.join(ranks, Seq("doc_id", "token"))
+      .groupBy(col("doc_id"), col("surface"), col("len"), col("cnt"))
+      .agg(((sum(floor(col("rank") * lit(1e15))).cast("double") / lit(1e15))
+        / col("len")).as("phrase_rank"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("phrase_rank").desc, col("surface").asc)))
+      .filter(col("rn") <= k)
+  }
 }

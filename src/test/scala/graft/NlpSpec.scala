@@ -56,4 +56,66 @@ class NlpSpec extends SparkSuite {
     val d0 = pr.filter(col("doc_id") === 0).orderBy(col("rank").desc).collect()
     assert(Set("red", "widget").contains(d0.head.getString(1)))
   }
+
+  test("global overlap pruning keeps dominant spans only (EntityRuler rule)") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "a b c d e")).toDF("doc_id", "text")
+    val gaz = Seq(("a b c", 1), ("c d", 2), ("e", 3)).toDF("surface", "entity")
+    val spans = EntityLinking.ngramSpans(d, 3)
+    val kept = EntityLinking.phraseMentionsGlobal(spans, gaz)
+      .select("surface", "pos").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    // "a b c" wins; "c d" overlaps a longer span → pruned (spaCy's
+    // filter_spans agrees: it keeps "a b c", drops "c d", keeps "e")
+    assert(kept == Set(("a b c", 0), ("e", 4)))
+  }
+
+  test("global pruning dominance rule on suppression chains (documented divergence)") {
+    val s = spark
+    import s.implicits._
+    // "c d" is itself suppressed by "a b c", yet still dominates "d":
+    // greedy filter_spans would KEEP "d"; the order-independent dominance
+    // rule drops it. This is the one shape where the two differ.
+    val d = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val gaz = Seq(("a b c", 1), ("c d", 2), ("d", 3)).toDF("surface", "entity")
+    val spans = EntityLinking.ngramSpans(d, 3)
+    val kept = EntityLinking.phraseMentionsGlobal(spans, gaz)
+      .select("surface").collect().map(_.getString(0)).toSet
+    assert(kept == Set("a b c"))
+  }
+
+  test("same-start resolution (q45 semantics) vs global pruning differ as designed") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val gaz = Seq(("a b", 1), ("b c", 2)).toDF("surface", "entity")
+    val spans = EntityLinking.ngramSpans(d, 3)
+    // same-start: "a b"@0 and "b c"@1 start differently → both kept
+    val perStart = EntityLinking.phraseMentions(spans,
+        gaz.withColumn("len", lit(2)).withColumn("freq", lit(1L)))
+      .select("surface").collect().map(_.getString(0)).toSet
+    assert(perStart == Set("a b", "b c"))
+    // global: "b c" overlaps the equal-length earlier-start "a b" → pruned
+    val global = EntityLinking.phraseMentionsGlobal(spans, gaz)
+      .select("surface").collect().map(_.getString(0)).toSet
+    assert(global == Set("a b"))
+  }
+
+  test("phrase-level TextRank aggregates member-token ranks with counts") {
+    val toks = EntityLinking.tokenStream(docs, "doc_id", "text")
+    val pr = TextRank.pageRank(toks, 2, 4)
+    val ranks = pr.filter(col("doc_id") === 0).collect()
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    val phrases = TextRank.topPhraseSpans(docs, toks, 2, 2, 4, 50)
+      .filter(col("doc_id") === 0).collect()
+      .map(r => (r.getString(1), (r.getInt(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // "red widget" occurs twice in doc 0; rank = mean of member ranks
+    val (len, cnt, rank) = phrases("red widget")
+    assert(len == 2 && cnt == 2)
+    val expected = (math.floor(ranks("red") * 1e15) + math.floor(ranks("widget") * 1e15)) / 1e15 / 2
+    assert(math.abs(rank - expected) < 1e-12)
+    // single-token span count matches token frequency
+    assert(phrases("red")._2 == 2L)
+  }
 }
