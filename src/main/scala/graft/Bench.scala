@@ -6,6 +6,13 @@ import org.apache.spark.sql.SparkSession
   * first (JIT + whole-stage-codegen compilation dominate cold numbers on
   * this suite — cold-vs-warm varies 2× run to run), then the timed pass.
   * Set SPARK_GRAFT_WARMUP=0 to time the cold pass instead.
+  *
+  * The timed action is a `noop`-format WRITE, not count(): under a count
+  * Catalyst eliminates final sorts and prunes the project (EliminateSorts
+  * below an aggregate), flattering ordered queries — the noop sink executes
+  * the full result plan while discarding rows. A query that throws is
+  * reported as time -1 and listed in "errors" instead of masquerading as a
+  * fast success.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -18,9 +25,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def runFull(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     if (warmup) {
       SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        try { runFull(fn) } catch { case _: Throwable => }
       }
       // drop caches populated by the warm-up so the timed pass measures the
       // real plans (cache() inside queries would otherwise alias by logical
@@ -29,13 +38,15 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { runFull(fn); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

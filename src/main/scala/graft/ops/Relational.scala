@@ -23,9 +23,12 @@ object Relational {
   def keepNotMatching(c: Column, patterns: Seq[String]): Column =
     !lower(trim(c)).rlike(patterns.mkString("(", ")|(", ")"))
 
-  /** The reference's bearer-share pseudo-name blacklist, behaviorally
-    * (accept/reject pairs recorded in FIXTURES.md A6). Case handled by
-    * `keepNotMatching`'s lower().
+  /** A REDUCED demo blacklist covering the FIXTURES.md A6 accept/reject
+    * pairs only — NOT reference-parity: it accepts names the reference
+    * rejects (e.g. "bearer warrant", "al portador"). The reference-exact
+    * 17-pattern list lives in [[graft.sources.Senzing.bearerPatterns]]; use
+    * that wherever parity with the reference's filter matters. Case handled
+    * by `keepNotMatching`'s lower().
     */
   val bearerPatterns: Seq[String] = Seq(
     "^(the )?bearer$",

@@ -100,6 +100,11 @@ object EventQueries {
         |         event_type, value
         |  FROM events) t
         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    // Boundary semantics: Spark's session_window MERGES an event landing
+    // EXACTLY gap after its predecessor (the [ts, ts+gap) window's end is
+    // treated as inclusive for merging) — so the oracle's new-session
+    // predicate is strictly >, and EventSpec "session window boundary" pins
+    // this with 30:00-spaced rows.
     "q31_session_window" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,

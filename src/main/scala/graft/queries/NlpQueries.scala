@@ -90,18 +90,28 @@ object NlpQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
-    // V6 — EL review report: top phrases per doc + linked-mention flag.
+    // V6 — EL review report, PHRASE form (the reference's doc._.phrases +
+    // entity-link join, analysis.py:10-35): top multi-word phrases per doc,
+    // is_linked = any member token of the phrase is a disambiguated mention.
     // The token stream is tokenized ONCE (cached) and feeds both branches —
-    // TextRank's co-occurrence graph and the gazetteer mention join.
+    // TextRank's co-occurrence graph and the gazetteer mention join; the
+    // member-token explode for the link check runs on the TOP-K phrases only
+    // (k·docs rows), never the full span table.
     "q36_el_report" -> ((s, d) => {
       val toks = docTokens(s, d).cache()
-      val phrases = TextRank.topPhrases(toks, trWindow, trIters, trK)
+      val phrases = TextRank.topPhraseSpans(Tables.documents(s, d), toks,
+        3, trWindow, trIters, trK)
       val cand = EntityLinking.mentionCandidatesFromTokens(toks, gaz(s, d))
       val links = linkedFrom(s, d, cand).select(col("doc_id"), col("token")).distinct()
+      val linkedPhr = phrases
+        .select(col("doc_id"), col("surface"),
+          explode(split(col("surface"), " ")).as("token"))
+        .join(links, Seq("doc_id", "token"))
+        .select(col("doc_id"), col("surface")).distinct()
         .withColumn("is_linked", lit(true))
-      phrases.join(links, Seq("doc_id", "token"), "left")
-        .select(col("doc_id"), col("token").as("phrase"),
-          col("rank").as("phrase_rank"), col("rn"),
+      phrases.join(linkedPhr, Seq("doc_id", "surface"), "left")
+        .select(col("doc_id"), col("surface").as("phrase"), col("len"),
+          col("cnt"), col("phrase_rank"), col("rn"),
           coalesce(col("is_linked"), lit(false)).as("is_linked"))
         .orderBy(col("doc_id"), col("rn"))
     }),
@@ -303,13 +313,33 @@ object NlpQueries {
          |$gazCte,
          |$candCte,
          |$linkCte,
-         |${textrankCtes(trK)}
-         |SELECT p.doc_id, p.token AS phrase, p."rank" AS phrase_rank, p.rn,
-         |  (l.doc_id IS NOT NULL) AS is_linked
-         |FROM topk p
-         |LEFT JOIN (SELECT DISTINCT doc_id, token FROM links) l
-         |  ON l.doc_id = p.doc_id AND l.token = p.token
-         |ORDER BY p.doc_id, p.rn""".stripMargin,
+         |${textrankCtes(trK)},
+         |$spansCte,
+         |psc AS (SELECT doc_id, surface, len, COUNT(*) AS cnt
+         |        FROM spans GROUP BY 1, 2, 3),
+         |pmem AS (SELECT doc_id, surface, len, cnt,
+         |           unnest(string_split(surface, ' ')) AS token
+         |         FROM psc),
+         |pj AS (
+         |  SELECT m.doc_id, m.surface, m.len, m.cnt,
+         |    CAST(SUM(CAST(floor(p."rank" * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 / m.len AS phrase_rank
+         |  FROM pmem m JOIN pr$trIters p ON p.doc_id = m.doc_id AND p.token = m.token
+         |  GROUP BY 1, 2, 3, 4),
+         |tpk AS (SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY phrase_rank DESC, surface ASC) AS prn FROM pj) t
+         |  WHERE prn <= $trK),
+         |tm AS (SELECT doc_id, surface,
+         |         unnest(string_split(surface, ' ')) AS token FROM tpk),
+         |lp AS (SELECT DISTINCT tm.doc_id, tm.surface
+         |       FROM tm JOIN (SELECT DISTINCT doc_id, token FROM links) l
+         |         ON l.doc_id = tm.doc_id AND l.token = tm.token)
+         |SELECT t.doc_id, t.surface AS phrase, CAST(t.len AS INTEGER) AS len,
+         |  CAST(t.cnt AS BIGINT) AS cnt, t.phrase_rank, CAST(t.prn AS INTEGER) AS rn,
+         |  (lp.surface IS NOT NULL) AS is_linked
+         |FROM tpk t
+         |LEFT JOIN lp ON lp.doc_id = t.doc_id AND lp.surface = t.surface
+         |ORDER BY t.doc_id, rn""".stripMargin,
     "q46_fuzzy_candidates" ->
       s"""WITH dt AS (SELECT DISTINCT unnest(${toksSql("text")}) AS token FROM documents),
          |al AS (SELECT DISTINCT unnest(${toksSql("p_name")}) AS alias FROM part),

@@ -40,7 +40,8 @@ object VectorOps {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  /** Cosine similarity = dot / (|a|·|b|); 0-norm inputs yield null (0/0). */
+  /** Cosine similarity = dot / (|a|·|b|); 0-norm inputs yield NaN (0/0 in
+    * double division), matching [[graft.functions.CosineSimilarity]]. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 

@@ -56,4 +56,18 @@ class EventSpec extends SparkSuite {
     assert(out(0).getLong(3) == 2 && out(0).getDouble(4) == 3.0)
     assert(out(1).getLong(3) == 1 && out(1).getDouble(4) == 3.0)
   }
+
+  test("session window boundary: events EXACTLY gap apart MERGE into one session") {
+    val s = spark
+    import s.implicits._
+    // An event at 00:30 merges into the session opened at 00:00 with a
+    // 30-minute gap (Spark treats the window end as inclusive for merging).
+    // The q31 DuckDB oracle mirrors this with a strict > new-session
+    // predicate; if this assertion ever flips on a Spark upgrade, the oracle
+    // must flip to >= with it.
+    val ev = Seq((1L, ts(0), 1.0), (1L, ts(30), 2.0)).toDF("user_id", "ts", "value")
+    val out = EventOps.sessionAgg(ev, "30 minutes").collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(3) == 2 && out.head.getTimestamp(2) == ts(60))
+  }
 }

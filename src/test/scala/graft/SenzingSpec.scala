@@ -150,6 +150,63 @@ class SenzingSpec extends SparkSuite {
     assert(!hr(3L)) // no records, never referenced
   }
 
+  test("end-to-end CLI flow: export → KB → graph → seeds → 2-hop closure → alias report") {
+    // The reference's full command-line journey (senzing_pipeline.py main +
+    // analysis seeds→2-hop) on one synthetic export: a 1-2-3-4-5 chain, a
+    // 6-7 island, an isolated 8. Seeds {Node One, Node Six} must close to
+    // exactly {1,2,3} ∪ {6,7} at radius 2, and the closure's alias report
+    // must split the shared "Shadow Ltd" record alias 50/50.
+    val dir = Files.createTempDirectory("senzing_e2e").toFile
+    def ent(id: Long, name: String, rels: Seq[Long], desc: String, iid: Long) =
+      s"""{"RESOLVED_ENTITY": {"ENTITY_ID": $id, "ENTITY_NAME": "$name",
+         |"FEATURES": {${feat("NAME", name)}, ${feat("RECORD_TYPE", "ORGANIZATION")}},
+         |"RECORDS": [{"DATA_SOURCE": "icij", "RECORD_ID": "r$id", "MATCH_KEY": "NAME", "ENTITY_DESC": "$desc", "INTERNAL_ID": $iid}]},
+         |"RELATED_ENTITIES": [${rels.map(r =>
+             s"""{"ENTITY_ID": $r, "MATCH_LEVEL_CODE": "POSSIBLY_SAME"}""").mkString(", ")}]}"""
+        .stripMargin.replace("\n", " ")
+    val lines = Seq(
+      ent(1, "Node One", Seq(2), "Node One", 101),
+      ent(2, "Node Two", Seq(3), "Shadow Ltd", 102),
+      ent(3, "Node Three", Seq(4), "Shadow Ltd", 103),
+      ent(4, "Node Four", Seq(5), "Node Four", 104),
+      ent(5, "Node Five", Seq(), "Node Five", 105),
+      ent(6, "Node Six", Seq(7), "Node Six", 106),
+      ent(7, "Node Seven", Seq(), "Node Seven", 107),
+      ent(8, "Node Eight", Seq(), "Node Eight", 108))
+    val ef = new java.io.File(dir, "export.jsonl")
+    Files.write(ef.toPath, String.join("\n", lines: _*).getBytes)
+    val sf = new java.io.File(dir, "suspicions.txt")
+    Files.write(sf.toPath, "Node One   \nNode Six\n".getBytes) // rtrim exercised
+
+    val raw2 = Senzing.readExport(spark, ef.getAbsolutePath)
+    val kb = Senzing.withSelfAliases(
+      Senzing.aliases(Senzing.aliasRecords(raw2)),
+      Senzing.entities(raw2, countries))
+    assert(kb.filter(col("alias") === "Shadow Ltd").count() == 1)
+
+    val edges = graft.graph.GraphOps.symmetrize(
+      Senzing.graphEdges(raw2).select(col("src"), col("dst")))
+    val seeds = Senzing.graphVertices(raw2)
+      .join(Senzing.readSuspicions(spark, sf.getAbsolutePath), Seq("name"))
+      .select(col("id"))
+    assert(seeds.count() == 2)
+    val closure = graft.graph.GraphOps.kHop(edges, seeds, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(closure == Set(1L, 2L, 3L, 6L, 7L))
+
+    val s = spark
+    import s.implicits._
+    val cids = closure.toSeq.toDF("cid")
+    val rawClosure = raw2
+      .join(cids, col("RESOLVED_ENTITY.ENTITY_ID") === col("cid")).drop("cid")
+    val rep = Senzing.aliases(
+      Senzing.aliasRecords(rawClosure, includePossiblyRelated = false))
+    val shadow = rep.filter(col("alias") === "Shadow Ltd").collect().head
+    assert(shadow.getSeq[String](1) == Seq("102", "103"))
+    assert(shadow.getSeq[Double](2) == Seq(0.5, 0.5))
+    assert(shadow.getLong(3) == 2L)
+  }
+
   test("jsonl round-trip: entities sink re-reads identically") {
     val dir = Files.createTempDirectory("sink").toFile.getAbsolutePath
     val ents = Senzing.entities(raw, countries)
