@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Senzing, SenzingFixture}
+
+/** ORACLE-BACKED Senzing-surface queries (SURVEY.md §2 F1/F2/F3/F6/F7 +
+  * S5): the harness testdata has no Senzing export, so each query first
+  * materializes the deterministic [[SenzingFixture]] JSONL and reads it back
+  * through the real [[Senzing.readExport]] scan; the DuckDB twin reads the
+  * SAME file via `read_json` with the equivalent explicit schema and
+  * re-derives the semantics in SQL. This upgrades the bearer blacklist, the
+  * type-inference CASE, the description synthesis, and the match-level alias
+  * predicate from spec-only coverage to full hash-gate coverage.
+  *
+  * All output columns are strings/longs — no float discipline needed.
+  */
+object SenzingQueries {
+
+  private def countriesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    SenzingFixture.countries.toDF("code", "country")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // F1+F2+F6+F7+J1 end-to-end: the entity KB off the fixture export.
+    "q50_senzing_entities" -> ((s, _) => {
+      val path = SenzingFixture.ensureWritten()
+      Senzing.entities(Senzing.readExport(s, path), countriesDf(s))
+        .orderBy(col("entity_id").cast("long"))
+    }),
+
+    // F3 + raw-keyed F6: record + match-level-filtered related aliases.
+    "q51_senzing_aliases" -> ((s, _) => {
+      val path = SenzingFixture.ensureWritten()
+      Senzing.aliasRecords(Senzing.readExport(s, path))
+        .orderBy(col("alias"), col("entity"), col("type"))
+    }))
+
+  // ---- DuckDB twins ---------------------------------------------------------
+
+  private val readJson =
+    s"""read_json('${SenzingFixture.path}', format='newline_delimited',
+       |  columns={'RESOLVED_ENTITY': 'STRUCT(ENTITY_ID BIGINT, ENTITY_NAME VARCHAR,
+       |    FEATURES MAP(VARCHAR, STRUCT(FEAT_DESC VARCHAR)[]),
+       |    RECORDS STRUCT(DATA_SOURCE VARCHAR, RECORD_ID VARCHAR, MATCH_KEY VARCHAR,
+       |      ENTITY_DESC VARCHAR, INTERNAL_ID BIGINT)[])',
+       |  'RELATED_ENTITIES': 'STRUCT(ENTITY_ID BIGINT, MATCH_LEVEL_CODE VARCHAR)[]'})""".stripMargin
+
+  /** The exact bearer alternation [[Senzing.bearerPatterns]] in RE2 form —
+    * byte-identical to the Spark rlike pattern (all constructs are common to
+    * Java regex and RE2). */
+  private val bearerAlternation =
+    Senzing.bearerPatterns.map(p => s"($p)").mkString("|")
+
+  /** `feat(features, K)`: first FEAT_DESC of key K, null when absent. */
+  private def featSql(k: String) = s"f['$k'][1][1].FEAT_DESC"
+
+  private def segSql(v: String, prefix: String) =
+    s"CASE WHEN $v IS NOT NULL AND $v <> '' THEN '$prefix' || $v ELSE '' END"
+
+  private val countryValues =
+    SenzingFixture.countries.map { case (c, n) => s"('$c', '$n')" }.mkString(", ")
+
+  def oracles: Map[String, String] = Map(
+    "q50_senzing_entities" ->
+      s"""WITH raw AS (
+         |  SELECT RESOLVED_ENTITY.ENTITY_ID AS eid, RESOLVED_ENTITY.FEATURES AS f
+         |  FROM $readJson),
+         |feats AS (
+         |  SELECT eid,
+         |    ${featSql("NAME")} AS name,
+         |    ${featSql("RECORD_TYPE")} AS rt,
+         |    ${featSql("ADDRESS")} AS address,
+         |    ${featSql("DUNS_NUMBER")} AS duns,
+         |    ${featSql("PHONE")} AS phone,
+         |    ${featSql("DOB")} AS dob,
+         |    ${featSql("GROUP_ASSOCIATION")} AS grp,
+         |    ${featSql("WEBSITE")} AS website,
+         |    trim(${featSql("COUNTRY_OF_ASSOCIATION")}) AS ccode,
+         |    len(f['NAME']) > 0 AS has_name,
+         |    len(f['DOB']) > 0 OR len(f['GROUP_ASSOCIATION']) > 0 AS dob_or_grp
+         |  FROM raw),
+         |base AS (
+         |  SELECT *, CASE WHEN rt = 'PERSON' THEN 'PER'
+         |                 WHEN rt = 'ORGANIZATION' THEN 'ORG'
+         |                 WHEN dob_or_grp THEN 'PER'
+         |                 ELSE 'ORG' END AS type
+         |  FROM feats
+         |  WHERE has_name AND name IS NOT NULL AND name <> ''
+         |    AND NOT regexp_matches(lower(trim(name)), '$bearerAlternation')),
+         |cj AS (
+         |  SELECT b.*, c.country FROM base b
+         |  LEFT JOIN (VALUES $countryValues) c(code, country) ON b.ccode = c.code)
+         |SELECT CAST(eid AS VARCHAR) AS entity_id, type, name,
+         |  CASE WHEN type = 'ORG' THEN
+         |    name || ${segSql("address", ", located at ")}
+         |         || ${segSql("duns", ", DUNS ")}
+         |         || ${segSql("phone", ", phone ")}
+         |         || ${segSql("country", ", in ")}
+         |         || ${segSql("website", ", website ")}
+         |  ELSE
+         |    name || ${segSql("dob", ", born ")}
+         |         || ${segSql("phone", ", phone ")}
+         |         || ${segSql("address", ", located at ")}
+         |         || ${segSql("grp", ", associated with ")}
+         |         || ${segSql("country", ", in ")}
+         |  END AS description
+         |FROM cj ORDER BY eid""".stripMargin,
+    "q51_senzing_aliases" ->
+      s"""WITH raw AS (
+         |  SELECT RESOLVED_ENTITY.ENTITY_NAME AS ename,
+         |    RESOLVED_ENTITY.FEATURES AS f,
+         |    RESOLVED_ENTITY.RECORDS AS recs,
+         |    RELATED_ENTITIES AS rels
+         |  FROM $readJson),
+         |named AS (
+         |  SELECT *, CASE WHEN len(f['DOB']) > 0 OR len(f['GROUP_ASSOCIATION']) > 0
+         |                 THEN 'PER' ELSE 'ORG' END AS type
+         |  FROM raw WHERE ename IS NOT NULL AND ename <> ''),
+         |fromrec AS (
+         |  SELECT (r).ENTITY_DESC AS alias, (r).INTERNAL_ID AS entity, type
+         |  FROM (SELECT unnest(recs) AS r, type FROM named) t),
+         |fromrel AS (
+         |  SELECT ename AS alias, (rel).ENTITY_ID AS entity, type
+         |  FROM (SELECT unnest(rels) AS rel, ename, type FROM named) t
+         |  WHERE (rel).MATCH_LEVEL_CODE IN ('POSSIBLY_SAME', 'RESOLVED', 'DISCLOSED'))
+         |SELECT alias, entity, type
+         |FROM (SELECT * FROM fromrec UNION ALL SELECT * FROM fromrel) u
+         |ORDER BY alias, entity, type""".stripMargin
+  )
+}
