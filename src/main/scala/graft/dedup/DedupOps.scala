@@ -154,6 +154,32 @@ object DedupOps {
     est.filter(col("est_jaccard") >= threshold)
   }
 
+  /** SimHash as a single per-row EXPRESSION over a token array — identical
+    * bits to the relational [[simhash]] (law-tested in DedupSpec): token
+    * hashes are materialized ONCE via an outer `transform` (binding the hash
+    * as a lambda VALUE — referencing the hash expression inside the fold
+    * would re-evaluate the md5 per bit, the nested-lambda CSE trap), then a
+    * fold accumulates the 32 signed bit counts and a second fold packs the
+    * sign vector into one long.
+    *
+    * Being pure expression work it needs NO shuffle — which makes it the
+    * near-dup key for STREAMING dedup, where the only stateful operator
+    * allowed is the dropDuplicates itself
+    * ([[graft.streaming.StreamOps.nearDupDedup]]). */
+  def simhashExpr(toks: Column): Column = {
+    val hs = transform(toks, t =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+    val bitIdx = sequence(lit(0), lit(31))
+    val counts = aggregate(hs, array_repeat(lit(0L), 32), (acc, h) =>
+      zip_with(acc, bitIdx, (cnt, b) =>
+        cnt + when(call_function("shiftright", h, b)
+          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(counts, bitIdx, (s, b) =>
+        when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
   /** SimHash (32-bit, md5-derived bit hashes) as a pure relational plan:
     * explode tokens → per-(doc, token) count → explode 32 bit positions →
     * signed contributions → per-(doc, bit) sum → pack bits into one long.

@@ -101,6 +101,42 @@ object StreamOps {
       }
   }
 
+  /** Watermarked STREAM-STREAM interval join: each left row pairs with the
+    * right rows of the same key whose timestamp falls in
+    * `[left.ts, left.ts + windowSec]` — the streaming twin of
+    * [[graft.events.EventOps.rangeCountJoin]]'s matching rule.
+    *
+    * Both sides carry a watermark and the join condition bounds the time
+    * range in BOTH directions, so Spark can GC each side's join state once
+    * the watermark passes the window — without the range bound the state
+    * grows forever. Output columns are prefixed l_/r_ to stay unambiguous.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   windowSec: Long, watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(keyCol).as("l_key") +: left.columns.filterNot(_ == keyCol)
+        .map(c => col(c).as(s"l_$c")).toSeq: _*)
+    val r = right.withWatermark("ts", watermark)
+      .select(col(keyCol).as("r_key") +: right.columns.filterNot(_ == keyCol)
+        .map(c => col(c).as(s"r_$c")).toSeq: _*)
+    l.join(r, col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .withColumnRenamed("l_key", keyCol).drop("r_key")
+  }
+
+  /** Streaming NEAR-duplicate dedup: the dedup key is the per-row SimHash
+    * expression ([[graft.dedup.DedupOps.simhashExpr]] — pure expression work,
+    * no shuffle, no aggregation), so `dropDuplicates` stays the query's ONLY
+    * stateful operator and its state is GC'd past the watermark. Documents
+    * whose token multisets hash to the same 32-bit SimHash (near-identical
+    * content) keep only the first arrival. */
+  def nearDupDedup(docs: DataFrame, textCol: String, watermark: String): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .withColumn("simhash",
+        graft.dedup.DedupOps.simhashExpr(graft.text.TextOps.tokens(col(textCol))))
+      .dropDuplicates("simhash")
+
   /** File-based streaming source over an events directory (parquet), for
     * production wiring; tests use MemoryStream instead. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =

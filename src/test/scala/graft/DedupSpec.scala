@@ -47,4 +47,14 @@ class DedupSpec extends SparkSuite {
     assert(h(0L) == h(2L))
     assert(h(0L) != h(3L))
   }
+
+  test("equality law: per-row simhashExpr == relational simhash") {
+    import org.apache.spark.sql.functions.col
+    val rel = DedupOps.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ex = docs.select(col("doc_id"),
+        DedupOps.simhashExpr(graft.text.TextOps.tokens(col("text"))).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ex == rel)
+  }
 }

@@ -61,6 +61,33 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("q08 window top-k gets Spark's native map-side partial top-k (WindowGroupLimit)") {
+    // Spark 4's InferWindowGroupLimit rewrites Filter(rn <= k, Window(row_number))
+    // into a partial WindowGroupLimit BELOW the shuffle + a final one above —
+    // each map task forwards at most k rows per group instead of all rows.
+    // This is why topKPerGroup stays a declarative window instead of a custom
+    // operator: the built-in already gives the scale plan we'd hand-write.
+    val p = plan("q08_topk_window")
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      "expected partial + final WindowGroupLimit nodes")
+  }
+
+  test("q46 fuzzy blocking joins broadcast the bigram-frequency index") {
+    val p = plan("q46_fuzzy_candidates")
+    assert(p.contains("BroadcastHashJoin"))
+    // the exact verify must appear as a plain filter on levenshtein, i.e.
+    // AFTER blocking — never a cartesian levenshtein over probes × aliases
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("levenshtein"))
+  }
+
+  test("q48 dominance pruning is an anti-join on doc_id, not a cartesian sweep") {
+    val p = plan("q48_global_spans")
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q21 dedup window input carries fingerprints, not document text") {
     val p = executedPlan("q21_fingerprint_dedup")
     // the exchange feeding the window partitions by fp_md5; text must have

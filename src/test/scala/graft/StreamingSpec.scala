@@ -13,6 +13,8 @@ import graft.streaming.StreamOps
 case class Raw(event_id: Long, ts: Timestamp, user_id: Long,
                event_type: String, value: Double)
 
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
 class StreamingSpec extends SparkSuite {
 
   private def ts(min: Int, sec: Int = 0): Timestamp =
@@ -83,6 +85,51 @@ class StreamingSpec extends SparkSuite {
       assert(u1.length == 1)
       assert(u1.head.n == 2 && u1.head.sum_value == 3.0)
       assert(u1.head.s_start == ts(1) && u1.head.s_end == ts(8))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs rows within the window, GCs by watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val errs = MemoryStream[Raw]
+    val clicks = MemoryStream[Raw]
+    val joined = StreamOps.intervalJoin(
+      errs.toDF().select(col("user_id"), col("ts"), col("event_id")),
+      clicks.toDF().select(col("user_id"), col("ts"), col("event_id")),
+      keyCol = "user_id", windowSec = 10 * 60, watermark = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      errs.addData(Raw(100, ts(1), 1, "error", 0.0))
+      clicks.addData(
+        Raw(200, ts(2), 1, "click", 0.0),   // in window, same user
+        Raw(201, ts(2), 2, "click", 0.0),   // other user
+        Raw(202, ts(20), 1, "click", 0.0))  // outside 10-minute window
+      q.processAllAvailable()
+      val out = s.table("ssjoin").collect()
+        .map(r => (r.getAs[Long]("l_event_id"), r.getAs[Long]("r_event_id"))).toSet
+      assert(out == Set((100L, 200L)))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup dedup keeps first arrival per SimHash") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Doc]
+    val q = StreamOps.nearDupDedup(in.toDF(), "text", "10 minutes")
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Doc(0, ts(1), "the quick brown fox"),
+        Doc(1, ts(2), "the quick brown fox"),   // exact dup -> same simhash
+        Doc(2, ts(3), "fox brown quick the"),   // same token multiset -> same simhash
+        Doc(3, ts(4), "completely different payload entirely"))
+      q.processAllAvailable()
+      assert(s.table("neardup").collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+        == Seq(0L, 3L))
     } finally q.stop()
   }
 
