@@ -76,7 +76,26 @@ object TextQueries {
     // SimHash document signatures (32-bit, relational plan).
     "q24_simhash" -> ((s, d) =>
       DedupOps.simhash(docs(s, d), "doc_id", "text")
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // Near-dup CANONICALIZATION — the step that actually shrinks a training
+    // corpus: MinHash+LSH pairs → connected components (transitive closure of
+    // near-duplication) → keep the min-id representative per group. Docs in
+    // no pair are their own canonical. The pair graph is tiny relative to the
+    // corpus (only near-dups), so the CC runs on edges, never on documents.
+    "q52_dedup_canonical" -> ((s, d) => {
+      val pairs = DedupOps.minhashPairs(docs(s, d), "doc_id", "text", 3, 32, 4, 0.5)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val comps = graft.graph.GraphOps
+        .connectedComponents(s, graft.graph.GraphOps.symmetrize(pairs))
+        .withColumnRenamed("id", "doc_id")
+      docs(s, d).select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical"),
+          (coalesce(col("component"), col("doc_id")) === col("doc_id")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    }))
 
   /** DuckDB mirror of TextOps.tokens. */
   private val toksSql =
@@ -185,6 +204,44 @@ object TextQueries {
          |  GROUP BY da, db)
          |SELECT da, db, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY da, db""".stripMargin,
+    "q52_dedup_canonical" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |hs AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 268435456 AS hs
+         |  FROM sh),
+         |mh AS (
+         |  SELECT doc_id, i,
+         |    MIN(((2 * i + 1) * hs + 7919 * i) % 268435456) AS minhash
+         |  FROM hs CROSS JOIN range(32) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |    md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY i)) AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT da, db,
+         |    CAST(SUM(CASE WHEN ha.minhash = hb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
+         |  FROM cands
+         |  JOIN mh ha ON ha.doc_id = da
+         |  JOIN mh hb ON hb.doc_id = db AND hb.i = ha.i
+         |  GROUP BY da, db),
+         |pairs AS (SELECT da, db FROM est WHERE est_jaccard >= 0.5),
+         |edges AS (SELECT da AS src, db AS dst FROM pairs
+         |          UNION SELECT db, da FROM pairs),
+         |reach(root, node) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+         |  UNION
+         |  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT root AS doc_id, MIN(node) AS component
+         |         FROM reach GROUP BY root)
+         |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical,
+         |  COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+         |FROM documents d LEFT JOIN comp c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q24_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, token, COUNT(*) AS cnt,
