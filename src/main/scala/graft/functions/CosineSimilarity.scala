@@ -102,8 +102,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * live session. Either way `cosine_sim(a, b)` becomes available to SQL and
   * to `functions.call_function`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSim)
+    ext.injectFunction(AcFunctions.acSpans)
+  }
 }
 
 object GraftFunctions {

@@ -147,6 +147,22 @@ object NlpQueries {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // V5 (Aho–Corasick form) — SAME semantics and SAME oracle as q45, but
+    // matching runs through the custom ac_spans expression: one automaton
+    // pass per document instead of span-table enumeration + join. The
+    // gazetteer is collected to the driver (KB-scale broadcast state by
+    // design — EntityRuler ships its whole pattern set to every worker) and
+    // compiled into the expression as literals.
+    "q53_ac_mentions" -> ((s, d) => {
+      val spans = EntityLinking.ngramSpans(Tables.documents(s, d), 3)
+      val gazRows = EntityLinking.phraseGazetteer(spans, 30)
+        .select(col("surface"), col("entity")).collect().sortBy(_.getString(0))
+      EntityLinking.resolveLongestPerStart(
+          EntityLinking.acMentionSpans(Tables.documents(s, d),
+            gazRows.map(_.getString(0)).toSeq, gazRows.map(_.getInt(1)).toSeq))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // F5 (literal form) — the reference's review report: phrases that did
     // NOT link (text.notnull() & kb_id == "", analysis.py:35), per-doc
     // top-30 cap, original ranks preserved.
@@ -279,6 +295,18 @@ object NlpQueries {
     (head +: iters :+ topk).mkString(",\n")
   }
 
+  private lazy val phraseMentionOracle: String =
+    s"""WITH $spansCte,
+       |$phraseGazCte,
+       |m AS (
+       |  SELECT s.doc_id, s.pos, s.surface, s.len, g.entity,
+       |    ROW_NUMBER() OVER (PARTITION BY s.doc_id, s.pos
+       |      ORDER BY s.len DESC) AS mrn
+       |  FROM spans s JOIN gz g ON s.surface = g.surface)
+       |SELECT doc_id, CAST(pos AS INTEGER) AS pos, surface,
+       |  CAST(len AS INTEGER) AS len, entity
+       |FROM m WHERE mrn = 1 ORDER BY doc_id, pos""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q33_gazetteer_mentions" ->
       s"""WITH $tokCte,
@@ -293,17 +321,10 @@ object NlpQueries {
          |$linkCte
          |SELECT doc_id, pos, token, entity, prior, score FROM links
          |ORDER BY doc_id, pos""".stripMargin,
-    "q45_phrase_mentions" ->
-      s"""WITH $spansCte,
-         |$phraseGazCte,
-         |m AS (
-         |  SELECT s.doc_id, s.pos, s.surface, s.len, g.entity,
-         |    ROW_NUMBER() OVER (PARTITION BY s.doc_id, s.pos
-         |      ORDER BY s.len DESC) AS mrn
-         |  FROM spans s JOIN gz g ON s.surface = g.surface)
-         |SELECT doc_id, CAST(pos AS INTEGER) AS pos, surface,
-         |  CAST(len AS INTEGER) AS len, entity
-         |FROM m WHERE mrn = 1 ORDER BY doc_id, pos""".stripMargin,
+    "q45_phrase_mentions" -> phraseMentionOracle,
+    // q53 computes the SAME result through the ac_spans expression — one
+    // oracle string, two execution strategies, both hash-verified.
+    "q53_ac_mentions" -> phraseMentionOracle,
     "q35_textrank" ->
       s"""WITH $tokCte,
          |${textrankCtes(trK)}

@@ -104,6 +104,37 @@ object EntityLinking {
       .filter(col("mrn") === 1)
       .select(col("doc_id"), col("pos"), col("surface"), col("len"), col("entity"))
 
+  /** V5 via the Aho–Corasick expression ([[graft.functions.AhoCorasickSpans]]):
+    * all gazetteer occurrences found in ONE pass over each document's token
+    * array — no candidate-span enumeration, no span-table shuffle on the
+    * matching side, and no maxN ceiling on pattern length. The gazetteer
+    * rides along as literals (KB–MB broadcast state, like every EntityRuler
+    * deployment); the span table remains necessary only to BUILD a
+    * collocation gazetteer, not to match against one.
+    * Output: (doc_id, pos, surface, len, entity) — identical rows to
+    * `spans ⋈ gazetteer` (law-tested in NlpSpec, hash-gated in q53). */
+  def acMentionSpans(docs: DataFrame, surfaces: Seq[String],
+                     entities: Seq[Int]): DataFrame = {
+    graft.functions.AcFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(call_function("ac_spans", col("w"),
+          lit(surfaces.toArray), lit(entities.toArray))).as("m"))
+      .select(col("doc_id"), col("m.pos").as("pos"),
+        concat_ws(" ", slice(col("w"), col("m.pos") + 1, col("m.len"))).as("surface"),
+        col("m.len").as("len"), col("m.entity").as("entity"))
+  }
+
+  /** [[phraseMentions]]' longest-match-per-start resolution over any matched
+    * span set (doc_id, pos, surface, len, entity). */
+  def resolveLongestPerStart(matched: DataFrame): DataFrame =
+    matched
+      .withColumn("mrn", row_number().over(
+        Window.partitionBy(col("doc_id"), col("pos"))
+          .orderBy(col("len").desc)))
+      .filter(col("mrn") === 1)
+      .select(col("doc_id"), col("pos"), col("surface"), col("len"), col("entity"))
+
   /** V5 with GLOBAL longest-match overlap pruning — the EntityRuler rule
     * (/root/reference/dev.ipynb cells 112-116) in relational form: a matched
     * span survives iff NO other matched span in its doc DOMINATES it, where

@@ -101,6 +101,32 @@ class NlpSpec extends SparkSuite {
     assert(global == Set("a b"))
   }
 
+  test("equality law: ac_spans matched set == ngramSpans ⋈ gazetteer") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "a b a b c a"), (1L, "c c a b x")).toDF("doc_id", "text")
+    // overlapping patterns incl. one being a prefix of another and a
+    // pattern that is a suffix of another ("b c" inside "a b c")
+    val surfaces = Seq("a b", "a b c", "b c", "c", "x")
+    val entities = Seq(1, 2, 3, 4, 5)
+    val viaAc = EntityLinking.acMentionSpans(d, surfaces, entities)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getInt(4))).toSet
+    val gaz = surfaces.zip(entities).map { case (su, e) => (su, e) }
+      .toDF("surface", "entity")
+    val viaJoin = EntityLinking.ngramSpans(d, 3)
+      .join(gaz, Seq("surface"))
+      .select(col("doc_id"), col("pos"), col("surface"), col("len"), col("entity"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getInt(4))).toSet
+    assert(viaAc == viaJoin && viaAc.nonEmpty)
+    // spot-check the overlap semantics: "a b c" at pos 2 of doc 0 emits the
+    // full pattern AND its suffix "b c" AND the unigram "c"
+    assert(viaAc.contains((0L, 2, "a b c", 3, 2)))
+    assert(viaAc.contains((0L, 3, "b c", 2, 3)))
+    assert(viaAc.contains((0L, 4, "c", 1, 4)))
+  }
+
   test("phrase-level TextRank aggregates member-token ranks with counts") {
     val toks = EntityLinking.tokenStream(docs, "doc_id", "text")
     val pr = TextRank.pageRank(toks, 2, 4)
