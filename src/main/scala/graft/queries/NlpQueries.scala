@@ -75,7 +75,8 @@ object NlpQueries {
 
     // V4/W2 — TextRank keyphrases: co-occurrence PageRank, top-3 per doc.
     "q35_textrank" -> ((s, d) =>
-      TextRank.topPhrases(docTokens(s, d), trWindow, trIters, trK)
+      // cached: the token stream feeds nodes + 4 co-occurrence join scans
+      TextRank.topPhrases(docTokens(s, d).cache(), trWindow, trIters, trK)
         .orderBy(col("doc_id"), col("rn"))),
 
     // V5 (phrase form) — multi-token gazetteer matching with longest-match
@@ -133,7 +134,7 @@ object NlpQueries {
     // ranked by aggregated member-token TextRank, with occurrence counts,
     // top-30 per doc (the reference's [:30], analysis.py:11).
     "q47_phrase_rank" -> ((s, d) =>
-      TextRank.topPhraseSpans(Tables.documents(s, d), docTokens(s, d),
+      TextRank.topPhraseSpans(Tables.documents(s, d), docTokens(s, d).cache(),
           maxN = 3, trWindow, trIters, k = 30)
         .orderBy(col("doc_id"), col("rn"))),
 

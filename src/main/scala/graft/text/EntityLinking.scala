@@ -61,20 +61,24 @@ object EntityLinking {
       .select(col("doc_id"), col("pos"), col("token"), col("entity"), col("prior"))
 
   /** All n-gram candidate spans up to `maxN` tokens:
-    * (doc_id, pos, len, surface) — pos is the 0-based start token. This is
+    * (doc_id, pos, surface, len) — pos is the 0-based start token. This is
     * the candidate-span generation under gazetteer PHRASE matching
     * (EntityRuler semantics, dev.ipynb cells 112-116): spans are enumerated
-    * map-side from the token array, no shuffle. */
+    * map-side from the token array, no shuffle — and in ONE scan: the token
+    * array is materialized as a column first (an attribute, so the nested
+    * lambdas reference a VALUE, not the tokenize subtree — the lambda-CSE
+    * trap), then all lengths explode from a single flatten(transform(...)).
+    * A per-length union would tokenize every document maxN times. */
   def ngramSpans(docs: DataFrame, maxN: Int): DataFrame = {
-    val t = TextOps.tokens(col("text"))
-    (1 to maxN).map { n =>
-      docs.select(col("doc_id"),
-          posexplode(when(size(t) >= n,
-            transform(sequence(lit(1), size(t) - (n - 1)),
-              i => concat_ws(" ", slice(t, i, lit(n)))))
-            .otherwise(array().cast("array<string>"))).as(Seq("pos", "surface")))
-        .withColumn("len", lit(n))
-    }.reduce(_ unionByName _)
+    val w = col("w")
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"), w, explode(sequence(lit(1), lit(maxN))).as("len"))
+      .select(col("doc_id"), col("len"),
+        posexplode(when(size(w) >= col("len"),
+          transform(sequence(lit(1), size(w) - col("len") + lit(1)),
+            i => concat_ws(" ", slice(w, i, col("len")))))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "surface")))
+      .select(col("doc_id"), col("pos"), col("surface"), col("len"))
   }
 
   /** Corpus-collocation phrase gazetteer: the `topK` most frequent n-grams
@@ -150,9 +154,12 @@ object EntityLinking {
     * set stays small at any corpus size.
     * Output: (doc_id, pos, surface, len, entity). */
   def phraseMentionsGlobal(spans: DataFrame, gaz: DataFrame): DataFrame = {
+    // cached: the matched set feeds BOTH sides of the dominance anti-join —
+    // without it the span ⋈ gazetteer subtree runs twice
     val m = spans
       .join(broadcast(gaz.select(col("surface"), col("entity"))), Seq("surface"))
       .select(col("doc_id"), col("pos"), col("len"), col("surface"), col("entity"))
+      .cache()
     m.as("s").join(m.as("t"),
         col("t.doc_id") === col("s.doc_id") &&
         (col("t.len") > col("s.len") ||

@@ -109,16 +109,24 @@ object TextRank {
   def topPhraseSpans(docs: DataFrame, tokens: DataFrame, maxN: Int,
                      window: Int, iterations: Int, k: Int): DataFrame = {
     val ranks = pageRank(tokens, window, iterations)
+    // One map per doc (distinct tokens per doc is small) instead of
+    // exploding every span into member rows: the member-rank lookup becomes
+    // per-row expression work after ONE equi-join on doc_id, replacing two
+    // shuffles of the exploded member table. The fixed-point fold is
+    // order-independent (long addition), so this is value-identical to the
+    // join+sum form and the oracle is untouched.
+    val rankMap = ranks.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("token"), col("rank"))))
+        .as("rmap"))
     val spanCounts = EntityLinking.ngramSpans(docs, maxN)
       .groupBy(col("doc_id"), col("surface"), col("len"))
       .agg(count(lit(1)).as("cnt"))
-    val members = spanCounts.select(
-      col("doc_id"), col("surface"), col("len"), col("cnt"),
-      explode(split(col("surface"), " ")).as("token"))
-    members.join(ranks, Seq("doc_id", "token"))
-      .groupBy(col("doc_id"), col("surface"), col("len"), col("cnt"))
-      .agg(((sum(floor(col("rank") * lit(1e15))).cast("double") / lit(1e15))
-        / col("len")).as("phrase_rank"))
+    spanCounts.join(rankMap, Seq("doc_id"))
+      .withColumn("phrase_rank",
+        (aggregate(split(col("surface"), " "), lit(0L),
+          (acc, t) => acc + floor(element_at(col("rmap"), t) * lit(1e15)))
+          .cast("double") / lit(1e15)) / col("len"))
+      .drop("rmap")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("phrase_rank").desc, col("surface").asc)))
