@@ -53,6 +53,16 @@ object VectorQueries {
       val cents = VectorOps.centroids(e, "label")
       VectorOps.ivfKnn(e.filter(col("vec_id") < 8), e, cents, "label", 3)
         .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // IVF multi-probe: scan the 2 nearest cells per query — the standard
+    // recall/cost dial (quantization-boundary neighbors come back without
+    // ever scanning the corpus).
+    "q54_ivf_multiprobe" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = VectorOps.centroids(e, "label")
+      VectorOps.ivfKnn(e.filter(col("vec_id") < 8), e, cents, "label", 3, nprobe = 2)
+        .orderBy(col("query_id"), col("rn"))
     }))
 
   /** DuckDB mirror of VectorOps.dot: sequential left-fold of per-element
@@ -115,7 +125,12 @@ object VectorQueries {
          |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.2
          |ORDER BY ia, ib""".stripMargin,
-    "q28_ivf_knn" ->
+    "q28_ivf_knn" -> ivfOracle(nprobe = 1),
+    "q54_ivf_multiprobe" -> ivfOracle(nprobe = 2)
+  )
+
+  /** IVF oracle, nprobe-parameterized: q28 single-probe, q54 multi-probe. */
+  private def ivfOracle(nprobe: Int): String =
       s"""WITH dims AS (
          |  SELECT label AS cell, i - 1 AS pos,
          |         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
@@ -132,7 +147,7 @@ object VectorQueries {
          |         ROW_NUMBER() OVER (PARTITION BY query_id
          |           ORDER BY ${l2Sql("q_emb", "centroid")} ASC, cell ASC) AS crn
          |  FROM q CROSS JOIN cents),
-         |assigned AS (SELECT query_id, q_emb, cell FROM ad WHERE crn = 1),
+         |assigned AS (SELECT query_id, q_emb, cell FROM ad WHERE crn <= $nprobe),
          |probe AS (
          |  SELECT query_id, a.cell, e.vec_id AS neighbor_id,
          |         ${cosSql("q_emb", "e.embedding")} AS cosine
@@ -144,5 +159,4 @@ object VectorQueries {
          |  FROM probe)
          |SELECT query_id, cell, neighbor_id, cosine, CAST(rn AS INTEGER) AS rn
          |FROM r WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
-  )
 }

@@ -159,11 +159,14 @@ object VectorOps {
         e => e.getField("mean")).as("centroid"))
   }
 
-  /** IVF probe: assign each query to its nearest centroid (broadcast argmin),
-    * then search ONLY that cell's inverted list; top-k per query.
+  /** IVF probe: assign each query to its `nprobe` nearest centroids
+    * (broadcast arg-top-p), then search ONLY those cells' inverted lists;
+    * top-k per query. `nprobe` is the classic IVF recall/cost dial — recall
+    * lost to quantization boundaries comes back by scanning a few
+    * neighboring cells, still never the corpus.
     * Output: (query_id, neighbor_id, cosine, rn). */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
-             cellCol: String, k: Int): DataFrame = {
+             cellCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val assigned = q.crossJoin(broadcast(cents))
@@ -171,7 +174,7 @@ object VectorOps {
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("dist").asc, col("cell").asc)))
-      .filter(col("crn") === 1)
+      .filter(col("crn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cell"))
     val list = corpus.select(col(cellCol).as("cell"),
       col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
