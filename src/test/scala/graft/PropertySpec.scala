@@ -85,6 +85,36 @@ class PropertySpec extends SparkSuite {
     })
   }
 
+  test("fuzzy candidates: precision law — every pair is truly within maxDist; deterministic") {
+    val s = spark
+    import s.implicits._
+    val word = Gen.choose(2, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    check(Prop.forAll(Gen.nonEmptyListOf(word), Gen.nonEmptyListOf(word)) {
+      (probes, aliases) =>
+        def lev(a: String, b: String): Int = {
+          val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+            if (i == 0) j else if (j == 0) i else 0)
+          for (i <- 1 to a.length; j <- 1 to b.length)
+            d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+              d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          d(a.length)(b.length)
+        }
+        val out = graft.text.FuzzyMatch.fuzzyCandidates(
+            probes.toDF("token"), aliases.toDF("alias"), 2, 2, 5)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+        val out2 = graft.text.FuzzyMatch.fuzzyCandidates(
+            probes.toDF("token"), aliases.toDF("alias"), 2, 2, 5)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+        out.forall { case (t, a, d) => d == lev(t, a) && d <= 2 } &&
+          out.toSet == out2.toSet &&
+          // every exact probe∈aliases match is always recalled (dist 0
+          // shares all its bigrams with itself, so blocking cannot miss it)
+          probes.toSet.intersect(aliases.toSet)
+            .forall(w => out.exists { case (t, a, d) => t == w && a == w && d == 0 })
+      })
+  }
+
   test("shingles are distinct, size-bounded, and empty below n tokens") {
     val s = spark
     import s.implicits._
