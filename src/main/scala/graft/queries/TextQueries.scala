@@ -78,6 +78,26 @@ object TextQueries {
       DedupOps.simhash(docs(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // Context-window CHUNKING — split documents into 32-token chunks with
+    // 8-token overlap (stride 24): the op that shapes a corpus for a model's
+    // context length. Chunk enumeration is per-row expression work; only the
+    // already-chunked rows flow on.
+    "q55_chunking" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          posexplode(TextOps.chunks(col("text"), 32, 8)).as(Seq("chunk_id", "chunk")))
+        .withColumn("n_chunk_tokens", TextOps.nTokens(col("chunk")))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // PII-style scrubbing — emails → <EMAIL>, digit runs → <NUM> — then the
+    // collision histogram of masked forms (all "Customer#000000xxx" names
+    // collapse to one masked class).
+    "q56_pii_mask" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), TextOps.maskPii(col("c_name")).as("masked"))
+        .groupBy(col("masked"))
+        .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("first_key"))
+        .orderBy(col("masked"))),
+
     // Near-dup CANONICALIZATION — the step that actually shrinks a training
     // corpus: MinHash+LSH pairs → connected components (transitive closure of
     // near-duplication) → keep the min-id representative per group. Docs in
@@ -204,6 +224,26 @@ object TextQueries {
          |  GROUP BY da, db)
          |SELECT da, db, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY da, db""".stripMargin,
+    "q55_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(w[k*24+1 : k*24+32], ' ')
+         |            for k in range(0, CAST((len(w) + 23) // 24 AS INT))]) AS chunk,
+         |    unnest(range(0, (len(w) + 23) // 24)) AS chunk_id
+         |  FROM t WHERE len(w) > 0)
+         |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id, chunk,
+         |  CAST(len(list_filter(string_split_regex(trim(chunk), '\\s+'),
+         |    x -> len(x) > 0)) AS INTEGER) AS n_chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q56_pii_mask" ->
+      s"""SELECT masked, COUNT(*) AS n, MIN(c_custkey) AS first_key
+         |FROM (SELECT c_custkey,
+         |        regexp_replace(
+         |          regexp_replace(c_name, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+         |          '[0-9]+', '<NUM>', 'g') AS masked
+         |      FROM customer) t
+         |GROUP BY masked ORDER BY masked""".stripMargin,
     "q52_dedup_canonical" ->
       s"""WITH RECURSIVE $shingleCte,
          |hs AS (

@@ -101,4 +101,33 @@ object TextOps {
           i => concat_ws("|", slice(t, i, lit(n)))))
       .otherwise(array().cast("array<string>")))
   }
+
+  /** Fixed-token-window chunking with overlap — the training-pipeline op
+    * that splits long documents into model-context-sized pieces. Chunk k
+    * (k = 0, 1, …) starts at token k·stride (stride = size − overlap) and
+    * carries up to `size` tokens; the count of chunks is ⌈len/stride⌉, so
+    * the tail chunk may be short but every token is covered and consecutive
+    * chunks share `overlap` tokens. Pure per-row expression work — the
+    * explode happens in the caller, nothing shuffles.
+    * Output: array<string> of chunk texts (empty for empty docs). */
+  def chunks(text: Column, size: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val stride = size - overlap
+    val t = tokens(text)
+    val n = ((org.apache.spark.sql.functions.size(t) + lit(stride - 1)) / lit(stride))
+      .cast("int")
+    when(org.apache.spark.sql.functions.size(t) > 0,
+      transform(sequence(lit(0), n - 1),
+        k => concat_ws(" ", slice(t, k * stride + 1, lit(size)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** PII-style masking: digit runs → `<NUM>`, email-shaped tokens →
+    * `<EMAIL>` — the scrubbing pass a training corpus gets before the
+    * tokenizer. Chained regexp_replace, codegen-friendly, order fixed
+    * (emails first so their digits don't get pre-masked). */
+  def maskPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+      "[0-9]+", "<NUM>")
 }
