@@ -105,6 +105,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSim)
     ext.injectFunction(AcFunctions.acSpans)
+    ext.injectFunction(CounterMapFunctions.counterMap)
   }
 }
 

@@ -40,6 +40,28 @@ class RelationalSpec extends SparkSuite {
     assert(solo.getAs[Seq[Double]]("probabilities") === Seq(1.0))
   }
 
+  test("counter_map aggregate equals the two-level A1 aggregation") {
+    import spark.implicits._
+    graft.functions.CounterMapFunctions.register(spark)
+    val raw = Seq(
+      ("a", "e2"), ("a", "e1"), ("a", "e1"), ("b", "e9"), ("b", "e9"))
+      .toDF("alias", "entity")
+    val tot = aggregate(map_values(col("cm")), lit(0L), _ + _)
+    val viaCounter = raw.groupBy(col("alias"))
+      .agg(call_function("counter_map", col("entity")).as("cm"))
+      .select(col("alias"),
+        map_keys(col("cm")).as("entities"),
+        transform(map_values(col("cm")), v => v.cast("double") / tot)
+          .as("probabilities"),
+        tot.as("n_obs"))
+      .orderBy("alias").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1), r.getSeq[Double](2), r.getLong(3)))
+    val viaTwoLevel = Relational.aliasProbabilities(raw, "alias", "entity")
+      .orderBy("alias").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1), r.getSeq[Double](2), r.getLong(3)))
+    assert(viaCounter.toSeq == viaTwoLevel.toSeq)
+  }
+
   test("A1 probabilities sum to 1 per alias on real data") {
     val out = Relational.aliasProbabilities(
       Tables.part(spark, sf0001), "p_name", "p_brand")
