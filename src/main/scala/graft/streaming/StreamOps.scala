@@ -137,6 +137,28 @@ object StreamOps {
         graft.dedup.DedupOps.simhashExpr(graft.text.TextOps.tokens(col(textCol))))
       .dropDuplicates("simhash")
 
+  /** End-to-end STREAMING training-data ingest — the north-star pipeline as
+    * one incremental query: quality-filter → PII-mask → context-window chunk
+    * → exact chunk dedup. Everything upstream of the dedup is per-row
+    * expression work (filters, regex masking, chunk enumeration — no
+    * aggregation), so the watermarked `dropDuplicates` on the chunk
+    * fingerprint is the query's ONLY stateful operator and its state is GC'd
+    * past the horizon. A new arrival of already-seen content (re-crawls,
+    * mirror pages) emits nothing.
+    * Output: (doc_id, ts, chunk_id, chunk, fp). */
+  def ingestPipeline(docs: DataFrame, minQuality: Double, chunkSize: Int,
+                     overlap: Int, watermark: String): DataFrame = {
+    import graft.text.TextOps
+    docs.withWatermark("ts", watermark)
+      .filter(TextOps.qualityScore(col("text")) >= minQuality)
+      .withColumn("text", TextOps.maskPii(col("text")))
+      .select(col("doc_id"), col("ts"),
+        posexplode(TextOps.chunks(col("text"), chunkSize, overlap))
+          .as(Seq("chunk_id", "chunk")))
+      .withColumn("fp", md5(col("chunk")))
+      .dropDuplicates("fp")
+  }
+
   /** File-based streaming source over an events directory (parquet), for
     * production wiring; tests use MemoryStream instead. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =

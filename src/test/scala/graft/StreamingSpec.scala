@@ -133,6 +133,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest pipeline: quality gate, masking, chunking, chunk dedup") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Doc]
+    // a 12-token doc chunks into size-8/overlap-2 windows (stride 6 -> 2)
+    val goodText = "the of and to in a is was data word text here"
+    val q = StreamOps.ingestPipeline(in.toDF(), minQuality = 0.3,
+        chunkSize = 8, overlap = 2, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Doc(0, ts(1), goodText),
+        Doc(1, ts(2), goodText),            // full duplicate -> all chunks dedup'd
+        Doc(2, ts(3), "zzzz9 qqqq8 xxxx7")) // low quality -> filtered out
+      q.processAllAvailable()
+      val out = s.table("ingest").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"), r.getAs[String]("chunk")))
+      // only doc 0 survives: doc 1 is chunk-identical, doc 2 fails quality
+      assert(out.map(_._1).toSet == Set(0L))
+      assert(out.map(_._2).sorted.toSeq == Seq(0, 1))
+      // 12 tokens, size 8, stride 6: chunk 0 = tokens 1-8, chunk 1 = tokens 7-12
+      assert(out.find(_._2 == 0).get._3 == "the of and to in a is was")
+      assert(out.find(_._2 == 1).get._3 == "is was data word text here")
+    } finally q.stop()
+  }
+
   test("file-source stream: readEvents over a parquet directory aggregates correctly") {
     val s = spark
     import s.implicits._
