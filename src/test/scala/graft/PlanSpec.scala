@@ -88,6 +88,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q55 chunking scan is pruned to (doc_id, text) and stays generator-only") {
+    val p = plan("q55_chunking")
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(scanLine.contains("doc_id") && scanLine.contains("text"))
+    assert(!scanLine.contains("source") && !scanLine.contains("lang"))
+    // chunk enumeration is per-row expression work — no exchange before the
+    // generate (only the final orderBy may range-shuffle)
+    val beforeGenerate = p.substring(p.indexOf("Generate"))
+    assert(!beforeGenerate.contains("Exchange hashpartitioning"))
+  }
+
   test("q21 dedup window input carries fingerprints, not document text") {
     val p = executedPlan("q21_fingerprint_dedup")
     // the exchange feeding the window partitions by fp_md5; text must have

@@ -115,6 +115,28 @@ class PropertySpec extends SparkSuite {
       })
   }
 
+  test("chunks cover the token stream exactly: de-overlapped concat == original") {
+    val s = spark
+    import s.implicits._
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    check(Prop.forAll(Gen.listOf(word), Gen.choose(2, 6), Gen.choose(0, 1)) {
+      (ws, size, overlap) =>
+        val text = ws.mkString(" ")
+        val chunks = Seq(text).toDF("text")
+          .select(TextOps.chunks(col("text"), size, overlap).as("c"))
+          .collect().head.getSeq[String](0)
+        val stride = size - overlap
+        val rebuilt = chunks.zipWithIndex.flatMap { case (c, i) =>
+          val toks = c.split(' ').filter(_.nonEmpty)
+          if (i == 0) toks else toks.drop(overlap min toks.length)
+        }
+        // dropping each chunk's leading overlap re-yields the token stream
+        rebuilt.toSeq == ws &&
+          chunks.forall(_.split(' ').count(_.nonEmpty) <= size) &&
+          (ws.isEmpty || chunks.size == (ws.size + stride - 1) / stride)
+      })
+  }
+
   test("shingles are distinct, size-bounded, and empty below n tokens") {
     val s = spark
     import s.implicits._
