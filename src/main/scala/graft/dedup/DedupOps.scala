@@ -73,27 +73,29 @@ object DedupOps {
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                          n: Int, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleTable(docs, idCol, textCol, n).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // per-doc shingle SET as an array column (map-side, no shuffle): the
+    // prefix filter works on the exploded form, the exact verify intersects
+    // the arrays per candidate pair — two equi-joins + per-row expression
+    // work instead of re-exploding both sides and re-aggregating counts
+    val docSets = docs.select(col(idCol).as("doc_id"),
+      graft.text.TextOps.shingles(col(textCol), n).as("sh_arr")).cache()
+    val sh = docSets.select(col("doc_id"), size(col("sh_arr")).as("n_sh"),
+      explode(col("sh_arr")).as("shingle"))
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
     val ranked = sh.join(freq, "shingle")
       .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
         .orderBy(col("freq").asc, col("shingle").asc)))
-      .join(sizes, "doc_id")
       .filter(col("rnk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
       .select(col("doc_id"), col("shingle"))
     val cands = ranked.as("a").join(ranked.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
-    val common = cands
-      .join(sh.select(col("doc_id").as("da"), col("shingle")), Seq("da"))
-      .join(sh.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
-      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), Seq("db"))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+    cands
+      .join(docSets.select(col("doc_id").as("da"), col("sh_arr").as("sa")), Seq("da"))
+      .join(docSets.select(col("doc_id").as("db"), col("sh_arr").as("sb")), Seq("db"))
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("da"), col("db"), col("jaccard"))
   }
