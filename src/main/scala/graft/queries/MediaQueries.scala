@@ -22,7 +22,21 @@ object MediaQueries {
           octet_length(col("payload")).as("n_bytes"),
           col("width"), col("height"), col("duration_ms"),
           col("out_width"), col("out_height"))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // Frame-sampling MANIFEST (relational twin of MultimodalOps.sampleFrames'
+    // schedule): one row per sampled frame of each video every 1000 ms —
+    // the generate runs map-side off metadata; the byte-slicing stub decode
+    // stays in the Dataset path (MultimodalSpec).
+    "q57_frame_manifest" -> ((s, d) =>
+      MultimodalOps.syntheticMedia(Tables.documents(s, d))
+        .filter(col("modality") === "video")
+        .select(col("doc_id"), col("duration_ms"),
+          greatest(lit(1L), floor(col("duration_ms") / 1000)).as("n_frames"))
+        .select(col("doc_id"), col("duration_ms"), col("n_frames"),
+          explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_id"))
+        .withColumn("offset_ms", col("frame_id") * 1000)
+        .orderBy(col("doc_id"), col("frame_id"))))
 
   def oracles: Map[String, String] = Map(
     "q37_media_meta" ->
@@ -43,6 +57,18 @@ object MediaQueries {
         |  width, height, duration_ms,
         |  CAST(ceil(width * scale) AS INTEGER) AS out_width,
         |  CAST(ceil(height * scale) AS INTEGER) AS out_height
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q57_frame_manifest" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(n_chars * 10 AS BIGINT) AS duration_ms
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, duration_ms,
+        |    greatest(CAST(1 AS BIGINT), duration_ms // 1000) AS n_frames
+        |  FROM m)
+        |SELECT doc_id, duration_ms, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(unnest(range(0, n_frames)) AS BIGINT) AS frame_id,
+        |  CAST(unnest(range(0, n_frames)) * 1000 AS BIGINT) AS offset_ms
+        |FROM f ORDER BY doc_id, frame_id""".stripMargin
   )
 }
