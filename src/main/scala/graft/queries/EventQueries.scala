@@ -66,6 +66,20 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Running (cumulative) per-user total — the frame-based window shape
+    // (ROWS UNBOUNDED PRECEDING..CURRENT). The sum runs over DECIMAL so
+    // every prefix is exact; (ts, event_id) makes the order total.
+    "q58_running_total" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      ev(s, d).select(col("user_id"), col("ts"), col("event_id"),
+          sum(col("value").cast("decimal(18,2)")).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_value"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // As-of join: each click picks up the latest prior error of its user.
     "q32_asof_join" -> ((s, d) => {
       val e = ev(s, d)
@@ -123,6 +137,13 @@ object EventQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sess ORDER BY user_id, s_start""".stripMargin,
+    "q58_running_total" ->
+      """SELECT user_id, ts, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_value
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
     "q41_json_props" ->
       """SELECT event_type, k % 10 AS k_bucket, COUNT(*) AS n,
         |  CAST(SUM(k) AS BIGINT) AS sum_k
