@@ -51,4 +51,36 @@ class BucketingSpec extends SparkSuite {
       s.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("MISMATCHED bucket counts fall back to shuffling (the co-location contract)") {
+    val s = spark
+    val d = SparkSpec.sf0001
+    Bucketing.writeBucketed(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+      "orders_b4", "o_orderkey", 4)
+    Bucketing.writeBucketed(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "lineitem_b8", "o_orderkey", 8)
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.readBucketed(s, "orders_b4")
+        .join(Bucketing.readBucketed(s, "lineitem_b8"), Seq("o_orderkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case other => other.toString
+      }
+      // at least one side must re-shuffle — bucket layouts only co-locate
+      // when every table joining on the key uses the SAME bucket count
+      assert(p.contains("Exchange"),
+        s"expected a fallback shuffle for mismatched buckets, plan:\n$p")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.sql("DROP TABLE IF EXISTS orders_b4")
+      s.sql("DROP TABLE IF EXISTS lineitem_b8")
+    }
+  }
 }
