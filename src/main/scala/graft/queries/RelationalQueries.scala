@@ -182,6 +182,23 @@ object RelationalQueries {
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
 
+    // CUBE: revenue across every (region, order-status) combination
+    // including both one-sided subtotals and the grand total — the full
+    // grouping-sets lattice in one aggregation pass (rollup q39 covers the
+    // hierarchical prefix subset).
+    "q59_cube_revenue" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("o_orderstatus"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+    }),
+
     // INTERSECT / EXCEPT: nation keys by customer-vs-supplier presence.
     "q40_set_ops" -> ((s, d) => {
       val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
@@ -283,6 +300,16 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q59_cube_revenue" ->
+      """SELECT r_name, o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, o_orderstatus)
+        |ORDER BY r_name NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
     "q40_set_ops" ->
       """SELECT nationkey, 'both' AS side FROM
         |  (SELECT c_nationkey AS nationkey FROM customer
