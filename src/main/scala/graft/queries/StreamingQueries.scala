@@ -1,0 +1,232 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamOps
+
+/** ORACLE-GATED streaming queries (SURVEY.md §2 X3): each runs a real
+  * Structured Streaming query — file source over the driver parquet,
+  * `Trigger.AvailableNow`, memory sink — then returns the sink table as the
+  * gated DataFrame. The DuckDB oracle is the BATCH semantics of the same
+  * transform, so a green row proves stream/batch twin equivalence under the
+  * driver's hash gate (round-2 verdict item #1: the streaming surface was
+  * law-tested but had no external correctness entry).
+  *
+  * Determinism rules for a gate-able streaming query:
+  *   - Aggregations run in Complete output mode (finite replay), so no
+  *     window is withheld by the final watermark — output set equals batch.
+  *   - Non-aggregating stateful ops (stream-stream join, dropDuplicates)
+  *     run in Append mode; the whole file arrives in batch 0 with watermark
+  *     still at epoch, so nothing is late-dropped and every match/survivor
+  *     is emitted.
+  *   - Dedup queries project ONLY columns functionally determined by the
+  *     dedup key (fp → chunk, simhash) — which duplicate row survives
+  *     `dropDuplicates` is arrival-order-dependent and must not be gated.
+  *
+  * Scale note: Complete mode here is a correctness-replay harness, not the
+  * production shape — production runs the same transforms in append/update
+  * with watermark-GC'd state (StreamOps scaladoc, StreamingSpec).
+  */
+object StreamingQueries {
+
+  /** Memory-sink query names must be unique per start within a session;
+    * Bench runs every query twice (warm-up + timed). */
+  private val runSeq = new AtomicInteger(0)
+
+  /** Run a streaming DataFrame to completion (AvailableNow) into a memory
+    * sink and return the sink contents as a batch DataFrame. */
+  private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val sink = s"${name}_${runSeq.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$sink").toString
+    val q = df.writeStream
+      .format("memory")
+      .queryName(sink)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
+
+  /** Streaming twin of [[graft.Tables.events]]: file source over the events
+    * parquet. `ts` is stored as TIMESTAMP(NANOS); read nanos as long and
+    * truncate to µs exactly like the batch loader (oracle parity). */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .parquet(s"$d/{events}.parquet") // brace-glob: FileStreamSource needs a
+      // directory/glob basePath, and the glob selects exactly this table
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Streaming documents source. The documents table has no event-time
+    * column, so the stream carries a synthetic deterministic `ts` derived
+    * from doc_id (doc k arrives at epoch+k seconds) — enough to exercise
+    * the watermark machinery without touching gated output columns. */
+  private def docsStream(s: SparkSession, d: String): DataFrame =
+    s.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(s"$d/{documents}.parquet")
+      .withColumn("ts", timestamp_seconds(col("doc_id") + 86400L))
+      // +1 day: a row at exactly epoch 0 is "late" against the initial
+      // watermark (ts <= wm drops it) and doc 0 would silently vanish
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling-window aggregation executed BY THE STREAMING ENGINE
+    // (StateStore aggregation, not batch HashAggregate); same oracle text
+    // as batch q29.
+    "q60_stream_tumbling" -> ((s, d) =>
+      runToTable(
+        StreamOps.tumblingAgg(eventsStream(s, d), "1 hour", "1 hour"),
+        "q60_stream_tumbling", "complete")
+        .orderBy(col("w_start"), col("event_type"))),
+
+    // Sliding (hopping) windows, streaming-executed; q30's shape minus the
+    // value sum (slidingAgg emits counts only).
+    "q61_stream_sliding" -> ((s, d) =>
+      runToTable(
+        StreamOps.slidingAgg(eventsStream(s, d), "1 hour", "30 minutes", "1 hour"),
+        "q61_stream_sliding", "complete")
+        .orderBy(col("w_start"), col("event_type"))),
+
+    // Built-in session windows, streaming-executed (session-merging state).
+    "q62_stream_session" -> ((s, d) =>
+      runToTable(
+        StreamOps.sessionAgg(eventsStream(s, d), "30 minutes", "1 hour"),
+        "q62_stream_session", "complete")
+        .orderBy(col("user_id"), col("s_start"))),
+
+    // STREAM-STREAM interval join (errors ⋈ clicks of the same user within
+    // 4 hours after the error) — real symmetric-hash join state, append
+    // mode; all data lands in batch 0 so the emitted match set equals the
+    // batch inner join.
+    "q63_stream_interval_join" -> ((s, d) => {
+      val ev = eventsStream(s, d)
+      runToTable(
+        StreamOps.intervalJoin(
+          ev.filter(col("event_type") === "error")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          ev.filter(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          keyCol = "user_id", windowSec = 14400L, watermark = "8 hours"),
+        "q63_stream_interval_join", "append")
+        .select(col("user_id"), col("l_ts"), col("l_event_id"),
+          col("r_ts"), col("r_event_id"))
+        .orderBy(col("l_event_id"), col("r_event_id"))
+    }),
+
+    // End-to-end streaming ingest (quality filter → PII mask → chunk →
+    // watermarked exact dedup). Gated on (fp, chunk) — the columns the
+    // dedup key determines; the surviving doc_id is arrival-order state.
+    "q64_stream_ingest" -> ((s, d) =>
+      runToTable(
+        StreamOps.ingestPipeline(docsStream(s, d),
+          minQuality = 0.45, chunkSize = 32, overlap = 8, watermark = "1 hour"),
+        "q64_stream_ingest", "append")
+        .select(col("fp"), col("chunk"))
+        .orderBy(col("fp"))),
+
+    // Streaming near-dup dedup keyed on the per-row SimHash expression;
+    // gated on the surviving signature set (= distinct batch SimHashes).
+    "q65_stream_neardup" -> ((s, d) =>
+      runToTable(
+        StreamOps.nearDupDedup(docsStream(s, d), "text", "1 hour"),
+        "q65_stream_neardup", "append")
+        .select(col("simhash"))
+        .orderBy(col("simhash"))))
+
+  /** DuckDB mirror of TextOps.tokens (same fragment as TextQueries). */
+  private val toksSql =
+    "list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0)"
+
+  def oracles: Map[String, String] = Map(
+    // Identical to q29's oracle: the streaming engine must reproduce the
+    // batch tumbling aggregation bit-for-bit.
+    "q60_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "q61_stream_sliding" ->
+      """SELECT w_start, event_type, COUNT(*) AS n
+        |FROM (
+        |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+        |           AS w_start,
+        |         event_type
+        |  FROM events) t
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    // q31's gaps-and-islands oracle minus the value sum (sessionAgg emits
+    // counts); same strict-> boundary semantics (EventSpec pins it).
+    "q62_stream_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL '30 minutes'
+        |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM o)
+        |SELECT user_id, MIN(ts) AS s_start,
+        |  MAX(ts) + INTERVAL '30 minutes' AS s_end, COUNT(*) AS n
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, s_start""".stripMargin,
+    "q63_stream_interval_join" ->
+      """SELECT e.user_id, e.ts AS l_ts, e.event_id AS l_event_id,
+        |  c.ts AS r_ts, c.event_id AS r_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        | AND c.ts <= e.ts + INTERVAL '4 hours'
+        |ORDER BY l_event_id, r_event_id""".stripMargin,
+    // Batch twin of the full ingest pipeline: quality >= 0.45 (q20's exact
+    // formula) → mask (q56's exact regexes) → 32/8 chunks (q55's exact
+    // slicing) → distinct (md5(chunk), chunk).
+    "q64_stream_ingest" ->
+      s"""WITH t0 AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |q AS (SELECT doc_id, text,
+         |  0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+         |  + 0.3 * (CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','it','a'], t))) AS DOUBLE) / greatest(len(toks), 1))
+         |  + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+         |  + 0.2 * (1.0 - least((CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / greatest(len(toks), 1)) / 10.0, 1.0)) AS quality
+         |  FROM t0),
+         |m AS (SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+         |    '[0-9]+', '<NUM>', 'g') AS text
+         |  FROM q WHERE quality >= 0.45),
+         |w AS (SELECT doc_id, $toksSql AS w FROM m),
+         |c AS (SELECT unnest([array_to_string(w[k*24+1 : k*24+32], ' ')
+         |                     for k in range(0, CAST((len(w) + 23) // 24 AS INT))]) AS chunk
+         |      FROM w WHERE len(w) > 0)
+         |SELECT DISTINCT md5(chunk) AS fp, chunk FROM c ORDER BY fp""".stripMargin,
+    // Distinct SimHash signatures (q24's exact bit construction).
+    "q65_stream_neardup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, token, COUNT(*) AS cnt,
+         |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents) t
+         |  GROUP BY doc_id, token),
+         |bits AS (
+         |  SELECT doc_id, i AS bit,
+         |    SUM(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+         |  FROM tok CROSS JOIN range(32) t(i) GROUP BY doc_id, i),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT DISTINCT simhash FROM sig ORDER BY simhash""".stripMargin
+  )
+}
