@@ -130,6 +130,25 @@ object NlpQueries {
         .orderBy(col("token"), col("rn"))
     }),
 
+    // V2 (ranked form) — the SCORED half of the reference's tantivy surface
+    // (dev.ipynb cells 70-72): every distinct 2-token mention phrase
+    // retrieves its top-5 documents by exact BM25 (k1=1.2, b=0.75,
+    // quantized idf), candidates generated through the mention's rarest
+    // token (champion-list blocking), never all-pairs.
+    "q66_bm25_candidates" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mentions = docs
+        .select(TextOps.tokens(col("text")).as("w"))
+        .select(explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => concat_ws(" ", slice(col("w"), i, lit(2)))))
+          .otherwise(array().cast("array<string>"))).as("surface"))
+        .distinct()
+      graft.text.RankedSearch.bm25TopK(docs, "doc_id", "text", mentions,
+          k1 = 1.2, b = 0.75, blockK = 1, topK = 5)
+        .orderBy(col("surface"), col("rn"))
+    }),
+
     // V4 (phrase form) — doc._.phrases semantics: spans of 1..3 tokens
     // ranked by aggregated member-token TextRank, with occurrence counts,
     // top-30 per doc (the reference's [:30], analysis.py:11).
@@ -385,6 +404,44 @@ object NlpQueries {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY token
          |        ORDER BY dist ASC, alias ASC) AS rn FROM ver) t
          |WHERE rn <= 5 ORDER BY token, rn""".stripMargin,
+    // BM25 mirror: idf quantized via floor(ln·1e9)/1e9 (raw ln differs from
+    // Spark by 1 ulp on ~0.1% of df arguments; the quantized value is
+    // bit-identical for every df ≤ 50000 — verified exhaustively), literal
+    // arithmetic unfolded to match Spark's IEEE op order, contributions
+    // summed fixed-point.
+    "q66_bm25_candidates" ->
+      s"""WITH w0 AS (SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+         |m AS (SELECT DISTINCT array_to_string(w[i:i+1], ' ') AS surface
+         |      FROM w0 CROSS JOIN unnest(range(1, len(w))) u(i)),
+         |p AS (SELECT doc_id, token, COUNT(*) AS tf
+         |      FROM (SELECT doc_id, unnest(w) AS token FROM w0) t GROUP BY 1, 2),
+         |dlen AS (SELECT doc_id, SUM(tf) AS dl FROM p GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dlen),
+         |ti AS (SELECT token, df,
+         |        CAST(floor(ln(CAST(1 AS DOUBLE) + ((n_docs - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) * 1e9) AS DOUBLE) / 1e9 AS idf
+         |       FROM (SELECT token, COUNT(*) AS df FROM p GROUP BY token) d0 CROSS JOIN st),
+         |mt AS (SELECT DISTINCT surface, unnest(${toksSql("surface")}) AS token FROM m),
+         |bk AS (SELECT surface, token FROM (
+         |    SELECT mt.surface, mt.token,
+         |      ROW_NUMBER() OVER (PARTITION BY mt.surface
+         |        ORDER BY ti.df ASC, mt.token ASC) AS krn
+         |    FROM mt JOIN ti USING (token)) k
+         |  WHERE krn <= 1),
+         |cand AS (SELECT DISTINCT bk.surface, p.doc_id FROM bk JOIN p USING (token)),
+         |sc AS (SELECT c.surface, c.doc_id,
+         |    CAST(SUM(CAST(floor(ti.idf * ((CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))) / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * CAST(dlen.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))) * 1e9) AS BIGINT)) AS BIGINT) AS score_fp
+         |  FROM cand c
+         |  JOIN mt ON mt.surface = c.surface
+         |  JOIN p ON p.doc_id = c.doc_id AND p.token = mt.token
+         |  JOIN dlen ON dlen.doc_id = c.doc_id
+         |  JOIN ti ON ti.token = mt.token
+         |  CROSS JOIN st
+         |  GROUP BY 1, 2)
+         |SELECT surface, doc_id, CAST(score_fp AS DOUBLE) / 1e9 AS score,
+         |  CAST(rn AS INTEGER) AS rn
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY surface
+         |        ORDER BY score_fp DESC, doc_id ASC) AS rn FROM sc) t
+         |WHERE rn <= 5 ORDER BY surface, rn""".stripMargin,
     "q47_phrase_rank" ->
       s"""WITH $tokCte,
          |${textrankCtes(trK)},

@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked full-text candidate search — the SCORED half of the
+  * reference's tantivy surface (spacy-lancedb-linker's hybrid search,
+  * /root/reference/dev.ipynb cells 70-72 ≈L4069-4129): a multi-token mention
+  * queries the corpus and gets back relevance-RANKED candidates, not just
+  * filtered ones. q46's fuzzy/edit-distance search covers the typo half;
+  * this covers the ranking half.
+  *
+  * Scale design — classic inverted-index retrieval, never all-pairs:
+  *   - one shuffle builds the postings list (doc, token) → tf;
+  *   - token document frequencies are vocabulary-sized → broadcast;
+  *   - candidate GENERATION goes through each mention's `blockK` RAREST
+  *     tokens only (df asc, token asc — deterministic), the champion-list
+  *     pruning tantivy/Lucene's WAND family formalizes: per-mention fan-out
+  *     is bounded by the rare token's df, not by corpus size;
+  *   - candidate SCORING then uses ALL terms the mention shares with the
+  *     candidate (absent terms contribute 0 to BM25 anyway), so the score
+  *     is exact for every emitted candidate — blocking only bounds recall
+  *     (a candidate must share one of the mention's rare tokens).
+  *
+  * Cross-engine determinism (the DuckDB hash gate): `ln` differs from
+  * DuckDB's by 1 ulp on ~0.1% of arguments, so the IDF is quantized —
+  * `floor(ln(x)·1e9)/1e9` — which is bit-identical across engines for every
+  * df ≤ 50000 (verified exhaustively); all remaining arithmetic is IEEE
+  * mul/div on identical operands in identical order. Per-(mention, doc)
+  * term contributions are summed FIXED-POINT (floor(c·1e9) as BIGINT) so
+  * the sum is shuffle-order-independent, and ranking sorts the exact
+  * fixed-point score with doc-id tie-break.
+  */
+object RankedSearch {
+
+  /** Top-`topK` BM25-ranked documents per mention surface.
+    *
+    * @param docs     corpus with `idCol` (long) and `textCol` (string)
+    * @param mentions DataFrame with a string column `surface`
+    * @return (surface, doc_id, score double, rn int)
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               mentions: DataFrame,
+               k1: Double = 1.2, b: Double = 0.75,
+               blockK: Int = 1, topK: Int = 5): DataFrame = {
+    // Postings: (doc, token) → tf, plus per-doc length dl. One shuffle.
+    val postings = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docLen = postings.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("dl"))
+    // Corpus constants as a 1-row broadcast scalar (same pattern as nvec).
+    val stats = docLen.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // Token stats with quantized BM25+ idf: vocabulary-sized → broadcast.
+    val tokenIdf = broadcast(
+      postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          floor(log(lit(1.0) +
+            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * lit(1e9)).cast("double") / lit(1e9))
+        .select(col("token"), col("df"), col("idf")))
+
+    // Distinct (mention, term) pairs; qtf is ignored (standard for short
+    // queries — each distinct query term contributes once).
+    val mentionTerms = mentions.select(col("surface")).distinct()
+      .select(col("surface"), explode(TextOps.tokens(col("surface"))).as("token"))
+      .distinct()
+    // Champion-list blocking: each mention probes the index through its
+    // blockK rarest present tokens only.
+    val blockKeys = mentionTerms.join(tokenIdf.select(col("token"), col("df")), Seq("token"))
+      .withColumn("krn", row_number().over(
+        Window.partitionBy(col("surface")).orderBy(col("df").asc, col("token").asc)))
+      .filter(col("krn") <= blockK)
+      .select(col("surface"), col("token"))
+    val candidates = broadcast(blockKeys).join(postings, Seq("token"))
+      .select(col("surface"), col("doc_id")).distinct()
+
+    // Exact BM25 over every shared (mention term, candidate doc) pair.
+    val scored = candidates
+      .join(mentionTerms, Seq("surface"))
+      .join(postings, Seq("doc_id", "token"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .join(tokenIdf.select(col("token"), col("idf")), Seq("token"))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      // Literal arithmetic stays UNFOLDED ((k1 + 1), (1 - b)) so the oracle
+      // mirrors the exact IEEE op sequence instead of a pre-rounded literal.
+      .withColumn("contrib",
+        col("idf") * ((col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+          (col("tf").cast("double") + lit(k1) *
+            ((lit(1.0) - lit(b)) + lit(b) * col("dl").cast("double") / col("avgdl")))))
+      .groupBy(col("surface"), col("doc_id"))
+      .agg(sum(floor(col("contrib") * lit(1e9)).cast("long")).as("score_fp"))
+
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("surface"))
+          .orderBy(col("score_fp").desc, col("doc_id").asc)))
+      .filter(col("rn") <= topK)
+      .select(col("surface"), col("doc_id"),
+        (col("score_fp").cast("double") / lit(1e9)).as("score"), col("rn"))
+  }
+}
