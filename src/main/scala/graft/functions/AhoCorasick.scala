@@ -6,36 +6,62 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Token-level Aho–Corasick automaton: simultaneous search for MANY token
   * sequences in one left-to-right pass. Built once per executor from the
   * pattern literals.
+  *
+  * Transition keys are [[UTF8String]] so the scan-side walk compares the
+  * array elements directly — no per-token String materialization in the hot
+  * loop (UTF8String equality is a byte compare).
   */
 object TokenAhoCorasick {
 
   /** goto: per-state token → state; fail: suffix links; out: (len, entity)
     * patterns ending at each state (output links pre-merged at build). */
-  final class Automaton(goTo: Array[Map[String, Int]], fail: Array[Int],
+  final class Automaton(goTo: Array[Map[UTF8String, Int]], fail: Array[Int],
                         out: Array[List[(Int, Int)]]) extends Serializable {
-    def step(state: Int, tok: String): Int = {
+    def step(state: Int, tok: UTF8String): Int = {
       var s = state
       while (s != 0 && !goTo(s).contains(tok)) s = fail(s)
       goTo(s).getOrElse(tok, 0)
     }
     def outputs(state: Int): List[(Int, Int)] = out(state)
+
+    /** Full matching pass over one token array — the single entry point both
+      * interpreted eval and generated code call, so the two paths cannot
+      * diverge. Returns array<struct<pos,len,entity>> rows. */
+    def findSpans(tokens: ArrayData): ArrayData = {
+      val n = tokens.numElements()
+      val matches = mutable.ArrayBuffer.empty[InternalRow]
+      var state = 0
+      var i = 0
+      while (i < n) {
+        state = step(state, tokens.getUTF8String(i))
+        var os = out(state)
+        while (os.nonEmpty) {
+          val (len, entity) = os.head
+          matches += InternalRow(i - len + 1, len, entity)
+          os = os.tail
+        }
+        i += 1
+      }
+      new GenericArrayData(matches.toArray)
+    }
   }
 
   def build(patterns: Seq[(Seq[String], Int)]): Automaton = {
-    val goTo = mutable.ArrayBuffer(mutable.Map.empty[String, Int])
+    val goTo = mutable.ArrayBuffer(mutable.Map.empty[UTF8String, Int])
     val out = mutable.ArrayBuffer(mutable.ListBuffer.empty[(Int, Int)])
     patterns.foreach { case (toks, entity) =>
       var s = 0
       toks.foreach { t =>
-        s = goTo(s).getOrElseUpdate(t, {
+        s = goTo(s).getOrElseUpdate(UTF8String.fromString(t), {
           goTo += mutable.Map.empty; out += mutable.ListBuffer.empty
           goTo.length - 1
         })
@@ -78,16 +104,22 @@ object TokenAhoCorasick {
   *
   * `surfaces` (space-joined token patterns) and `entities` must be foldable
   * literals — the automaton is compiled lazily once per executor.
-  * Evaluation is `CodegenFallback`: the data-dependent goto/fail walk has no
-  * profitable straight-line codegen form; the cost is one virtual call per
-  * ROW (not per token), so scans stay batch-friendly.
+  *
+  * Codegen: the expression participates in whole-stage codegen via
+  * `doGenCode` — the automaton is attached as a codegen reference object and
+  * the generated code makes ONE call per row into the compiled
+  * [[TokenAhoCorasick.Automaton.findSpans]] walk. (The previous
+  * `CodegenFallback` form knocked the ENTIRE containing project stage out of
+  * WholeStageCodegen — CollapseCodegenStages rejects any stage containing a
+  * fallback expression — so every sibling expression in the projection paid
+  * the interpreted path too.)
   *
   * NULL handling: null token array → null; null elements cannot occur
   * (upstream tokenizers never emit null tokens).
   */
 case class AhoCorasickSpans(first: Expression, second: Expression,
                             third: Expression)
-  extends TernaryExpression with CodegenFallback {
+  extends TernaryExpression {
 
   override def prettyName: String = "ac_spans"
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -123,20 +155,17 @@ case class AhoCorasickSpans(first: Expression, second: Expression,
     TokenAhoCorasick.build(pats)
   }
 
-  override def nullSafeEval(tokens: Any, s: Any, e: Any): Any = {
-    val arr = tokens.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val matches = mutable.ArrayBuffer.empty[InternalRow]
-    var state = 0
-    var i = 0
-    while (i < n) {
-      state = automaton.step(state, arr.getUTF8String(i).toString)
-      automaton.outputs(state).foreach { case (len, entity) =>
-        matches += InternalRow(i - len + 1, len, entity)
-      }
-      i += 1
-    }
-    new GenericArrayData(matches.toArray)
+  override def nullSafeEval(tokens: Any, s: Any, e: Any): Any =
+    automaton.findSpans(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // The automaton rides along as a reference object (same vehicle Spark
+    // uses for compiled regex patterns); the row loop stays in the generated
+    // stage and costs one monomorphic call per row.
+    val auto = ctx.addReferenceObj("acAutomaton", automaton,
+      classOf[TokenAhoCorasick.Automaton].getName)
+    nullSafeCodeGen(ctx, ev, (tokens, _, _) =>
+      s"${ev.value} = $auto.findSpans($tokens);")
   }
 
   override protected def withNewChildrenInternal(

@@ -127,6 +127,32 @@ class NlpSpec extends SparkSuite {
     assert(viaAc.contains((0L, 4, "c", 1, 4)))
   }
 
+  test("ac_spans generated code is identical to interpreted eval") {
+    // doGenCode parity (CosineSimilarity-style): same matched set whether
+    // the expression runs inside whole-stage codegen or via eval().
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "a b a b c a x"), (1L, ""), (2L, "q q q c")).toDF("doc_id", "text")
+    val surfaces = Seq("a b", "a b c", "b c", "c", "x")
+    val entities = Seq(1, 2, 3, 4, 5)
+    def run(): Set[(Long, Int, String, Int, Int)] =
+      EntityLinking.acMentionSpans(d, surfaces, entities)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+          r.getInt(3), r.getInt(4))).toSet
+    val gen = run()
+    val oldWsc = s.conf.get("spark.sql.codegen.wholeStage")
+    val oldFac = s.conf.get("spark.sql.codegen.factoryMode")
+    try {
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
+      s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(run() == gen)
+    } finally {
+      s.conf.set("spark.sql.codegen.wholeStage", oldWsc)
+      s.conf.set("spark.sql.codegen.factoryMode", oldFac)
+    }
+    assert(gen.nonEmpty)
+  }
+
   test("phrase-level TextRank aggregates member-token ranks with counts") {
     val toks = EntityLinking.tokenStream(docs, "doc_id", "text")
     val pr = TextRank.pageRank(toks, 2, 4)

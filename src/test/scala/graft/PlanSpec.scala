@@ -108,4 +108,15 @@ class PlanSpec extends SparkSuite {
     assert(exchanges.exists(_.contains("fp_md5")))
     assert(!exchanges.exists(_.contains("text#")))
   }
+
+  test("q53 ac_spans match stage participates in whole-stage codegen") {
+    // ac_spans has a doGenCode (round-3 fix) — the generate/project stage
+    // that evaluates it must carry a `*(n)` codegen marker; with the old
+    // CodegenFallback the whole containing stage dropped to interpreted.
+    val p = executedPlan("q53_ac_mentions")
+    val acLines = p.linesIterator.filter(_.contains("ac_spans")).toSeq
+    assert(acLines.nonEmpty)
+    assert(acLines.exists(_.contains("*(")),
+      s"ac_spans stage not codegen'd:\n${acLines.mkString("\n")}")
+  }
 }
