@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   * 100 TB training-data pipeline carries them — the engine never interprets
   * media bytes except inside an explicit decode stage.
   *
-  * The decode kernels here are DETERMINISTIC STUBS (this container has no
-  * image/audio codecs): they derive stable pseudo-features from the payload
-  * bytes. The Spark-side plumbing — schema, encoders, batched
-  * `mapPartitions` (the JVM analog of `mapInPandas`: one iterator per
-  * partition, processed in fixed-size batches as a vectorized codec would),
-  * partition sizing, frame explosion — is real and tested, so swapping the
-  * stub for jpeg/ffmpeg decoding changes one function.
+  * IMAGE decode is REAL: [[decodeImageFeatures]] runs the JDK's own
+  * `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF readers ship with Java — zero
+  * external dependencies) and emits true pixel dimensions + channel
+  * statistics. Payloads in formats the runtime has no reader for fall back
+  * to DETERMINISTIC byte-stat pseudo-features flagged `decoded = false` —
+  * that fallback is the only remaining stub, and the Spark-side plumbing —
+  * schema, encoders, batched `mapPartitions` (the JVM analog of
+  * `mapInPandas`: one iterator per partition, processed in fixed-size
+  * batches as a vectorized codec would), partition sizing, frame explosion
+  * — is identical on both paths.
   *
   * Scale notes: payloads never enter a shuffle key; metadata-only transforms
   * are pure column expressions (codegen); decode is per-partition streaming
@@ -63,6 +66,71 @@ object MultimodalOps {
         batch.iterator.map(decodeStub)
       }
     }
+  }
+
+  /** Real image decode output: true pixel dimensions + channel mean when the
+    * JDK carries a reader for the format (`decoded = true`), byte-stat
+    * fallback otherwise (img_width/img_height = -1, mean = mean byte). */
+  case class ImageFeatures(doc_id: Long, decoded: Boolean, img_width: Int,
+                           img_height: Int, mean_luma: Double, n_bytes: Int)
+
+  /** REAL decode via `javax.imageio.ImageIO` — PNG/JPEG/BMP/GIF/WBMP readers
+    * ship with the JDK. `mean_luma` is the mean of (r+g+b)/3 over all pixels
+    * computed in exact integer sums (so a solid-color fixture decodes to its
+    * exact channel value — oracle-derivable without a decoder on the oracle
+    * side). Undecodable payloads (absent codec, truncated file) keep the
+    * deterministic stub path with `decoded = false`. */
+  def decodeImageFeatures(row: MediaRow): ImageFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
+      catch { case _: Exception => null }
+    if (img == null) {
+      val f = decodeStub(row)
+      ImageFeatures(row.doc_id, decoded = false, -1, -1, f.mean_byte, f.n_bytes)
+    } else {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      ImageFeatures(row.doc_id, decoded = true, w, h,
+        if (n == 0) 0.0 else sum.toDouble / (3.0 * n), row.payload.length)
+    }
+  }
+
+  /** Batched per-partition REAL image decode — same batch shape as
+    * [[extractFeatures]], kernel swapped for ImageIO. */
+  def decodeImages(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.iterator.map(decodeImageFeatures))
+    }
+  }
+
+  /** Deterministic PNG fixture encoder: a solid-color `w`×`h` RGB image.
+    * PNG is lossless, so decode recovers width/height/color exactly —
+    * letting a DuckDB oracle predict real-decode output arithmetically. */
+  def encodePng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Metadata-only resize: pure expression work, payload untouched (a real

@@ -24,6 +24,31 @@ object MediaQueries {
           col("out_width"), col("out_height"))
         .orderBy(col("doc_id"))),
 
+    // REAL image decode through the JDK's ImageIO: each document becomes a
+    // deterministic solid-gray PNG (w = 1+id%8, h = 1+id%5, luma = id%256),
+    // the batched mapPartitions decode recovers true pixel dimensions and
+    // the exact channel mean, and the oracle predicts the decode output
+    // arithmetically (PNG is lossless) — no decoder needed on the oracle
+    // side. Proves the decode path end-to-end: encode → bytes → ImageIO →
+    // pixel stats.
+    "q67_image_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (1 + id % 8).toInt
+          val h = (1 + id % 5).toInt
+          val c = (id % 256).toInt
+          MultimodalOps.MediaRow(id, "image",
+            MultimodalOps.encodePng(w, h, (c << 16) | (c << 8) | c),
+            "png", w, h, 0L)
+        }
+      MultimodalOps.decodeImages(media).toDF()
+        .select(col("doc_id"), col("decoded"), col("img_width"),
+          col("img_height"), col("mean_luma"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame-sampling MANIFEST (relational twin of MultimodalOps.sampleFrames'
     // schedule): one row per sampled frame of each video every 1000 ms —
     // the generate runs map-side off metadata; the byte-slicing stub decode
@@ -58,6 +83,12 @@ object MediaQueries {
         |  CAST(ceil(width * scale) AS INTEGER) AS out_width,
         |  CAST(ceil(height * scale) AS INTEGER) AS out_height
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q67_image_decode" ->
+      """SELECT doc_id, true AS decoded,
+        |  CAST(1 + doc_id % 8 AS INTEGER) AS img_width,
+        |  CAST(1 + doc_id % 5 AS INTEGER) AS img_height,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q57_frame_manifest" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(n_chars * 10 AS BIGINT) AS duration_ms

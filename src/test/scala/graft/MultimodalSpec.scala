@@ -53,4 +53,38 @@ class MultimodalSpec extends SparkSuite {
       .map(r => r.getLong(0) -> (r.getString(1), r.getAs[Array[Byte]](2).length)).toMap
     assert(m(0L) == ("image", 16) && m(1L) == ("audio", 16) && m(2L) == ("video", 16))
   }
+
+  test("decodeImages: REAL ImageIO decode of generated PNG/JPEG, stub fallback for garbage") {
+    val s = spark
+    import s.implicits._
+    // gradient PNG: 4x2, row y has luma 10 + 100*y in all channels
+    val grad = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val c = 10 + 100 * y
+      grad.setRGB(x, y, (c << 16) | (c << 8) | c)
+    }
+    val gradOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(grad, "png", gradOut)
+    val jpgOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(grad, "jpg", jpgOut)
+    val rows = Seq(
+      MediaRow(0L, "image", MultimodalOps.encodePng(7, 3, 0x404040), "png", 7, 3, 0L),
+      MediaRow(1L, "image", gradOut.toByteArray, "png", 4, 2, 0L),
+      MediaRow(2L, "image", jpgOut.toByteArray, "jpeg", 4, 2, 0L),
+      MediaRow(3L, "image", Array[Byte](1, 2, 3, 4), "not-an-image", 0, 0, 0L)).toDS()
+    val f = MultimodalOps.decodeImages(rows, batchSize = 2).collect()
+      .map(x => x.doc_id -> x).toMap
+    // solid PNG: exact dims and exact channel mean (lossless)
+    assert(f(0L).decoded && f(0L).img_width == 7 && f(0L).img_height == 3)
+    assert(f(0L).mean_luma == 64.0)
+    // gradient PNG: exact mean of the two row lumas
+    assert(f(1L).decoded && f(1L).img_width == 4 && f(1L).img_height == 2)
+    assert(f(1L).mean_luma == 60.0)
+    // JPEG is lossy: real decode, dims exact, mean near the PNG truth
+    assert(f(2L).decoded && f(2L).img_width == 4 && f(2L).img_height == 2)
+    assert(math.abs(f(2L).mean_luma - 60.0) < 16.0)
+    // garbage bytes: deterministic stub fallback, flagged undecoded
+    assert(!f(3L).decoded && f(3L).img_width == -1 && f(3L).n_bytes == 4)
+  }
 }
