@@ -45,19 +45,26 @@ object DedupOps {
     * and is what LSH replaces at scale. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
+    // cached for the loop (sizes + both self-join sides), released before
+    // return via the materialize-then-unpersist tail
     val sh = shingleTable(docs, idCol, textCol, n).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("common"))
-    common
+    val pairs = common
       .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
       .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), Seq("db"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("da"), col("db"), col("jaccard"))
+    // materialize the (small) near-dup pair set, then release the shingle
+    // cache — no cache-registry residue survives the call
+    val out = pairs.localCheckpoint()
+    sh.unpersist()
+    out
   }
 
   /** Prefix-filtered exact Jaccard (same result set as [[jaccardPairs]],
@@ -90,7 +97,7 @@ object DedupOps {
     val cands = ranked.as("a").join(ranked.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
-    cands
+    val pairs = cands
       .join(docSets.select(col("doc_id").as("da"), col("sh_arr").as("sa")), Seq("da"))
       .join(docSets.select(col("doc_id").as("db"), col("sh_arr").as("sb")), Seq("db"))
       .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
@@ -98,6 +105,9 @@ object DedupOps {
         (size(col("sa")) + size(col("sb")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("da"), col("db"), col("jaccard"))
+    val out = pairs.localCheckpoint()
+    docSets.unpersist()
+    out
   }
 
   /** Modulus of the universal MinHash family (2^28: products stay far below
@@ -153,7 +163,9 @@ object DedupOps {
       .groupBy(col("da"), col("db"))
       .agg((sum(when(col("ha") === col("hb"), 1).otherwise(0)).cast("double") / k)
         .as("est_jaccard"))
-    est.filter(col("est_jaccard") >= threshold)
+    val out = est.filter(col("est_jaccard") >= threshold).localCheckpoint()
+    sig.unpersist()
+    out
   }
 
   /** SimHash as a single per-row EXPRESSION over a token array — identical

@@ -76,6 +76,7 @@ object NlpQueries {
     // V4/W2 — TextRank keyphrases: co-occurrence PageRank, top-3 per doc.
     "q35_textrank" -> ((s, d) =>
       // cached: the token stream feeds nodes + 4 co-occurrence join scans
+      // (query-owned cache; library ops below self-release their own)
       TextRank.topPhrases(docTokens(s, d).cache(), trWindow, trIters, trK)
         .orderBy(col("doc_id"), col("rn"))),
 

@@ -154,12 +154,13 @@ object EntityLinking {
     * set stays small at any corpus size.
     * Output: (doc_id, pos, surface, len, entity). */
   def phraseMentionsGlobal(spans: DataFrame, gaz: DataFrame): DataFrame = {
-    // cached: the matched set feeds BOTH sides of the dominance anti-join —
-    // without it the span ⋈ gazetteer subtree runs twice
+    // materialized once: the matched set feeds BOTH sides of the dominance
+    // anti-join — without it the span ⋈ gazetteer subtree runs twice
+    // (localCheckpoint, not cache: no session cache-registry residue)
     val m = spans
       .join(broadcast(gaz.select(col("surface"), col("entity"))), Seq("surface"))
       .select(col("doc_id"), col("pos"), col("len"), col("surface"), col("entity"))
-      .cache()
+      .localCheckpoint()
     m.as("s").join(m.as("t"),
         col("t.doc_id") === col("s.doc_id") &&
         (col("t.len") > col("s.len") ||

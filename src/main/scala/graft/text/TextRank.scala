@@ -57,6 +57,10 @@ object TextRank {
     // Loop invariants are CACHED: without this every iteration's reference
     // re-derives the tokenize→distinct→self-join subtree, so the final plan
     // contains it `iterations`× (GraphX does the same for its edge RDD).
+    // Columnar cache (not localCheckpoint) for the loop — the invariants are
+    // scanned 4×/iteration and InMemoryRelation reads beat row-RDD reads —
+    // then released before returning (see the materialize-then-unpersist
+    // tail, same discipline as GraphOps.pageRankDeterministic).
     val nodes = tokens.select(col("doc_id"), col("token")).distinct().cache()
     val n = nodes.groupBy(col("doc_id")).agg(count(lit(1)).as("n")).cache()
     val edges = coocEdges(tokens, window).cache()
@@ -81,7 +85,14 @@ object TextRank {
           (lit(teleport) / col("n") +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
     }
-    ranks
+    // Materialize the final ranks (small: one row per distinct doc-token) so
+    // the invariant caches can be dropped without the caller's later action
+    // re-deriving the whole loop — a library call must leave NOTHING in the
+    // session cache registry (un-owned entries accumulate over a long-lived
+    // session and alias by logical plan across unrelated queries).
+    val out = ranks.localCheckpoint()
+    nodes.unpersist(); n.unpersist(); edges.unpersist(); outdeg.unpersist()
+    out
   }
 
   /** Per-doc top-k tokens by rank (W1 window top-k; ties → token asc).
