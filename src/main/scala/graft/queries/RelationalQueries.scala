@@ -110,6 +110,25 @@ object RelationalQueries {
         .orderBy(col("alias"), col("entity"))
     }),
 
+    // A1 via the NATIVE counter_map TypedImperativeAggregate — same oracle
+    // string as q07, proving the custom aggregate under the hash gate (not
+    // just RelationalSpec's equality law): one counter buffer per alias
+    // (map-side combinable), exploded back to (entity, cnt) rows, with
+    // probability computed by the same IEEE double/long division as q07.
+    "q68_counter_probabilities" -> ((s, d) => {
+      graft.functions.CounterMapFunctions.register(s)
+      Tables.part(s, d)
+        .groupBy(col("p_name").as("alias"))
+        .agg(call_function("counter_map", col("p_brand")).as("cm"))
+        .select(col("alias"),
+          aggregate(map_values(col("cm")), lit(0L), (a, b) => a + b).as("n_obs"),
+          explode(col("cm")).as(Seq("entity", "cnt")))
+        .select(col("alias"), col("entity"), col("cnt"),
+          (col("cnt").cast("double") / col("n_obs")).as("probability"),
+          col("n_obs"))
+        .orderBy(col("alias"), col("entity"))
+    }),
+
     // W1 — per-group top-k: top 3 orders by totalprice per customer.
     "q08_topk_window" -> ((s, d) => {
       Relational.topKPerGroup(Tables.orders(s, d),
@@ -254,6 +273,16 @@ object RelationalQueries {
         |       ELSE 'MISC' END AS type
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q07_alias_probabilities" ->
+      """WITH bc AS (
+        |  SELECT p_name AS alias, p_brand AS entity, COUNT(*) AS cnt
+        |  FROM part GROUP BY 1, 2)
+        |SELECT alias, entity, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY alias) AS BIGINT) AS probability,
+        |  CAST(SUM(cnt) OVER (PARTITION BY alias) AS BIGINT) AS n_obs
+        |FROM bc ORDER BY alias, entity""".stripMargin,
+    // Same oracle as q07 — the native aggregate must reproduce the
+    // relational two-level aggregation bit for bit.
+    "q68_counter_probabilities" ->
       """WITH bc AS (
         |  SELECT p_name AS alias, p_brand AS entity, COUNT(*) AS cnt
         |  FROM part GROUP BY 1, 2)
