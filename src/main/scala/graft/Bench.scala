@@ -2,10 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. Measures STEADY-STATE: one untimed warm-up pass
-  * first (JIT + whole-stage-codegen compilation dominate cold numbers on
-  * this suite — cold-vs-warm varies 2× run to run), then the timed pass.
-  * Set SPARK_GRAFT_WARMUP=0 to time the cold pass instead.
+  * prints ONE JSON line. Measures STEADY-STATE: one warm-up pass first (JIT
+  * + whole-stage-codegen compilation dominate cold numbers on this suite —
+  * cold-vs-warm varies 2× run to run), then the timed pass. BOTH passes'
+  * per-query times are emitted ("warmup_queries" / "queries") so
+  * compile-noise artifacts are diagnosable from the JSON alone; the headline
+  * total comes from the steady-state pass. Set SPARK_GRAFT_WARMUP=0 to time
+  * the cold pass only.
   *
   * The timed action is a `noop`-format WRITE, not count(): under a count
   * Catalyst eliminates final sorts and prunes the project (EliminateSorts
@@ -33,26 +36,30 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def runFull(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    if (warmup) {
-      selected.foreach { case (_, fn) =>
-        try { runFull(fn) } catch { case _: Throwable => }
-      }
-      // drop caches populated by the warm-up so the timed pass measures the
-      // real plans (cache() inside queries would otherwise alias by logical
-      // plan and turn the timed pass into a cache read)
-      spark.sharedState.cacheManager.clearCache()
-    }
-    val results = selected.map { case (name, fn) =>
+    def timedPass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { runFull(fn); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // BOTH passes are timed and reported (warm-up per-query times diagnose
+    // JIT/codegen-compile noise from the artifact alone — a query that is
+    // fast warm but 3× cold is compile-bound, not plan-bound); only the
+    // steady-state pass feeds the headline total.
+    val warmupTimes: Map[String, Double] = if (warmup) {
+      val w = timedPass()
+      // drop caches populated by the warm-up so the timed pass measures the
+      // real plans (cache() inside queries would otherwise alias by logical
+      // plan and turn the timed pass into a cache read)
+      spark.sharedState.cacheManager.clearCache()
+      w
+    } else Map.empty
+    val results = timedPass()
+    def js(m: Map[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},"warmup_queries":${js(warmupTimes)},"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
