@@ -142,7 +142,26 @@ object StreamingQueries {
         StreamOps.nearDupDedup(docsStream(s, d), "text", "1 hour"),
         "q65_stream_neardup", "append")
         .select(col("simhash"))
-        .orderBy(col("simhash"))))
+        .orderBy(col("simhash"))),
+
+    // CUSTOM arbitrary state (flatMapGroupsWithState + event-time timeout):
+    // per-user 30-min-gap sessions with running sums. Emission rule under a
+    // finite replay: a session is output when a later same-user event closes
+    // it (in-batch) or when the final watermark (max_ts - gap) passes its
+    // timeout (last_ts + gap) — so each user's LAST session appears iff
+    // last_ts + gap < max_ts - gap, and the oracle encodes exactly that
+    // closure rule. Sums are sequential folds over the ts-ordered events
+    // ((user_id, ts) is unique at every SF), mirrored by list_reduce.
+    "q69_stream_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .select(col("user_id"), col("ts"), col("value")).as[StreamOps.Ev]
+      runToTable(StreamOps.sessionizeWithState(ev, gapMs = 1800000L).toDF(),
+        "q69_stream_sessionize", "append")
+        .select(col("user_id"), col("s_start"), col("s_end"), col("n"),
+          col("sum_value"))
+        .orderBy(col("user_id"), col("s_start"))
+    }))
 
   /** DuckDB mirror of TextOps.tokens (same fragment as TextQueries). */
   private val toksSql =
@@ -227,6 +246,39 @@ object StreamingQueries {
          |  SELECT doc_id,
          |    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
          |  FROM bits GROUP BY doc_id)
-         |SELECT DISTINCT simhash FROM sig ORDER BY simhash""".stripMargin
+         |SELECT DISTINCT simhash FROM sig ORDER BY simhash""".stripMargin,
+    // Gaps-and-islands sessions (strict > gap, q31's boundary semantics)
+    // plus the replay closure rule: every non-last session of a user is
+    // emitted; the last one only if its timeout (last_ts + gap) is strictly
+    // below the final watermark (max_ts - gap). Session sums replicate the
+    // sessionizer's sequential ts-ordered fold via list_reduce.
+    "q69_stream_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL '30 minutes'
+        |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, sess, MIN(ts) AS s_start,
+        |    MAX(ts) + INTERVAL '30 minutes' AS s_end,
+        |    COUNT(*) AS n,
+        |    list_reduce(list_prepend(0.0, list(value ORDER BY ts)),
+        |                (a, b) -> a + b) AS sum_value,
+        |    MAX(ts) AS last_ts
+        |  FROM s GROUP BY user_id, sess),
+        |g2 AS (SELECT *, MAX(sess) OVER (PARTITION BY user_id) AS max_sess FROM g),
+        |m AS (SELECT MAX(ts) AS max_ts FROM events)
+        |SELECT user_id, s_start, s_end, CAST(n AS BIGINT) AS n, sum_value
+        |FROM g2 CROSS JOIN m
+        |WHERE sess < max_sess
+        |   OR last_ts + INTERVAL '30 minutes' < max_ts - INTERVAL '30 minutes'
+        |ORDER BY user_id, s_start""".stripMargin
   )
 }

@@ -61,9 +61,21 @@ object StreamOps {
   /** Custom sessionization via `flatMapGroupsWithState`: per-user sessions
     * closed after `gapMs` of event-time inactivity (event-time timeout).
     * Demonstrates the arbitrary-state API the built-in `session_window`
-    * cannot express (e.g. carrying running sums with custom close logic). */
+    * cannot express (e.g. carrying running sums with custom close logic).
+    *
+    * State timestamps are MICROSECOND epoch values — `Timestamp.getTime` is
+    * millisecond-truncating, and a state built on it silently drops the µs
+    * component of every boundary (caught by the q69 oracle gate). Running
+    * sums are sequential folds over the ts-sorted events of each batch, so
+    * the value is reproducible wherever (key, ts) is unique. */
   def sessionizeWithState(events: Dataset[Ev], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
+    def usOf(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def tsOf(us: Long): java.sql.Timestamp =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
     events
       .withWatermark("ts", s"${gapMs / 1000} seconds")
       .groupByKey(_.user_id)
@@ -73,20 +85,20 @@ object StreamOps {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(user, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.lastTs + gapMs), s.n, s.sumValue))
+            Iterator(Session(user, tsOf(s.start),
+              tsOf(s.lastTs + gapUs), s.n, s.sumValue))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => usOf(e.ts))
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = usOf(e.ts)
               cur match {
-                case Some(s) if t - s.lastTs <= gapMs =>
+                case Some(s) if t - s.lastTs <= gapUs =>
                   cur = Some(SessionState(s.start, t, s.n + 1, s.sumValue + e.value))
                 case Some(s) =>
-                  closed += Session(user, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.lastTs + gapMs), s.n, s.sumValue)
+                  closed += Session(user, tsOf(s.start),
+                    tsOf(s.lastTs + gapUs), s.n, s.sumValue)
                   cur = Some(SessionState(t, t, 1L, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1L, e.value))
@@ -94,7 +106,9 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastTs + gapMs)
+              // GroupState's timeout API takes MILLISECONDS — round the µs
+              // deadline UP so the timeout never fires a µs-fraction early
+              state.setTimeoutTimestamp(Math.ceil((s.lastTs + gapUs) / 1000.0).toLong)
             }
             closed.result().iterator
           }
