@@ -44,12 +44,18 @@ object RankedSearch {
                mentions: DataFrame,
                k1: Double = 1.2, b: Double = 0.75,
                blockK: Int = 1, topK: Int = 5): DataFrame = {
-    // Postings: (doc, token) → tf, plus per-doc length dl. One shuffle.
+    // Postings: (doc, token) → tf, plus per-doc length dl. One shuffle —
+    // and CACHED for the call: the postings list is referenced four times
+    // (doc lengths, df stats, candidate generation, scoring) and an
+    // uncached reference re-scans and re-aggregates the corpus each time.
+    // This is the inverted-index BUILD — released before returning via the
+    // materialize-then-unpersist tail (cache-leak-free, CacheHygieneSpec).
     val postings = docs
       .select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .cache()
     val docLen = postings.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("dl"))
     // Corpus constants as a 1-row broadcast scalar (same pattern as nvec).
@@ -98,12 +104,15 @@ object RankedSearch {
       .groupBy(col("surface"), col("doc_id"))
       .agg(sum(floor(col("contrib") * lit(1e9)).cast("long")).as("score_fp"))
 
-    scored
+    val ranked = scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("surface"))
           .orderBy(col("score_fp").desc, col("doc_id").asc)))
       .filter(col("rn") <= topK)
       .select(col("surface"), col("doc_id"),
         (col("score_fp").cast("double") / lit(1e9)).as("score"), col("rn"))
+    val out = ranked.localCheckpoint()
+    postings.unpersist()
+    out
   }
 }

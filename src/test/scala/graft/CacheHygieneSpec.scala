@@ -25,6 +25,8 @@ class CacheHygieneSpec extends SparkSuite {
     val spans = EntityLinking.ngramSpans(docs, 3)
     EntityLinking.phraseMentionsGlobal(spans,
       EntityLinking.phraseGazetteer(spans, 5)).collect()
+    graft.text.RankedSearch.bm25TopK(docs, "doc_id", "text",
+      Seq("a b").toDF("surface"), blockK = 2, topK = 3).collect()
     assert(s.sharedState.cacheManager.isEmpty,
       "a library op registered a cache entry it never released")
   }
