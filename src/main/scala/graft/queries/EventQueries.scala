@@ -80,6 +80,33 @@ object EventQueries {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // Exact discrete quantiles per group — the ops-dashboard shape (p50/p95
+    // latency per type). percentile_disc picks an ACTUAL element (no
+    // interpolation arithmetic), verified to agree with DuckDB's
+    // quantile_disc; at 100 TB the approx_percentile sketch is the scale
+    // path, but a sketch has no cross-engine oracle — the exact form is the
+    // gated baseline.
+    "q70_quantiles" -> ((s, d) =>
+      ev(s, d).groupBy(col("event_type"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("p95"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    // LAG/LEAD analytics: inter-event gap (exact integer µs — no float
+    // interval arithmetic) and the next event's type, per user.
+    "q71_lag_lead" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d).select(col("user_id"), col("event_id"), col("ts"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+            .as("gap_us"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
+
     // As-of join: each click picks up the latest prior error of its user.
     "q32_asof_join" -> ((s, d) => {
       val e = ev(s, d)
@@ -167,6 +194,19 @@ object EventQueries {
         |  ON c.user_id = e.user_id AND c.ts >= e.ts
         | AND c.ts < e.ts + INTERVAL '1 hour'
         |GROUP BY 1, 2 ORDER BY e.event_id""".stripMargin,
+    "q70_quantiles" ->
+      """SELECT event_type,
+        |  quantile_disc(value, 0.5) AS p50,
+        |  quantile_disc(value, 0.95) AS p95,
+        |  MIN(value) AS vmin, MAX(value) AS vmax, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q71_lag_lead" ->
+      """SELECT user_id, event_id, ts,
+        |  epoch_us(ts) - LAG(epoch_us(ts)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us,
+        |  LEAD(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
     "q32_asof_join" ->
       """SELECT c.event_id, c.user_id, c.ts,
         |  e.value AS err_value, e.event_id AS err_event_id

@@ -206,4 +206,60 @@ class StreamingSpec extends SparkSuite {
       assert(stream == batch)
     } finally q.stop()
   }
+
+  test("ingest resumes from checkpoint with exactly-once output and restored dedup state") {
+    // The production property the memory-sink gates can't show: stop the
+    // ingest query, add more files, RESTART from the same checkpoint with
+    // the fault-tolerant file sink — already-processed files are not
+    // re-emitted (exactly-once), and a re-crawled duplicate arriving AFTER
+    // the restart is suppressed by the dropDuplicates state restored from
+    // the state store.
+    val s = spark
+    import s.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("ingest_src").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("ingest_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest_ckpt").toString
+    val schema = "doc_id LONG, ts TIMESTAMP, text STRING"
+    def docs(rows: (Long, String)*) =
+      rows.map { case (id, t) => (id, ts((id % 50).toInt), t) }
+        .toDF("doc_id", "ts", "text")
+    def runOnce(): Unit = {
+      val q = StreamOps.ingestPipeline(
+          s.readStream.schema(schema).parquet(srcDir),
+          minQuality = 0.0, chunkSize = 4, overlap = 1, watermark = "2 hours")
+        .writeStream.format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val text0 = "the quick brown fox jumps over the lazy dog"
+    docs((0L, text0), (1L, "pack my box with five dozen jugs"))
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    val phase1 = s.read.parquet(sinkDir).select("fp").collect().map(_.getString(0))
+    assert(phase1.nonEmpty)
+    // phase 2: one genuinely new doc + one re-crawl of doc 0 (same text)
+    docs((2L, "sphinx of black quartz judge my vow"), (3L, text0))
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    val all = s.read.parquet(sinkDir).select("fp", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // exactly-once: no fp appears twice — phase-1 files were not re-emitted
+    // AND the re-crawled doc 3 was suppressed by the RESTORED dedup state
+    assert(all.map(_._1).distinct.length == all.length,
+      s"duplicate fingerprints after restart: ${all.mkString(", ")}")
+    assert(!all.exists(_._2 == 3L), "re-crawled duplicate must not re-emit")
+    assert(all.exists(_._2 == 2L), "genuinely new doc must flow through")
+    // and the surviving fp set equals the one-shot batch semantics
+    val batchFps = docs((0L, text0), (1L, "pack my box with five dozen jugs"),
+        (2L, "sphinx of black quartz judge my vow"), (3L, text0))
+      .select(posexplode(graft.text.TextOps.chunks(
+        graft.text.TextOps.maskPii(col("text")), 4, 1)).as(Seq("cid", "chunk")))
+      .select(md5(col("chunk")).as("fp")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(all.map(_._1).toSet == batchFps)
+  }
 }
