@@ -98,6 +98,19 @@ object TextQueries {
         .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("first_key"))
         .orderBy(col("masked"))),
 
+    // Deterministic STRATIFIED HASH SAMPLING — the reproducible
+    // downsampling pattern for training corpora: never rand() (resumable,
+    // engine-portable, joinable across runs); the keep decision is a pure
+    // function of content hash + stratum. Dominant-language docs ('en')
+    // are downsampled 1/4, the rest 1/2 — the mixture-rebalancing shape.
+    "q72_hash_sample" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("rate",
+          when(col("lang") === "en", lit(4L)).otherwise(lit(2L)))
+        .filter(pmod(TextOps.tokenHash60(col("text")), col("rate")) === 0)
+        .select(col("doc_id"), col("source"), col("lang"), col("rate"))
+        .orderBy(col("doc_id"))),
+
     // Near-dup CANONICALIZATION — the step that actually shrinks a training
     // corpus: MinHash+LSH pairs → connected components (transitive closure of
     // near-duplication) → keep the min-id representative per group. Docs in
@@ -244,6 +257,13 @@ object TextQueries {
          |          '[0-9]+', '<NUM>', 'g') AS masked
          |      FROM customer) t
          |GROUP BY masked ORDER BY masked""".stripMargin,
+    "q72_hash_sample" ->
+      """SELECT doc_id, source, lang,
+        |  CASE WHEN lang = 'en' THEN CAST(4 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS rate
+        |FROM documents
+        |WHERE CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+        |      % (CASE WHEN lang = 'en' THEN 4 ELSE 2 END) = 0
+        |ORDER BY doc_id""".stripMargin,
     "q52_dedup_canonical" ->
       s"""WITH RECURSIVE $shingleCte,
          |hs AS (
