@@ -107,6 +107,22 @@ object EventQueries {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
 
+    // Ranking-window family: quartile bucket, percent_rank, cume_dist per
+    // event_type over value. All three are integer-derived ((rank-1)/(n-1),
+    // rows<=current/n — exact-rounded IEEE division of integers on both
+    // engines), so the gate holds bit-for-bit. (ts, event_id) tie-break
+    // makes the order total.
+    "q73_rank_windows" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      ev(s, d).select(col("event_type"), col("event_id"), col("value"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("event_type"), col("value"), col("event_id"))
+    }),
+
     // As-of join: each click picks up the latest prior error of its user.
     "q32_asof_join" -> ((s, d) => {
       val e = ev(s, d)
@@ -126,6 +142,14 @@ object EventQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q73_rank_windows" ->
+      """SELECT event_type, event_id, value,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, value, event_id""".stripMargin,
     "q29_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
         |  COUNT(*) AS n,
