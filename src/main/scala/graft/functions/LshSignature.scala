@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sign-LSH signature as a native Catalyst expression — the resolved-tree
+  * twin of [[graft.vector.VectorOps.lshSignature]]'s HOF form, for use in
+  * post-analysis optimizer rewrites ([[graft.plans.RewriteApproxCosineJoin]])
+  * where Column-API trees would arrive unresolved. BIT-IDENTICAL to the HOF
+  * path: same plane-weight integer arithmetic, same sequential
+  * double-accumulation order, same `proj >= 0` bit rule — locked by
+  * ExtensionsSpec equating the rewritten join with `lshNeighborPairs` and by
+  * q74 sharing q27's oracle.
+  */
+case class LshSignature(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "lsh_signature"
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = left.nullable
+
+  private def elemIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(FloatType | DoubleType, _) if right.foldable &&
+      right.dataType == IntegerType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "lsh_signature requires (array<float|double>, literal int)")
+  }
+
+  @transient private lazy val nPlanes: Int =
+    right.eval(null).asInstanceOf[Number].intValue()
+
+  override def nullSafeEval(vec: Any, n: Any): Any =
+    UTF8String.fromString(LshSignature.compute(
+      vec.asInstanceOf[ArrayData], nPlanes, elemIsFloat))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = LshSignature.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val isF = elemIsFloat.toString
+    nullSafeCodeGen(ctx, ev, (vec, _) =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  $cls.compute($vec, $nPlanes, $isF));""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LshSignature =
+    copy(left = newLeft, right = newRight)
+}
+
+object LshSignature {
+  /** Mirrors VectorOps.planeWeight/lshSignature exactly: per plane p, fold
+    * acc = Σ_d vec(d).toDouble · w(p,d) left-to-right, bit = proj >= 0. */
+  def compute(vec: ArrayData, nPlanes: Int, elemIsFloat: Boolean): String = {
+    val n = vec.numElements()
+    val sb = new java.lang.StringBuilder(nPlanes)
+    var p = 0
+    while (p < nPlanes) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (elemIsFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+        val w = ((p.toLong * 73856093L + d.toLong * 19349663L) % 10007L)
+          .toDouble / 10007.0 * 2.0 - 1.0
+        acc += x * w
+        d += 1
+      }
+      sb.append(if (acc >= 0) '1' else '0')
+      p += 1
+    }
+    sb.toString
+  }
+}

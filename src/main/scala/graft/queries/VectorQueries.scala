@@ -39,6 +39,25 @@ object VectorQueries {
       VectorOps.lshNeighborPairs(emb(s, d), 8, 0.2)
         .orderBy(col("ia"), col("ib"))),
 
+    // SAME semantics and SAME oracle as q27, but DECLARATIVE: the user
+    // writes a join on the approx_cosine_join marker predicate and the
+    // RewriteApproxCosineJoin optimizer rule (SparkSessionExtensions /
+    // GraftRules.install) turns the quadratic marker join into the LSH
+    // bucket equi-join + exact cosine verify — SURVEY §4's "custom
+    // similarity-join strategy" tier, proven under the hash gate.
+    "q74_approx_join_rule" -> ((s, d) => {
+      graft.plans.GraftRules.install(s)
+      val e = emb(s, d)
+      val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      a.join(b,
+          call_function("approx_cosine_join",
+            col("ea"), col("eb"), lit(0.2), lit(8)) && col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          call_function("cosine_sim", col("ea"), col("eb")).as("cosine"))
+        .orderBy(col("ia"), col("ib"))
+    }),
+
     // HOF-fold cross-check of the native expression on a vec_id<300 subset:
     // same math through `aggregate`/`zip_with`, bit-identical per element —
     // keeps the portable reference implementation in the correctness gate
@@ -118,6 +137,15 @@ object VectorQueries {
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.35
          |ORDER BY ia, ib""".stripMargin,
     "q27_lsh_pairs" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding, $sigSql AS bucket FROM embeddings)
+         |SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |       ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.2
+         |ORDER BY ia, ib""".stripMargin,
+    // q74 = q27 through the optimizer-rule rewrite — same oracle verbatim.
+    "q74_approx_join_rule" ->
       s"""WITH sig AS (
          |  SELECT vec_id, embedding, $sigSql AS bucket FROM embeddings)
          |SELECT a.vec_id AS ia, b.vec_id AS ib,
