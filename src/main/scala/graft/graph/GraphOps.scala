@@ -86,6 +86,27 @@ object GraphOps {
     graph.connectedComponents().vertices.toDF("id", "component")
   }
 
+  /** Per-vertex TRIANGLE counts over a canonically-oriented (src < dst)
+    * undirected edge list: `e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c)` enumerates each
+    * triangle exactly once (a < b < c), then each corner credits its three
+    * vertices. The relational form of GraphX's triangleCount — kept as
+    * DataFrame joins so Catalyst handles the two equi-joins (and AQE's
+    * skew split covers hub vertices, whose degree concentrates the first
+    * join's key). Work is O(Σ deg(v)²) like every triangle enumeration —
+    * run it on a pruned/projected graph, not raw fact edges.
+    * Output: (id, n_triangles) for vertices in ≥1 triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(e.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** V4 support / W2 — PageRank, fixed iteration count for determinism
     * (GraphX staticPageRank; resetProb 0.15 like the pytextrank default).
     */

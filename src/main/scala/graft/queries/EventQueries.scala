@@ -123,6 +123,25 @@ object EventQueries {
         .orderBy(col("event_type"), col("value"), col("event_id"))
     }),
 
+    // FUNNEL sequence analysis (the MATCH_RECOGNIZE shape): per user, the
+    // deepest prefix of view → click → purchase reachable as an ORDERED
+    // subsequence of their event stream. One shuffle (groupBy user), then
+    // pure expression work: sort_array over (ts, event_id, type) structs
+    // makes the collected order total regardless of partitioning, and the
+    // stage is a sequential integer fold — deterministic on both engines.
+    "q75_funnel" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+        .withColumn("stage", aggregate(col("evs"), lit(0),
+          (st, e) => when(st === 0 && e.getField("event_type") === "view", 1)
+            .when(st === 1 && e.getField("event_type") === "click", 2)
+            .when(st === 2 && e.getField("event_type") === "purchase", 3)
+            .otherwise(st)))
+        .select(col("user_id"), col("stage"))
+        .orderBy(col("user_id"))),
+
     // As-of join: each click picks up the latest prior error of its user.
     "q32_asof_join" -> ((s, d) => {
       val e = ev(s, d)
@@ -142,6 +161,19 @@ object EventQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    // Stage codes 1/2/3 = view/click/purchase; the fold advances the stage
+    // exactly like the Spark aggregate lambda, over the same total order.
+    "q75_funnel" ->
+      """SELECT user_id,
+        |  CAST(list_reduce(list_prepend(0,
+        |    list(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |              WHEN 'purchase' THEN 3 ELSE 0 END
+        |         ORDER BY ts, event_id)),
+        |    (st, t) -> CASE WHEN st = 0 AND t = 1 THEN 1
+        |                    WHEN st = 1 AND t = 2 THEN 2
+        |                    WHEN st = 2 AND t = 3 THEN 3
+        |                    ELSE st END) AS INTEGER) AS stage
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q73_rank_windows" ->
       """SELECT event_type, event_id, value,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,

@@ -79,6 +79,24 @@ object GraphQueries {
         .agg(count(lit(1)).as("shared_suppliers"))
         .filter(col("shared_suppliers") >= 2)
         .orderBy(col("cust_a"), col("cust_b"))
+    }),
+
+    // TRIANGLE counts on the q44 co-shopper projection (the bipartite
+    // entity graph itself has none): project the unipartite customer graph
+    // (≥2 shared suppliers), then enumerate each a<b<c triangle once and
+    // credit all three corners. Classic projection→triangles pipeline;
+    // edge-proportional joins, never a vertex-cubed sweep.
+    "q76_triangle_counts" -> ((s, d) => {
+      val e = Erkg.entityEdges(s, d)
+        .filter(col("src") < Erkg.supplierOffset)
+      val proj = e.as("a").join(e.as("b"),
+          col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+        .groupBy(col("a.src").as("src"), col("b.src").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      graft.graph.GraphOps.triangleCounts(proj)
+        .orderBy(col("id"))
     }))
 
   /** Unrolled 10-iteration fixed-point PageRank oracle over the entity
@@ -127,6 +145,23 @@ object GraphQueries {
         |FROM e0 a JOIN e0 b ON a.dst = b.dst AND a.src < b.src
         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
         |ORDER BY cust_a, cust_b""".stripMargin,
+    "q76_triangle_counts" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity >= 48),
+        |proj AS (
+        |  SELECT a.src AS src, b.src AS dst
+        |  FROM e0 a JOIN e0 b ON a.dst = b.dst AND a.src < b.src
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |tri AS (
+        |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        |  FROM proj e1
+        |  JOIN proj e2 ON e1.dst = e2.src
+        |  JOIN proj e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+        |SELECT id, COUNT(*) AS n_triangles
+        |FROM (SELECT unnest([a, b, c]) AS id FROM tri) t
+        |GROUP BY id ORDER BY id""".stripMargin,
     "q15_pagerank" -> pagerankSql,
     "q13_two_hop_network" ->
       s"""$networkCte

@@ -70,6 +70,19 @@ class GraphSpec extends SparkSuite {
     assert(out(1L) && out(2L) && !out(99L))
   }
 
+  test("triangleCounts: K4 has 4 triangles, every vertex in 3; path has none") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1,2,3,4}, canonical src<dst
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = GraphOps.triangleCounts(k4).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a path has no triangles → empty result
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(GraphOps.triangleCounts(path).isEmpty)
+  }
+
   test("flagship alias report: probabilities sum to 1, non-empty on sf0.001") {
     val rep = Erkg.suspiciousAliasReport(spark, sf0001).cache()
     assert(rep.count() > 0)
