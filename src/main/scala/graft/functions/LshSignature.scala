@@ -21,7 +21,7 @@ case class LshSignature(left: Expression, right: Expression)
 
   override def prettyName: String = "lsh_signature"
   override def dataType: DataType = StringType
-  override def nullable: Boolean = left.nullable
+  override def nullable: Boolean = left.nullable || right.nullable
 
   private def elemIsFloat: Boolean = left.dataType match {
     case ArrayType(FloatType, _) => true
@@ -30,9 +30,10 @@ case class LshSignature(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
     case ArrayType(FloatType | DoubleType, _) if right.foldable &&
-      right.dataType == IntegerType => TypeCheckResult.TypeCheckSuccess
+      right.dataType == IntegerType && right.eval(null) != null =>
+      TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      "lsh_signature requires (array<float|double>, literal int)")
+      "lsh_signature requires (array<float|double>, non-null literal int)")
   }
 
   @transient private lazy val nPlanes: Int =

@@ -2,12 +2,12 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualTo, Expression, ExpressionInfo, GreaterThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualTo, Expression, ExpressionInfo, GreaterThanOrEqual}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType}
+import org.apache.spark.sql.types.{BooleanType, DataType}
 
 import graft.functions.{CosineSimilarity, LshSignature}
 
@@ -48,18 +48,12 @@ case class ApproxCosineJoinMarker(vecA: Expression, vecB: Expression,
   override def nullable: Boolean = false
   override def prettyName: String = "approx_cosine_join"
 
-  def nPlanesValue: Int = nPlanes match {
-    case Literal(v: Int, IntegerType) => v
-    case e if e.foldable => e.eval(null).asInstanceOf[Number].intValue()
-    case _ => throw new IllegalArgumentException(
-      "approx_cosine_join: nPlanes must be a literal")
-  }
-
   private def unrewritten = new UnsupportedOperationException(
-    "approx_cosine_join is a join-rewrite marker: install GraftExtensions " +
-      "(spark.sql.extensions=graft.plans.GraftExtensions) or call " +
-      "GraftRules.install(spark) so the optimizer can rewrite it into the " +
-      "LSH-bucketed join")
+    "approx_cosine_join is a join-rewrite marker that was not rewritten. " +
+      "It must appear as a TOP-LEVEL conjunct of an INNER join condition " +
+      "with one vector argument per join side, and the rewrite rule must " +
+      "be installed (spark.sql.extensions=graft.plans.GraftExtensions or " +
+      "GraftRules.install(spark))")
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
     throw unrewritten
@@ -74,12 +68,25 @@ case class ApproxCosineJoinMarker(vecA: Expression, vecB: Expression,
 /** Optimizer rule: marker join → sign-LSH bucket equi-join + exact verify. */
 case class RewriteApproxCosineJoin() extends Rule[LogicalPlan] {
 
+  /** Split an And-tree into its conjuncts. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint)
         if cond.exists(_.isInstanceOf[ApproxCosineJoinMarker]) =>
-      val markers = cond.collect { case m: ApproxCosineJoinMarker => m }
+      // the marker must be a TOP-LEVEL conjunct: under OR/NOT, adding the
+      // bucket equality at the top level would silently drop rows matched
+      // by the other branches — leave such plans untouched (they fail
+      // loudly at execution instead of returning wrong answers)
+      val cs = conjuncts(cond)
+      val markers = cs.collect { case m: ApproxCosineJoinMarker => m }
+      val markerIsTopLevelOnly =
+        cond.collect { case m: ApproxCosineJoinMarker => m }.size == markers.size
       val rewritten = markers match {
-        case Seq(m) =>
+        case Seq(m) if markerIsTopLevelOnly =>
           // orient the vector args to the join sides
           val oriented =
             if (m.vecA.references.subsetOf(left.outputSet) &&
@@ -105,7 +112,7 @@ case class RewriteApproxCosineJoin() extends Rule[LogicalPlan] {
                 GreaterThanOrEqual(CosineSimilarity(lv, rv), m.threshold)
             }
             val newCond = And(EqualTo(lSig.toAttribute, rSig.toAttribute), verified)
-            Project((left.output ++ right.output).map(a => a),
+            Project(left.output ++ right.output,
               Join(lProj, rProj, Inner, Some(newCond), hint))
           }
         case _ => None // >1 marker in one join: ambiguous, leave untouched

@@ -38,20 +38,31 @@ object StreamingQueries {
   private val runSeq = new AtomicInteger(0)
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
-    * sink and return the sink contents as a batch DataFrame. */
+    * sink and return its contents as a batch DataFrame. The result is
+    * materialized (localCheckpoint), then the sink's temp view is dropped
+    * and the checkpoint directory deleted — repeated invocations (Bench
+    * warm-up + timed, long-lived sessions) leave no growing driver-memory
+    * tables or orphan /tmp state, the same no-residue discipline the
+    * library ops follow for caches. */
   private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
     val sink = s"${name}_${runSeq.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$sink").toString
+    val ckptPath = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$sink")
     val q = df.writeStream
       .format("memory")
       .queryName(sink)
       .outputMode(mode)
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckptPath.toString)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sink)
+    val out = spark.table(sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(ckptPath.toFile)
+    out
   }
 
   /** Streaming twin of [[graft.Tables.events]]: file source over the events
@@ -248,10 +259,13 @@ object StreamingQueries {
          |  FROM bits GROUP BY doc_id)
          |SELECT DISTINCT simhash FROM sig ORDER BY simhash""".stripMargin,
     // Gaps-and-islands sessions (strict > gap, q31's boundary semantics)
-    // plus the replay closure rule: every non-last session of a user is
-    // emitted; the last one only if its timeout (last_ts + gap) is strictly
-    // below the final watermark (max_ts - gap). Session sums replicate the
-    // sessionizer's sequential ts-ordered fold via list_reduce.
+    // plus the replay closure rule AT THE ENGINE'S EXACT MS GRANULARITY:
+    // every non-last session of a user is emitted; the last one only if its
+    // ms-ceiled timeout (GroupState's API is ms; StreamOps integer-ceils
+    // the µs deadline) is strictly below the final eviction watermark
+    // (floor-ms of max event time minus the gap delay — Spark tracks
+    // watermarks in ms). Session sums replicate the sessionizer's
+    // sequential ts-ordered fold via list_reduce.
     "q69_stream_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,
@@ -278,7 +292,8 @@ object StreamingQueries {
         |SELECT user_id, s_start, s_end, CAST(n AS BIGINT) AS n, sum_value
         |FROM g2 CROSS JOIN m
         |WHERE sess < max_sess
-        |   OR last_ts + INTERVAL '30 minutes' < max_ts - INTERVAL '30 minutes'
+        |   OR (epoch_us(last_ts) + 1800000000 + 999) // 1000
+        |      < epoch_us(max_ts) // 1000 - 1800000
         |ORDER BY user_id, s_start""".stripMargin
   )
 }

@@ -77,7 +77,10 @@ object StreamOps {
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
         Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
     events
-      .withWatermark("ts", s"${gapMs / 1000} seconds")
+      // ceil to whole seconds: a TRUNCATED delay would be shorter than the
+      // session gap, and in a multi-batch stream an in-gap event arriving
+      // behind the advanced watermark would be dropped as late
+      .withWatermark("ts", s"${(gapMs + 999) / 1000} seconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -106,9 +109,10 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              // GroupState's timeout API takes MILLISECONDS — round the µs
-              // deadline UP so the timeout never fires a µs-fraction early
-              state.setTimeoutTimestamp(Math.ceil((s.lastTs + gapUs) / 1000.0).toLong)
+              // GroupState's timeout API takes MILLISECONDS — integer-ceil
+              // the µs deadline UP so the timeout never fires a µs-fraction
+              // early (q69's oracle mirrors this exact ms arithmetic)
+              state.setTimeoutTimestamp((s.lastTs + gapUs + 999L) / 1000L)
             }
             closed.result().iterator
           }

@@ -83,7 +83,12 @@ object RankedSearch {
         Window.partitionBy(col("surface")).orderBy(col("df").asc, col("token").asc)))
       .filter(col("krn") <= blockK)
       .select(col("surface"), col("token"))
-    val candidates = broadcast(blockKeys).join(postings, Seq("token"))
+    // No broadcast hint: the block-key table is MENTION-set-sized (one row
+    // per mention), which a caller may make corpus-sized (q66 probes every
+    // distinct bigram) — let the planner pick broadcast only when the
+    // runtime size warrants it (AQE), instead of forcing an unbounded
+    // driver-side build.
+    val candidates = blockKeys.join(postings, Seq("token"))
       .select(col("surface"), col("doc_id")).distinct()
 
     // Exact BM25 over every shared (mention term, candidate doc) pair.

@@ -50,6 +50,25 @@ class ExtensionsSpec extends SparkSuite {
       "expected the injected signature columns in the optimized plan")
   }
 
+  test("marker under OR is NOT rewritten (would silently drop other branches)") {
+    val s = spark
+    GraftRules.install(s)
+    val e = vecs(8)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    // marker nested under OR: conjoining a top-level bucket equality would
+    // drop (ia === ib) matches whose signatures differ — the rule must
+    // leave the plan alone and the marker must fail loudly at execution
+    val joined = a.join(b,
+      call_function("approx_cosine_join", col("ea"), col("eb"), lit(0.3), lit(8))
+        || col("ia") === col("ib"))
+    assert(!joined.queryExecution.optimizedPlan.toString.contains("__graft_lsh"))
+    val ex = intercept[Exception](joined.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(ex).exists(m => m != null && m.contains("conjunct")))
+  }
+
   test("unrewritten marker fails with a pointer to the extension, never cross-joins") {
     val s = spark
     GraftRules.install(s)
