@@ -86,6 +86,30 @@ object GraphOps {
     graph.connectedComponents().vertices.toDF("id", "component")
   }
 
+  /** BFS DISTANCE labeling (unweighted SSSP) within `maxHops`: the
+    * first-reach hop of every vertex — [[kHop]]'s reachability SET enriched
+    * to distances. Same scale shape: the labeled set stays seed-neighborhood
+    * sized and is broadcast against the big edge table each round (the
+    * anti-join keeps only first reaches, so every vertex is labeled at its
+    * minimum distance and each round's frontier shrinks to the BFS ring).
+    * Output: (id, dist) for vertices within maxHops of a seed.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    var labeled = seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0))
+    var frontier = labeled.select(col("id"))
+    for (h <- 1 to maxHops) {
+      val ring = edges.join(broadcast(frontier), col("src") === col("id"))
+        .select(col("dst").as("id")).distinct()
+        .join(labeled.select(col("id")), Seq("id"), "left_anti")
+        .localCheckpoint() // consumed twice (union + next frontier) and
+        // feeds the next round's anti-join — keep the lineage flat
+      labeled = labeled.unionByName(ring.withColumn("dist", lit(h)))
+      frontier = ring
+    }
+    labeled
+  }
+
   /** Per-vertex TRIANGLE counts over a canonically-oriented (src < dst)
     * undirected edge list: `e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c)` enumerates each
     * triangle exactly once (a < b < c), then each corner credits its three

@@ -97,6 +97,25 @@ object GraphQueries {
         .select(col("src"), col("dst"))
       graft.graph.GraphOps.triangleCounts(proj)
         .orderBy(col("id"))
+    }),
+
+    // BFS distance labeling (unweighted SSSP, ≤4 hops) from the smallest
+    // customer in the co-shopper projection: kHop's reachability upgraded
+    // to first-reach distances; the seed is a 1-row aggregate (no collect).
+    "q77_bfs_distance" -> ((s, d) => {
+      val e = Erkg.entityEdges(s, d)
+        .filter(col("src") < Erkg.supplierOffset)
+      val proj = e.as("a").join(e.as("b"),
+          col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+        .groupBy(col("a.src").as("src"), col("b.src").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      val sym = proj.unionByName(
+        proj.select(col("dst").as("src"), col("src").as("dst")))
+      val seed = proj.agg(min(col("src")).as("id"))
+      graft.graph.GraphOps.bfsDistances(sym, seed, 4)
+        .orderBy(col("dist"), col("id"))
     }))
 
   /** Unrolled 10-iteration fixed-point PageRank oracle over the entity
@@ -162,6 +181,27 @@ object GraphQueries {
         |SELECT id, COUNT(*) AS n_triangles
         |FROM (SELECT unnest([a, b, c]) AS id FROM tri) t
         |GROUP BY id ORDER BY id""".stripMargin,
+    // Bounded-depth recursive walk; MIN(dist) over all ≤4-hop walks = BFS
+    // first-reach distance (walk count is bounded by avg-degree^4 on the
+    // sparse projection).
+    "q77_bfs_distance" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity >= 48),
+        |proj AS (
+        |  SELECT a.src AS src, b.src AS dst
+        |  FROM e0 a JOIN e0 b ON a.dst = b.dst AND a.src < b.src
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT src, dst FROM proj UNION SELECT dst, src FROM proj),
+        |seed AS (SELECT MIN(src) AS id FROM proj),
+        |walk(id, dist) AS (
+        |  SELECT id, 0 FROM seed
+        |  UNION ALL
+        |  SELECT e.dst, w.dist + 1
+        |  FROM walk w JOIN sym e ON e.src = w.id WHERE w.dist < 4)
+        |SELECT id, CAST(MIN(dist) AS INTEGER) AS dist
+        |FROM walk GROUP BY id ORDER BY dist, id""".stripMargin,
     "q15_pagerank" -> pagerankSql,
     "q13_two_hop_network" ->
       s"""$networkCte

@@ -70,6 +70,19 @@ class GraphSpec extends SparkSuite {
     assert(out(1L) && out(2L) && !out(99L))
   }
 
+  test("bfsDistances labels first-reach hops; beyond maxHops unlabeled") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3-4-5 plus a shortcut 1-3: dist(3) must be 1 (not 2)
+    val edges0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
+    val sym = (edges0 ++ edges0.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val out = GraphOps.bfsDistances(sym, seeds, 2).as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+    // 5 is 3 hops away — outside maxHops=2
+    assert(!out.contains(5L))
+  }
+
   test("triangleCounts: K4 has 4 triangles, every vertex in 3; path has none") {
     val s = spark
     import s.implicits._
