@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+import graft.Tables
 import graft.streaming.StreamOps
 
 /** ORACLE-GATED streaming queries (SURVEY.md §2 X3): each runs a real
@@ -44,25 +45,45 @@ object StreamingQueries {
     * warm-up + timed, long-lived sessions) leave no growing driver-memory
     * tables or orphan /tmp state, the same no-residue discipline the
     * library ops follow for caches. */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+  }
+
   private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
     val sink = s"${name}_${runSeq.incrementAndGet()}"
     val ckptPath = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$sink")
-    val q = df.writeStream
-      .format("memory")
-      .queryName(sink)
-      .outputMode(mode)
-      .option("checkpointLocation", ckptPath.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val out = spark.table(sink).localCheckpoint()
-    spark.catalog.dropTempView(sink)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    // try/finally: a stream that throws mid-run must still stop its query and
+    // release the temp view + checkpoint dir, or repeated failed invocations
+    // leak driver memory and /tmp state
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", ckptPath.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally if (q.isActive) q.stop()
+      spark.table(sink).localCheckpoint()
+    } finally {
+      spark.catalog.dropTempView(sink)
+      rmTree(ckptPath.toFile)
     }
-    rm(ckptPath.toFile)
-    out
+  }
+
+  /** Write `df` as ONE parquet file at `dst` with an explicit modification
+    * time — FileStreamSource orders discovered files by mtime (oldest first),
+    * so spaced mtimes pin the replay sequence deterministically. */
+  private def writeSequencedFile(df: DataFrame, dst: java.io.File, mtimeMs: Long): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_seq_stage")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtimeMs)
+    } finally rmTree(stage.toFile)
   }
 
   /** Streaming twin of [[graft.Tables.events]]: file source over the events
@@ -172,6 +193,43 @@ object StreamingQueries {
         .select(col("user_id"), col("s_start"), col("s_end"), col("n"),
           col("sum_value"))
         .orderBy(col("user_id"), col("s_start"))
+    }),
+
+    // REAL LATE DATA under the gate (the one behavior single-batch replay
+    // cannot exercise): events split into three single-file batches replayed
+    // in order via mtime + maxFilesPerTrigger=1 —
+    //   batch 0: bulk-early rows   [lo+2h, lo+15d)   (watermark still epoch)
+    //   batch 1: bulk-late rows    [lo+15d, hi]      (watermark -> hi - 1h)
+    //   batch 2: the FIRST-2-HOURS rows — every one now far below the
+    //            watermark, so the streaming engine must DROP them all
+    // Append mode, so the final watermark (floor-ms(hi) - 1h; Spark tracks
+    // watermarks in ms) additionally withholds still-open trailing windows.
+    // The oracle encodes exactly those two rules — the output provably
+    // differs from naive batch aggregation by the late-dropped rows plus the
+    // withheld tail.
+    "q78_stream_late_data" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("ts"), col("event_type"), col("value"))
+      val lo = ev.agg(min(col("ts"))).head().getTimestamp(0).toInstant // one scalar
+      val lateCut = lo.plusSeconds(2 * 3600)
+      val mid = lo.plusSeconds(15 * 86400)
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_late_src")
+      try {
+        // fixed mtime base: ordering depends only on the 60 s spacing
+        val base = 1600000000000L
+        writeSequencedFile(ev.filter(col("ts") >= lit(lateCut) && col("ts") < lit(mid)),
+          new java.io.File(srcDir.toFile, "f0.parquet"), base)
+        writeSequencedFile(ev.filter(col("ts") >= lit(mid)),
+          new java.io.File(srcDir.toFile, "f1.parquet"), base + 60000L)
+        writeSequencedFile(ev.filter(col("ts") < lit(lateCut)),
+          new java.io.File(srcDir.toFile, "f2.parquet"), base + 120000L)
+        val stream = s.readStream
+          .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+        runToTable(StreamOps.tumblingAgg(stream, "1 hour", "1 hour"),
+          "q78_stream_late_data", "append")
+          .orderBy(col("w_start"), col("event_type"))
+      } finally rmTree(srcDir.toFile)
     }))
 
   /** DuckDB mirror of TextOps.tokens (same fragment as TextQueries). */
@@ -294,6 +352,30 @@ object StreamingQueries {
         |WHERE sess < max_sess
         |   OR (epoch_us(last_ts) + 1800000000 + 999) // 1000
         |      < epoch_us(max_ts) // 1000 - 1800000
-        |ORDER BY user_id, s_start""".stripMargin
+        |ORDER BY user_id, s_start""".stripMargin,
+    // Late-data drop rule, encoded: the first-2-hours rows arrive in the
+    // LAST replay batch, after batch 1 advanced the watermark to hi - 1h, so
+    // the engine drops every one (their window ends sit ~29 days below the
+    // watermark) — `kept` excludes them. Append-mode emission rule, encoded:
+    // a window is emitted iff its end <= the final eviction watermark; Spark
+    // tracks watermarks in MILLISECONDS (max event-time µs integer-divided
+    // by 1000, minus the delay), and the eviction compare is <= in µs — the
+    // WHERE mirrors that exact arithmetic. Everything else matches the plain
+    // batch tumbling aggregation (q29/q60's oracle shape).
+    "q78_stream_late_data" ->
+      """WITH m AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events),
+        |kept AS (
+        |  SELECT e.ts, e.event_type, e.value FROM events e CROSS JOIN m
+        |  WHERE e.ts >= m.lo + INTERVAL '2 hours'),
+        |agg AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM kept GROUP BY 1, 2)
+        |SELECT a.w_start, a.event_type, a.n, a.sum_value
+        |FROM agg a CROSS JOIN m
+        |WHERE epoch_us(a.w_start) + 3600000000
+        |      <= (epoch_us(m.hi) // 1000 - 3600000) * 1000
+        |ORDER BY w_start, event_type""".stripMargin
   )
 }

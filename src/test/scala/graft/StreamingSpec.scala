@@ -207,6 +207,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("q78 sequenced replay drops genuinely late rows and withholds open windows") {
+    // The q78 gate mechanics in miniature: the streaming result must equal
+    // the batch tumbling agg MINUS (a) the first-2-hours rows (delivered in
+    // the last replay batch, behind the watermark -> dropped) and (b) the
+    // windows whose end exceeds the final eviction watermark (append mode
+    // withholds open windows). Mirrors the DuckDB oracle in Scala so a
+    // semantics drift is caught before the external gate.
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val ev = Tables.events(s, d).select(col("ts"), col("event_type"), col("value"))
+    val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val loUs = mm.getTimestamp(0).toInstant.getEpochSecond * 1000000L +
+      mm.getTimestamp(0).toInstant.getNano / 1000L
+    val hiUs = mm.getTimestamp(1).toInstant.getEpochSecond * 1000000L +
+      mm.getTimestamp(1).toInstant.getNano / 1000L
+    val wmUs = (hiUs / 1000L - 3600000L) * 1000L // ms-floored final watermark
+    val expected = ev
+      .filter(unix_micros(col("ts")) >= loUs + 2L * 3600000000L)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+      .filter(unix_micros(col("w_start")) + 3600000000L <= wmUs)
+    val actual = graft.queries.StreamingQueries
+      .queries("q78_stream_late_data")(s, d)
+    assert(actual.collect().toSeq.sortBy(_.toString) ==
+      expected.collect().toSeq.sortBy(_.toString))
+    // and it genuinely differs from the naive batch agg (late rows exist)
+    val naive = ev.groupBy(window(col("ts"), "1 hour"), col("event_type")).count().count()
+    assert(actual.count() < naive)
+  }
+
   test("ingest resumes from checkpoint with exactly-once output and restored dedup state") {
     // The production property the memory-sink gates can't show: stop the
     // ingest query, add more files, RESTART from the same checkpoint with
