@@ -41,8 +41,7 @@ object NlpQueries {
     * documents and embeddings scale differently across SFs). Disambiguation
     * scores with the NATIVE codegen cosine (bit-identical to the HOF fold by
     * CosineSpec, ~30× faster) over distinct (doc_id, entity) pairs. */
-  private def linkedFrom(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
+  private def contextVecs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, d)
     val nv = broadcast(e.agg(count(lit(1)).as("nvec")))
     val docVecs = Tables.documents(s, d).select(col("doc_id"))
@@ -53,6 +52,12 @@ object NlpQueries {
       .crossJoin(nv).withColumn("vid", col("entity") % col("nvec"))
       .join(e.select(col("vec_id").as("vid"), col("embedding").as("ent_emb")), "vid")
       .select(col("entity"), col("ent_emb"))
+    (docVecs, entVecs)
+  }
+
+  private def linkedFrom(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (docVecs, entVecs) = contextVecs(s, d)
     EntityLinking.disambiguate(cand, docVecs, entVecs,
       (a, b) => call_function("cosine_sim", a, b))
   }
@@ -182,6 +187,61 @@ object NlpQueries {
           EntityLinking.acMentionSpans(Tables.documents(s, d),
             gazRows.map(_.getString(0)).toSeq, gazRows.map(_.getInt(1)).toSeq))
         .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // V2/V3 (HYBRID form) — the reference's actual ann_linker semantics
+    // (dev.ipynb cells 70-83: lancedb vector + tantivy text candidates fused
+    // per mention): reciprocal-rank fusion (k=60) of three signals per
+    // (doc_id, token) mention —
+    //   A: prior × context-cosine over gazetteer candidates (q34's scoring,
+    //      top-5 lists instead of argmax),
+    //   B: fuzzy edit-distance candidates (q46's blocking+verify) mapped
+    //      alias → entity, ranked by min distance,
+    //   C: BM25 of the token against the part-name corpus (q66's engine;
+    //      entities as documents).
+    // A misspelled token has no exact-gazetteer candidates (A and C empty)
+    // but still links through B; an ambiguous exact token is ranked by all
+    // three. Token-level signals (B, C) broadcast into the doc expansion.
+    "q79_hybrid_linking" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val toks = docTokens(s, d).select(col("doc_id"), col("token")).distinct()
+      // signal A: prior × cosine, top-5 per (doc_id, token)
+      val candA = toks.join(broadcast(gaz(s, d)), col("token") === col("alias"))
+        .select(col("doc_id"), col("token"), col("entity"), col("prior"))
+      val (docVecs, entVecs) = contextVecs(s, d)
+      val sigA = EntityLinking.rankedCandidates(candA, docVecs, entVecs,
+          Seq("doc_id", "token"), topK = 5,
+          (a, b) => call_function("cosine_sim", a, b))
+        .select(col("doc_id"), col("token"), col("entity"), col("rn"))
+      // signal B: fuzzy candidates (alias-level top-5 per q46), alias →
+      // entity, entity ranked per token by (min dist asc, entity asc)
+      val aliasEnt = Tables.part(s, d)
+        .select(explode(TextOps.tokens(col("p_name"))).as("alias"),
+          col("p_partkey").as("entity")).distinct()
+      val sigB = broadcast(
+        FuzzyMatch.fuzzyCandidates(toks.select(col("token")),
+            aliasEnt.select(col("alias")), maxDist = 2, blockK = 2, topK = 5)
+          .join(aliasEnt, Seq("alias"))
+          .groupBy(col("token"), col("entity")).agg(min(col("dist")).as("dist"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
+              .orderBy(col("dist").asc, col("entity").asc)))
+          .filter(col("rn") <= 5)
+          .select(col("token"), col("entity"), col("rn")))
+      // signal C: BM25 against the part-name corpus (entity = part key)
+      val sigC = broadcast(
+        graft.text.RankedSearch.bm25TopK(Tables.part(s, d), "p_partkey", "p_name",
+            toks.select(col("token").as("surface")),
+            k1 = 1.2, b = 0.75, blockK = 1, topK = 5)
+          .select(col("surface").as("token"), col("doc_id").as("entity"), col("rn")))
+      // expand the token-level signals to the (doc_id, token) mention set
+      val sigBdoc = toks.join(sigB, Seq("token"))
+        .select(col("doc_id"), col("token"), col("entity"), col("rn"))
+      val sigCdoc = toks.join(sigC, Seq("token"))
+        .select(col("doc_id"), col("token"), col("entity"), col("rn"))
+      graft.text.HybridRetrieval.rrfFuse(Seq(sigA, sigBdoc, sigCdoc),
+          Seq("doc_id", "token"), "entity", k = 60, topK = 3)
+        .orderBy(col("doc_id"), col("token"), col("rn"))
     }),
 
     // F5 (literal form) — the reference's review report: phrases that did
@@ -476,6 +536,106 @@ object NlpQueries {
          |    AND (t.len > s.len OR (t.len = s.len AND t.pos < s.pos))
          |    AND t.pos <= s.pos + s.len - 1 AND s.pos <= t.pos + t.len - 1)
          |ORDER BY doc_id, pos""".stripMargin,
+    // Hybrid fusion mirror: signal A = q34's prior×cosine CTEs at top-5;
+    // signal B = q46's fuzzy chain mapped alias→entity (min dist); signal C
+    // = q66's BM25 chain over the part-name corpus (single-token queries, so
+    // surface = token). RRF sum is the same fixed left-to-right chain of
+    // 1/(60+rn) doubles Spark evaluates.
+    "q79_hybrid_linking" ->
+      s"""WITH $tokCte,
+         |$gazCte,
+         |dtok AS (SELECT DISTINCT doc_id, token FROM tok),
+         |dt AS (SELECT DISTINCT token FROM dtok),
+         |ca AS (
+         |  SELECT DISTINCT d.doc_id, d.token, g.entity, g.prior
+         |  FROM dtok d JOIN gz g ON d.token = g.alias),
+         |nv AS (SELECT COUNT(*) AS nvec FROM embeddings),
+         |dv AS (
+         |  SELECT d.doc_id, e.embedding AS ctx_emb
+         |  FROM documents d CROSS JOIN nv
+         |  JOIN embeddings e ON e.vec_id = d.doc_id % nvec),
+         |ev AS (
+         |  SELECT p_partkey AS entity, e.embedding AS ent_emb
+         |  FROM part CROSS JOIN nv
+         |  JOIN embeddings e ON e.vec_id = p_partkey % nvec),
+         |saf AS (SELECT doc_id, token, entity, rn FROM (
+         |    SELECT c.doc_id, c.token, c.entity,
+         |      ROW_NUMBER() OVER (PARTITION BY c.doc_id, c.token
+         |        ORDER BY c.prior * ${cosSql("ctx_emb", "ent_emb")} DESC,
+         |                 c.entity ASC) AS rn
+         |    FROM ca c JOIN dv USING (doc_id) JOIN ev USING (entity)) t
+         |  WHERE rn <= 5),
+         |ae AS (SELECT DISTINCT unnest(${toksSql("p_name")}) AS alias,
+         |         p_partkey AS entity FROM part),
+         |abg AS (SELECT alias,
+         |          unnest(list_distinct([alias[i:i+1] for i in range(1, len(alias))])) AS bg
+         |        FROM (SELECT DISTINCT alias FROM ae) al),
+         |bgf AS (SELECT bg, COUNT(*) AS freq FROM abg GROUP BY bg),
+         |tbg AS (SELECT token,
+         |          unnest(list_distinct([token[i:i+1] for i in range(1, len(token))])) AS bg
+         |        FROM dt),
+         |fkeys AS (SELECT token, bg FROM (
+         |    SELECT t.token, t.bg, ROW_NUMBER() OVER (PARTITION BY t.token
+         |      ORDER BY f.freq ASC, t.bg ASC) AS krn
+         |    FROM tbg t JOIN bgf f USING (bg)) k
+         |  WHERE krn <= 2),
+         |fcand AS (SELECT DISTINCT k.token, a.alias FROM fkeys k JOIN abg a USING (bg)),
+         |fver AS (SELECT token, alias, dist FROM (
+         |    SELECT token, alias, dist, ROW_NUMBER() OVER (PARTITION BY token
+         |      ORDER BY dist ASC, alias ASC) AS rn
+         |    FROM (SELECT token, alias, levenshtein(token, alias) AS dist FROM fcand
+         |          WHERE abs(len(token) - len(alias)) <= 2
+         |            AND levenshtein(token, alias) <= 2) v) t
+         |  WHERE rn <= 5),
+         |sbf AS (SELECT token, entity, rn FROM (
+         |    SELECT token, entity, ROW_NUMBER() OVER (PARTITION BY token
+         |      ORDER BY dist ASC, entity ASC) AS rn
+         |    FROM (SELECT f.token, a.entity, MIN(f.dist) AS dist
+         |          FROM fver f JOIN ae a USING (alias) GROUP BY 1, 2) g) t
+         |  WHERE rn <= 5),
+         |cw0 AS (SELECT p_partkey AS doc_id, ${toksSql("p_name")} AS w FROM part),
+         |cp AS (SELECT doc_id, token, COUNT(*) AS tf
+         |       FROM (SELECT doc_id, unnest(w) AS token FROM cw0) t GROUP BY 1, 2),
+         |cdlen AS (SELECT doc_id, SUM(tf) AS dl FROM cp GROUP BY 1),
+         |cst AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM cdlen),
+         |cti AS (SELECT token, df,
+         |         CAST(floor(ln(CAST(1 AS DOUBLE) + ((n_docs - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) * 1e9) AS DOUBLE) / 1e9 AS idf
+         |        FROM (SELECT token, COUNT(*) AS df FROM cp GROUP BY token) d0 CROSS JOIN cst),
+         |cbk AS (SELECT t.token FROM dt t JOIN cti USING (token)),
+         |ccand AS (SELECT DISTINCT b.token, p.doc_id AS entity
+         |          FROM cbk b JOIN cp p USING (token)),
+         |csc AS (SELECT c.token, c.entity,
+         |    CAST(SUM(CAST(floor(cti.idf * ((CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))) / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * CAST(cdlen.dl AS DOUBLE) / (CAST(cst.sum_dl AS DOUBLE) / CAST(cst.n_docs AS DOUBLE))))) * 1e9) AS BIGINT)) AS BIGINT) AS score_fp
+         |  FROM ccand c
+         |  JOIN cp p ON p.doc_id = c.entity AND p.token = c.token
+         |  JOIN cdlen ON cdlen.doc_id = c.entity
+         |  JOIN cti ON cti.token = c.token
+         |  CROSS JOIN cst
+         |  GROUP BY 1, 2),
+         |scf AS (SELECT token, entity, rn FROM (
+         |    SELECT token, entity, ROW_NUMBER() OVER (PARTITION BY token
+         |      ORDER BY score_fp DESC, entity ASC) AS rn FROM csc) t
+         |  WHERE rn <= 5),
+         |cands AS (
+         |  SELECT doc_id, token, entity FROM saf
+         |  UNION
+         |  SELECT t.doc_id, s.token, s.entity FROM dtok t JOIN sbf s USING (token)
+         |  UNION
+         |  SELECT t.doc_id, s.token, s.entity FROM dtok t JOIN scf s USING (token)),
+         |f AS (
+         |  SELECT c.doc_id, c.token, c.entity,
+         |    COALESCE(CAST(1 AS DOUBLE) / (60 + a.rn), CAST(0 AS DOUBLE))
+         |    + COALESCE(CAST(1 AS DOUBLE) / (60 + b.rn), CAST(0 AS DOUBLE))
+         |    + COALESCE(CAST(1 AS DOUBLE) / (60 + s.rn), CAST(0 AS DOUBLE)) AS rrf
+         |  FROM cands c
+         |  LEFT JOIN saf a ON a.doc_id = c.doc_id AND a.token = c.token
+         |                 AND a.entity = c.entity
+         |  LEFT JOIN sbf b ON b.token = c.token AND b.entity = c.entity
+         |  LEFT JOIN scf s ON s.token = c.token AND s.entity = c.entity)
+         |SELECT doc_id, token, entity, rrf, CAST(rn AS INTEGER) AS rn
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, token
+         |        ORDER BY rrf DESC, entity ASC) AS rn FROM f) t
+         |WHERE rn <= 3 ORDER BY doc_id, token, rn""".stripMargin,
     "q49_unlinked_review" ->
       s"""WITH $tokCte,
          |$gazCte,

@@ -183,6 +183,30 @@ object EntityLinking {
     * by spec, ~30× faster.
     *
     * Output: (doc_id, pos, token, entity, prior, score). */
+  /** Scored candidate LISTS (no argmax): [[disambiguate]]'s prior × cosine
+    * scoring, but keeping the top `topK` candidates per mention key — the
+    * vector-signal input to hybrid fusion ([[HybridRetrieval.rrfFuse]]).
+    * `candidates` must carry `keyCols`, `entity`, `prior`, and `doc_id` (the
+    * context-vector key). Output: keyCols ++ (entity, prior, score, rn). */
+  def rankedCandidates(candidates: DataFrame, docVecs: DataFrame,
+                       entVecs: DataFrame, keyCols: Seq[String], topK: Int,
+                       cosineFn: (Column, Column) => Column = VectorOps.cosine): DataFrame = {
+    val pairCos = candidates.select(col("doc_id"), col("entity")).distinct()
+      .join(docVecs, Seq("doc_id"))
+      .join(entVecs, Seq("entity"))
+      .select(col("doc_id"), col("entity"),
+        cosineFn(col("ctx_emb"), col("ent_emb")).as("ctx_cos"))
+    candidates
+      .join(pairCos, Seq("doc_id", "entity"))
+      .withColumn("score", col("prior") * col("ctx_cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("score").desc, col("entity").asc)))
+      .filter(col("rn") <= topK)
+      .select(keyCols.map(col) ++ Seq(col("entity"), col("prior"),
+        col("score"), col("rn")): _*)
+  }
+
   def disambiguate(candidates: DataFrame, docVecs: DataFrame,
                    entVecs: DataFrame,
                    cosineFn: (Column, Column) => Column = VectorOps.cosine): DataFrame = {
