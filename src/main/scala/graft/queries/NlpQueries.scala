@@ -106,8 +106,7 @@ object NlpQueries {
     // (k·docs rows), never the full span table.
     "q36_el_report" -> ((s, d) => {
       val toks = docTokens(s, d).cache()
-      val phrases = TextRank.topPhraseSpans(Tables.documents(s, d), toks,
-        3, trWindow, trIters, trK)
+      val phrases = TextRank.topPhraseSpans(toks, 3, trWindow, trIters, trK)
       val cand = EntityLinking.mentionCandidatesFromTokens(toks, gaz(s, d))
       val links = linkedFrom(s, d, cand).select(col("doc_id"), col("token")).distinct()
       val linkedPhr = phrases
@@ -159,7 +158,7 @@ object NlpQueries {
     // ranked by aggregated member-token TextRank, with occurrence counts,
     // top-30 per doc (the reference's [:30], analysis.py:11).
     "q47_phrase_rank" -> ((s, d) =>
-      TextRank.topPhraseSpans(Tables.documents(s, d), docTokens(s, d).cache(),
+      TextRank.topPhraseSpans(docTokens(s, d).cache(),
           maxN = 3, trWindow, trIters, k = 30)
         .orderBy(col("doc_id"), col("rn"))),
 

@@ -69,9 +69,27 @@ object EntityLinking {
     * lambdas reference a VALUE, not the tokenize subtree — the lambda-CSE
     * trap), then all lengths explode from a single flatten(transform(...)).
     * A per-length union would tokenize every document maxN times. */
-  def ngramSpans(docs: DataFrame, maxN: Int): DataFrame = {
+  def ngramSpans(docs: DataFrame, maxN: Int): DataFrame =
+    spansFromTokenArrays(
+      docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w")), maxN)
+
+  /** [[ngramSpans]] over a pre-built (doc_id, pos, token) stream — the
+    * multi-branch queries (EL report, phrase rank) cache the token stream
+    * for TextRank's iterated joins; rebuilding spans FROM it means the
+    * corpus is tokenized once per query instead of twice. The token arrays
+    * are reassembled with one groupBy (struct sort on the unique pos), then
+    * span enumeration is the same map-side expression work as ngramSpans.
+    * Value-identical output (law-tested in NlpSpec). */
+  def ngramSpansFromTokens(tokens: DataFrame, maxN: Int): DataFrame =
+    spansFromTokenArrays(
+      tokens.groupBy(col("doc_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("token")))),
+          e => e("token")).as("w")), maxN)
+
+  private def spansFromTokenArrays(docsW: DataFrame, maxN: Int): DataFrame = {
     val w = col("w")
-    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+    docsW
       .select(col("doc_id"), w, explode(sequence(lit(1), lit(maxN))).as("len"))
       .select(col("doc_id"), col("len"),
         posexplode(when(size(w) >= col("len"),

@@ -116,8 +116,13 @@ object TextRank {
     * other float aggregation crossing a shuffle — partition-order-exact,
     * reproducible in DuckDB.
     *
+    * Spans are rebuilt FROM the token stream
+    * ([[EntityLinking.ngramSpansFromTokens]]) — the callers cache `tokens`
+    * for the PageRank loop, and re-tokenizing the corpus for span
+    * enumeration was the most expensive redundant work in the NLP suite.
+    *
     * Output: (doc_id, surface, len, cnt, phrase_rank, rn). */
-  def topPhraseSpans(docs: DataFrame, tokens: DataFrame, maxN: Int,
+  def topPhraseSpans(tokens: DataFrame, maxN: Int,
                      window: Int, iterations: Int, k: Int): DataFrame = {
     val ranks = pageRank(tokens, window, iterations)
     // One map per doc (distinct tokens per doc is small) instead of
@@ -129,7 +134,7 @@ object TextRank {
     val rankMap = ranks.groupBy(col("doc_id"))
       .agg(map_from_entries(collect_list(struct(col("token"), col("rank"))))
         .as("rmap"))
-    val spanCounts = EntityLinking.ngramSpans(docs, maxN)
+    val spanCounts = EntityLinking.ngramSpansFromTokens(tokens, maxN)
       .groupBy(col("doc_id"), col("surface"), col("len"))
       .agg(count(lit(1)).as("cnt"))
     spanCounts.join(rankMap, Seq("doc_id"))

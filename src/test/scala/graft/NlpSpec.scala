@@ -153,12 +153,25 @@ class NlpSpec extends SparkSuite {
     assert(gen.nonEmpty)
   }
 
+  test("equality law: ngramSpansFromTokens == ngramSpans") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "a b c d e"), (1L, "x"), (2L, "  "), (3L, "p q"))
+      .toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3))).toSet
+    val direct = key(EntityLinking.ngramSpans(d, 3))
+    val viaTokens = key(EntityLinking.ngramSpansFromTokens(
+      EntityLinking.tokenStream(d, "doc_id", "text"), 3))
+    assert(direct == viaTokens && direct.nonEmpty)
+  }
+
   test("phrase-level TextRank aggregates member-token ranks with counts") {
     val toks = EntityLinking.tokenStream(docs, "doc_id", "text")
     val pr = TextRank.pageRank(toks, 2, 4)
     val ranks = pr.filter(col("doc_id") === 0).collect()
       .map(r => r.getString(1) -> r.getDouble(2)).toMap
-    val phrases = TextRank.topPhraseSpans(docs, toks, 2, 2, 4, 50)
+    val phrases = TextRank.topPhraseSpans(toks, 2, 2, 4, 50)
       .filter(col("doc_id") === 0).collect()
       .map(r => (r.getString(1), (r.getInt(2), r.getLong(3), r.getDouble(4))))
       .toMap
