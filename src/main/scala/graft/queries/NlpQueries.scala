@@ -68,6 +68,17 @@ object NlpQueries {
   private def docTokens(s: SparkSession, d: String): DataFrame =
     EntityLinking.tokenStream(Tables.documents(s, d), "doc_id", "text")
 
+  /** Materialize `result`, then release the query-owned cache(s): gated
+    * queries must leave the session cache registry as empty as the library
+    * ops do (CacheHygieneSpec) — a long-lived driver session running many
+    * NLP queries otherwise accumulates un-owned entries that alias by
+    * logical plan across unrelated queries. */
+  private def releasing(cached: DataFrame*)(result: DataFrame): DataFrame = {
+    val out = result.localCheckpoint()
+    cached.foreach(_.unpersist())
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // V5 — gazetteer mention candidates (broadcast alias join, top-8 priors).
@@ -79,11 +90,13 @@ object NlpQueries {
       linked(s, d).orderBy(col("doc_id"), col("pos"))),
 
     // V4/W2 — TextRank keyphrases: co-occurrence PageRank, top-3 per doc.
-    "q35_textrank" -> ((s, d) =>
-      // cached: the token stream feeds nodes + 4 co-occurrence join scans
-      // (query-owned cache; library ops below self-release their own)
-      TextRank.topPhrases(docTokens(s, d).cache(), trWindow, trIters, trK)
-        .orderBy(col("doc_id"), col("rn"))),
+    "q35_textrank" -> ((s, d) => {
+      // cached: the token stream feeds nodes + 4 co-occurrence join scans;
+      // released after the result is materialized (releasing above)
+      val toks = docTokens(s, d).cache()
+      releasing(toks)(TextRank.topPhrases(toks, trWindow, trIters, trK)
+        .orderBy(col("doc_id"), col("rn")))
+    }),
 
     // V5 (phrase form) — multi-token gazetteer matching with longest-match
     // resolution: collocation gazetteer (top-30 n-grams per length ≤ 3),
@@ -93,8 +106,8 @@ object NlpQueries {
       // mention join — without it the 3-way n-gram enumeration runs twice
       val spans = EntityLinking.ngramSpans(Tables.documents(s, d), 3).cache()
       val gaz = EntityLinking.phraseGazetteer(spans, 30)
-      EntityLinking.phraseMentions(spans, gaz)
-        .orderBy(col("doc_id"), col("pos"))
+      releasing(spans)(EntityLinking.phraseMentions(spans, gaz)
+        .orderBy(col("doc_id"), col("pos")))
     }),
 
     // V6 — EL review report, PHRASE form (the reference's doc._.phrases +
@@ -115,11 +128,11 @@ object NlpQueries {
         .join(links, Seq("doc_id", "token"))
         .select(col("doc_id"), col("surface")).distinct()
         .withColumn("is_linked", lit(true))
-      phrases.join(linkedPhr, Seq("doc_id", "surface"), "left")
+      releasing(toks)(phrases.join(linkedPhr, Seq("doc_id", "surface"), "left")
         .select(col("doc_id"), col("surface").as("phrase"), col("len"),
           col("cnt"), col("phrase_rank"), col("rn"),
           coalesce(col("is_linked"), lit(false)).as("is_linked"))
-        .orderBy(col("doc_id"), col("rn"))
+        .orderBy(col("doc_id"), col("rn")))
     }),
 
     // V2 (fuzzy form) — the reference's tantivy fuzzy candidate search
@@ -157,10 +170,12 @@ object NlpQueries {
     // V4 (phrase form) — doc._.phrases semantics: spans of 1..3 tokens
     // ranked by aggregated member-token TextRank, with occurrence counts,
     // top-30 per doc (the reference's [:30], analysis.py:11).
-    "q47_phrase_rank" -> ((s, d) =>
-      TextRank.topPhraseSpans(docTokens(s, d).cache(),
+    "q47_phrase_rank" -> ((s, d) => {
+      val toks = docTokens(s, d).cache()
+      releasing(toks)(TextRank.topPhraseSpans(toks,
           maxN = 3, trWindow, trIters, k = 30)
-        .orderBy(col("doc_id"), col("rn"))),
+        .orderBy(col("doc_id"), col("rn")))
+    }),
 
     // V5 (global form) — gazetteer phrase matching under the EntityRuler's
     // GLOBAL longest-match overlap pruning (dominance anti-join), vs q45's
@@ -168,8 +183,8 @@ object NlpQueries {
     "q48_global_spans" -> ((s, d) => {
       val spans = EntityLinking.ngramSpans(Tables.documents(s, d), 3).cache()
       val gaz = EntityLinking.phraseGazetteer(spans, 30)
-      EntityLinking.phraseMentionsGlobal(spans, gaz)
-        .orderBy(col("doc_id"), col("pos"))
+      releasing(spans)(EntityLinking.phraseMentionsGlobal(spans, gaz)
+        .orderBy(col("doc_id"), col("pos")))
     }),
 
     // V5 (Aho–Corasick form) — SAME semantics and SAME oracle as q45, but
@@ -203,7 +218,10 @@ object NlpQueries {
     // three. Token-level signals (B, C) broadcast into the doc expansion.
     "q79_hybrid_linking" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val toks = docTokens(s, d).select(col("doc_id"), col("token")).distinct()
+      // cached: the mention set is referenced by all three signal builders
+      // plus both token-level expansions; released via `releasing` below
+      val toks = docTokens(s, d).select(col("doc_id"), col("token"))
+        .distinct().cache()
       // signal A: prior × cosine, top-5 per (doc_id, token)
       val candA = toks.join(broadcast(gaz(s, d)), col("token") === col("alias"))
         .select(col("doc_id"), col("token"), col("entity"), col("prior"))
@@ -238,9 +256,10 @@ object NlpQueries {
         .select(col("doc_id"), col("token"), col("entity"), col("rn"))
       val sigCdoc = toks.join(sigC, Seq("token"))
         .select(col("doc_id"), col("token"), col("entity"), col("rn"))
-      graft.text.HybridRetrieval.rrfFuse(Seq(sigA, sigBdoc, sigCdoc),
-          Seq("doc_id", "token"), "entity", k = 60, topK = 3)
-        .orderBy(col("doc_id"), col("token"), col("rn"))
+      releasing(toks)(
+        graft.text.HybridRetrieval.rrfFuse(Seq(sigA, sigBdoc, sigCdoc),
+            Seq("doc_id", "token"), "entity", k = 60, topK = 3)
+          .orderBy(col("doc_id"), col("token"), col("rn")))
     }),
 
     // F5 (literal form) — the reference's review report: phrases that did
@@ -251,10 +270,10 @@ object NlpQueries {
       val phrases = TextRank.topPhrases(toks, trWindow, trIters, 30)
       val cand = EntityLinking.mentionCandidatesFromTokens(toks, gaz(s, d))
       val links = linkedFrom(s, d, cand).select(col("doc_id"), col("token")).distinct()
-      phrases.join(links, Seq("doc_id", "token"), "left_anti")
+      releasing(toks)(phrases.join(links, Seq("doc_id", "token"), "left_anti")
         .select(col("doc_id"), col("token").as("phrase"),
           col("rank").as("phrase_rank"), col("rn"))
-        .orderBy(col("doc_id"), col("rn"))
+        .orderBy(col("doc_id"), col("rn")))
     }))
 
   // ---- DuckDB oracle SQL ---------------------------------------------------

@@ -30,4 +30,22 @@ class CacheHygieneSpec extends SparkSuite {
     assert(s.sharedState.cacheManager.isEmpty,
       "a library op registered a cache entry it never released")
   }
+
+  test("gated NLP queries leave the cache registry empty end-to-end") {
+    // Round-5 verdict: library ops were leak-free but the QUERY closures
+    // cached token/span streams and never unpersisted — a driver calling
+    // several NLP queries in one session accumulated un-owned entries.
+    // Each query now materializes its result and releases its caches.
+    val s = spark
+    s.sharedState.cacheManager.clearCache()
+    val d = "/root/testdata/sf0.001"
+    val nlp = graft.queries.NlpQueries.queries
+    for (name <- Seq("q35_textrank", "q45_phrase_mentions", "q36_el_report",
+        "q47_phrase_rank", "q48_global_spans", "q49_unlinked_review",
+        "q79_hybrid_linking")) {
+      nlp(name)(s, d).write.format("noop").mode("overwrite").save()
+      assert(s.sharedState.cacheManager.isEmpty,
+        s"$name left entries in the session cache registry")
+    }
+  }
 }
