@@ -94,12 +94,17 @@ object GraphOps {
     * minimum distance and each round's frontier shrinks to the BFS ring).
     * Output: (id, dist) for vertices within maxHops of a seed.
     */
-  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+                   broadcastFrontier: Boolean = false): DataFrame = {
     var labeled = seeds.select(col("id")).distinct()
       .withColumn("dist", lit(0))
     var frontier = labeled.select(col("id"))
     for (h <- 1 to maxHops) {
-      val ring = edges.join(broadcast(frontier), col("src") === col("id"))
+      // broadcast is OPT-IN: on hub-heavy graphs a frontier ring can reach
+      // graph scale and an unconditional hint is a driver OOM hazard — by
+      // default AQE broadcasts small rings at runtime and shuffles big ones
+      val probe = if (broadcastFrontier) broadcast(frontier) else frontier
+      val ring = edges.join(probe, col("src") === col("id"))
         .select(col("dst").as("id")).distinct()
         .join(labeled.select(col("id")), Seq("id"), "left_anti")
         .localCheckpoint() // consumed twice (union + next frontier) and
@@ -108,6 +113,62 @@ object GraphOps {
       frontier = ring
     }
     labeled
+  }
+
+  /** WEIGHTED SSSP via bounded relaxation (Bellman–Ford rounds): after
+    * `maxRounds` rounds each vertex holds the minimum total edge cost over
+    * all walks of ≤ maxRounds edges from a seed — integer costs, so every
+    * arithmetic step is exact and the result has a bounded-depth recursive
+    * min-cost-walk oracle (same pattern as [[bfsDistances]]'s q77 oracle).
+    * Dijkstra's priority queue is inherently sequential; synchronous
+    * relaxation is the distributed form (GraphX ShortestPaths does the
+    * same), and each round is one join + one min-aggregation keyed by
+    * vertex. The tentative-distance table stays seed-neighborhood sized;
+    * AQE broadcasts it at runtime when small (hint opt-in, as above).
+    *
+    * @param edges (src, dst, cost long) — symmetric for undirected graphs
+    * @param seeds single-column DataFrame `id`
+    * @return (id, cost) for vertices reachable within maxRounds edges
+    */
+  def ssspWeighted(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
+                   broadcastFrontier: Boolean = false): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("cost").as("w"))
+    var dist = seeds.select(col("id")).distinct()
+      .withColumn("cost", lit(0L))
+    for (_ <- 1 to maxRounds) {
+      val probe = if (broadcastFrontier) broadcast(dist) else dist
+      val relaxed = e.join(probe, col("src") === col("id"))
+        .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("id")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint() // keep the per-round lineage flat (plan depth
+        // otherwise grows a join+agg layer per round)
+    }
+    dist
+  }
+
+  /** GraphX Pregel twin of [[ssspWeighted]]: same bounded-round relaxation
+    * semantics (maxIterations = maxRounds), used as a cross-check and as
+    * the scale path when rounds are many enough that per-round DataFrame
+    * materialization hurts. */
+  def ssspWeightedGraphX(spark: SparkSession, edges: DataFrame,
+                         seeds: DataFrame, maxRounds: Int): DataFrame = {
+    import spark.implicits._
+    val seedSet = spark.sparkContext.broadcast(
+      seeds.select(col("id").cast("long")).as[Long].collect().toSet)
+    val edgeRdd = edges
+      .select(col("src").cast("long"), col("dst").cast("long"), col("cost").cast("long"))
+      .as[(Long, Long, Long)].rdd.map { case (s, d, c) => Edge(s, d, c) }
+    val graph = Graph.fromEdges[Long, Long](edgeRdd, Long.MaxValue,
+      StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((id, _) => if (seedSet.value.contains(id)) 0L else Long.MaxValue)
+    val sssp = graph.pregel(Long.MaxValue, maxIterations = maxRounds)(
+      (_, d, msg) => math.min(d, msg),
+      t => if (t.srcAttr != Long.MaxValue && t.srcAttr + t.attr < t.dstAttr)
+             Iterator((t.dstId, t.srcAttr + t.attr)) else Iterator.empty,
+      (a, b) => math.min(a, b))
+    sssp.vertices.filter { case (_, c) => c != Long.MaxValue }
+      .toDF("id", "cost")
   }
 
   /** Per-vertex TRIANGLE counts over a canonically-oriented (src < dst)

@@ -116,6 +116,28 @@ object GraphQueries {
       val seed = proj.agg(min(col("src")).as("id"))
       graft.graph.GraphOps.bfsDistances(sym, seed, 4)
         .orderBy(col("dist"), col("id"))
+    }),
+
+    // WEIGHTED SSSP (bounded Bellman–Ford relaxation, ≤4 rounds) on the
+    // co-shopper projection with the shared-supplier count as the integer
+    // edge cost: q77's distance labeling upgraded from hop counts to
+    // min-total-cost — the path through many weak ties can now beat the
+    // direct strong tie. Exact arithmetic throughout (long costs), so the
+    // oracle is the same bounded-depth recursive walk with a cost
+    // accumulator instead of a hop counter.
+    "q80_weighted_sssp" -> ((s, d) => {
+      val e = Erkg.entityEdges(s, d)
+        .filter(col("src") < Erkg.supplierOffset)
+      val proj = e.as("a").join(e.as("b"),
+          col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+        .groupBy(col("a.src").as("src"), col("b.src").as("dst"))
+        .agg(count(lit(1)).as("cost"))
+        .filter(col("cost") >= 2)
+      val sym = proj.unionByName(
+        proj.select(col("dst").as("src"), col("src").as("dst"), col("cost")))
+      val seed = proj.agg(min(col("src")).as("id"))
+      graft.graph.GraphOps.ssspWeighted(sym, seed, 4)
+        .orderBy(col("id"))
     }))
 
   /** Unrolled 10-iteration fixed-point PageRank oracle over the entity
@@ -202,6 +224,26 @@ object GraphQueries {
         |  FROM walk w JOIN sym e ON e.src = w.id WHERE w.dist < 4)
         |SELECT id, CAST(MIN(dist) AS INTEGER) AS dist
         |FROM walk GROUP BY id ORDER BY dist, id""".stripMargin,
+    // Bounded-depth min-COST walk (q77's oracle with a cost accumulator):
+    // MIN(total cost) over all ≤4-edge walks = 4-round relaxation result.
+    "q80_weighted_sssp" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity >= 48),
+        |proj AS (
+        |  SELECT a.src AS src, b.src AS dst, COUNT(*) AS cost
+        |  FROM e0 a JOIN e0 b ON a.dst = b.dst AND a.src < b.src
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (SELECT src, dst, cost FROM proj
+        |        UNION SELECT dst, src, cost FROM proj),
+        |seed AS (SELECT MIN(src) AS id FROM proj),
+        |walk(id, cost, depth) AS (
+        |  SELECT id, CAST(0 AS BIGINT), 0 FROM seed
+        |  UNION ALL
+        |  SELECT e.dst, w.cost + e.cost, w.depth + 1
+        |  FROM walk w JOIN sym e ON e.src = w.id WHERE w.depth < 4)
+        |SELECT id, MIN(cost) AS cost FROM walk GROUP BY id ORDER BY id""".stripMargin,
     "q15_pagerank" -> pagerankSql,
     "q13_two_hop_network" ->
       s"""$networkCte

@@ -83,6 +83,44 @@ class GraphSpec extends SparkSuite {
     assert(!out.contains(5L))
   }
 
+  test("ssspWeighted: cheap multi-hop path beats expensive direct edge") {
+    val s = spark
+    import s.implicits._
+    // 1→4 direct costs 10; 1→2→3→4 costs 1+1+1=3. BFS would say dist(4)=1;
+    // weighted SSSP must report cost(4)=3 once rounds allow the long path.
+    val edges0 = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 10L))
+    val sym = (edges0 ++ edges0.map { case (a, b, c) => (b, a, c) })
+      .toDF("src", "dst", "cost")
+    val seeds = Seq(1L).toDF("id")
+    val out = GraphOps.ssspWeighted(sym, seeds, 4).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // with a single relaxation round only the direct edges are reachable
+    val r1 = GraphOps.ssspWeighted(sym, seeds, 1).as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+  }
+
+  test("ssspWeighted DataFrame == Pregel twin on the co-shopper projection") {
+    val s = spark
+    import s.implicits._
+    val e = Erkg.entityEdges(s, sf0001).filter(col("src") < Erkg.supplierOffset)
+    val proj = e.as("a").join(e.as("b"),
+        col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src"), col("b.src").as("dst"))
+      .agg(count(lit(1)).as("cost"))
+      .filter(col("cost") >= 2)
+    val sym = proj.unionByName(
+      proj.select(col("dst").as("src"), col("src").as("dst"), col("cost")))
+      .cache()
+    val seeds = proj.agg(min(col("src")).as("id"))
+    val df = GraphOps.ssspWeighted(sym, seeds, 4)
+      .as[(Long, Long)].collect().toSet
+    val gx = GraphOps.ssspWeightedGraphX(s, sym, seeds, 4)
+      .as[(Long, Long)].collect().toSet
+    sym.unpersist()
+    assert(df == gx)
+    assert(df.nonEmpty)
+  }
+
   test("triangleCounts: K4 has 4 triangles, every vertex in 3; path has none") {
     val s = spark
     import s.implicits._
