@@ -115,7 +115,15 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
 
-  def register(spark: SparkSession): Unit =
+  val lshSignature: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("lsh_signature"),
+      new ExpressionInfo(classOf[LshSignature].getName, "lsh_signature"),
+      (children: Seq[Expression]) => LshSignature(children(0), children(1)))
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(cosineSim._1, cosineSim._2, cosineSim._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(lshSignature._1, lshSignature._2, lshSignature._3)
+  }
 }

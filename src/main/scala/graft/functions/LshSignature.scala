@@ -58,9 +58,19 @@ case class LshSignature(left: Expression, right: Expression)
 
 object LshSignature {
   /** Mirrors VectorOps.planeWeight/lshSignature exactly: per plane p, fold
-    * acc = Σ_d vec(d).toDouble · w(p,d) left-to-right, bit = proj >= 0. */
+    * acc = Σ_d vec(d).toDouble · w(p,d) left-to-right, bit = proj >= 0.
+    * NULL-element parity with the HOF twin: a null element nulls every
+    * plane's fold there, and `when(null >= 0, '1').otherwise('0')` emits
+    * '0' — so the signature of any null-containing vector is all zeros
+    * (getFloat on a null slot would otherwise silently read 0.0 and
+    * diverge). */
   def compute(vec: ArrayData, nPlanes: Int, elemIsFloat: Boolean): String = {
     val n = vec.numElements()
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return "0" * nPlanes
+      i += 1
+    }
     val sb = new java.lang.StringBuilder(nPlanes)
     var p = 0
     while (p < nPlanes) {

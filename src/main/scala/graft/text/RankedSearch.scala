@@ -63,6 +63,7 @@ object RankedSearch {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .cache()
+    try {
     val docLen = postings.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("dl"))
     // Corpus constants as a 1-row broadcast scalar (same pattern as nvec).
@@ -119,8 +120,9 @@ object RankedSearch {
       .filter(col("rn") <= topK)
       .select(col("surface"), col("doc_id"),
         (col("score_fp").cast("double") / lit(1e9)).as("score"), col("rn"))
-    val out = ranked.localCheckpoint()
-    postings.unpersist()
-    out
+    ranked.localCheckpoint()
+    // finally: a failed checkpoint (lost executor, cancelled job) must still
+    // release the postings cache, or every failed call leaks an entry
+    } finally postings.unpersist()
   }
 }

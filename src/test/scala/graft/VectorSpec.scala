@@ -46,6 +46,28 @@ class VectorSpec extends SparkSuite {
       .head.getLong(1) == 1L)
   }
 
+  test("LshSignature expression == HOF twin, including null-element vectors") {
+    // The optimizer rewrite (q74) plants the native expression where the
+    // HOF form appears elsewhere — they must agree bit for bit, and a null
+    // element must produce the HOF's all-zeros signature, not a silent
+    // 0.0-element read.
+    val s = spark
+    val withNull = StructType(Seq(
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val rows = Seq(
+      Row(Seq[java.lang.Float](1f, 0.5f, -2f)),
+      Row(Seq[java.lang.Float](0.3f, null, 1f)),
+      Row(Seq[java.lang.Float](-0.1f, 2f, 0f)))
+    graft.functions.GraftFunctions.register(s)
+    val df = s.createDataFrame(s.sparkContext.parallelize(rows), withNull)
+    val both = df.select(
+        VectorOps.lshSignature(col("embedding"), 8).as("hof"),
+        call_function("lsh_signature", col("embedding"), lit(8)).as("expr"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    both.foreach { case (h, e) => assert(h == e, s"HOF $h != expr $e") }
+    assert(both(1)._1 == "00000000") // null element -> all-zeros signature
+  }
+
   test("lshNeighborPairs is a subset of exact cosinePairs at same threshold") {
     val exact = VectorOps.cosinePairs(vecs, 0.5)
       .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
