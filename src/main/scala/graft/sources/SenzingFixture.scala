@@ -20,8 +20,76 @@ object SenzingFixture {
 
   private def feat(k: String, v: String) = s""""$k": [{"FEAT_DESC": "$v"}]"""
 
-  /** One line per entity; ids 1-9. */
-  val lines: Seq[String] = Seq(
+  private def js(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Bearer pseudo-names hitting every blacklist pattern's boundary form. */
+  private val bearerForms = Seq(
+    "bearer", "the bearer", "to the bearer 123", "el portador", "al portador",
+    "bearer shares", "the bearer (1,000)", "bearer warrant",
+    "bearer shareholder", "the, bearer", "bearer (reedeem shares)",
+    "the bearer (lost)", "bearer - x", "bearer \"a\"", "bearer 12-34",
+    "bearer no. 5", "the bearer at 1,234", "nan", "???")
+
+  /** Near-miss names that must SURVIVE the blacklist (each one edit away
+    * from a pattern: extra words, missing article, non-matching tail). */
+  private val nearMisses = Seq(
+    "bearer of good news", "portador", "the bearers society",
+    "bearer asset management", "nanette", "?!?")
+
+  /** Deterministic generated entity (pure function of k, ids 100-399):
+    * cycles all 11 feature keys (incl. the pipeline-ignored REL_ANCHOR /
+    * REL_POINTER), all 4 match levels, empty names (F2), empty MATCH_KEY
+    * (INITIAL default), empty first ENTITY_DESC (name fallback), an
+    * empty-string country (present() boundary), and bearer boundary
+    * strings on both sides of the blacklist. */
+  private def genLine(k: Int): String = {
+    val name =
+      if (k % 13 == 0) ""
+      else if (k % 17 == 0) bearerForms((k / 17) % bearerForms.length)
+      else if (k % 19 == 0) nearMisses((k / 19) % nearMisses.length)
+      else if (k % 5 == 0) s"Person $k"
+      else s"Entity $k Corp"
+    val fs = Seq.newBuilder[(String, String)]
+    if (name.nonEmpty) fs += "NAME" -> name
+    if (k % 5 == 0) fs += "RECORD_TYPE" -> "PERSON"
+    if (k % 5 == 1) fs += "RECORD_TYPE" -> "ORGANIZATION"
+    if (k % 5 == 2 || k % 7 == 0) fs += "DOB" -> s"19${50 + k % 40}-01-0${1 + k % 9}"
+    if (k % 5 == 3 || k % 11 == 0) fs += "GROUP_ASSOCIATION" -> s"Group ${k % 20}"
+    if (k % 2 == 0) fs += "ADDRESS" -> s"$k Main St"
+    if (k % 3 == 0) fs += "DUNS_NUMBER" -> s"D$k"
+    if (k % 4 <= 1) fs += "PHONE" -> s"555-$k"
+    if (k % 6 == 0) fs += "WEBSITE" -> s"www.e$k.example"
+    (if (k % 20 == 5) Some("")
+     else k % 4 match {
+       case 0 => Some("GB"); case 1 => Some("PA"); case 2 => Some("XX")
+       case _ => None
+     }).foreach(c => fs += "COUNTRY_OF_ASSOCIATION" -> c)
+    if (k % 8 == 0) fs += "REL_ANCHOR" -> s"A$k"
+    if (k % 9 == 0) fs += "REL_POINTER" -> s"P${k % 50}"
+    val feats = fs.result()
+      .map { case (key, v) => feat(key, js(v)) }.mkString(", ")
+    val recs = (0 until k % 4).map { j =>
+      val mk = j match { case 0 => ""; case 1 => "NAME"; case _ => "NAME+DOB" }
+      val desc =
+        if (j == 0 && k % 10 == 7) "" // name-fallback boundary (graphVertices)
+        else if (j == 0 && name.nonEmpty) name
+        else s"Alias $k-$j"
+      val ds = Seq("icij", "open", "oc")(j % 3)
+      s"""{"DATA_SOURCE": "$ds", "RECORD_ID": "r$k-$j", "MATCH_KEY": "$mk", "ENTITY_DESC": "${js(desc)}", "INTERNAL_ID": ${k * 100 + j}}"""
+    }
+    val levels = Seq("RESOLVED", "POSSIBLY_SAME", "POSSIBLY_RELATED", "DISCLOSED")
+    val rels = (0 until k % 5).map { r =>
+      s"""{"ENTITY_ID": ${100 + ((k * 7 + r * 13) % 300)}, "MATCH_LEVEL_CODE": "${levels((k + r) % 4)}"}"""
+    }
+    s"""{"RESOLVED_ENTITY": {"ENTITY_ID": $k, "ENTITY_NAME": "${js(name)}", "FEATURES": {$feats}, "RECORDS": [${recs.mkString(", ")}]}, "RELATED_ENTITIES": [${rels.mkString(", ")}]}"""
+  }
+
+  /** One line per entity: 9 handcrafted branch exemplars (ids 1-9) plus 300
+    * generated rows (ids 100-399) so the q50/q51 gates exercise the source
+    * at a few-hundred-entity scale instead of 6/11 output rows. */
+  val lines: Seq[String] = handLines ++ (100 to 399).map(genLine)
+
+  private def handLines: Seq[String] = Seq(
     // 1: full ORG — every description segment, country GB resolves
     s"""{"RESOLVED_ENTITY": {"ENTITY_ID": 1, "ENTITY_NAME": "Acme Corp", "FEATURES": {${feat("NAME", "Acme Corp")}, ${feat("RECORD_TYPE", "ORGANIZATION")}, ${feat("ADDRESS", "1 Main St")}, ${feat("DUNS_NUMBER", "123")}, ${feat("PHONE", "555")}, ${feat("COUNTRY_OF_ASSOCIATION", "GB")}, ${feat("WEBSITE", "acme.com")}}, "RECORDS": [{"DATA_SOURCE": "icij", "RECORD_ID": "r1", "MATCH_KEY": "", "ENTITY_DESC": "Acme Corp", "INTERNAL_ID": 11}, {"DATA_SOURCE": "open", "RECORD_ID": "r2", "MATCH_KEY": "ADDR", "ENTITY_DESC": "ACME", "INTERNAL_ID": 12}]}, "RELATED_ENTITIES": [{"ENTITY_ID": 2, "MATCH_LEVEL_CODE": "POSSIBLY_SAME"}, {"ENTITY_ID": 5, "MATCH_LEVEL_CODE": "POSSIBLY_RELATED"}]}""",
     // 2: full PER — RECORD_TYPE PERSON, all PER segments, unknown country XX
