@@ -83,7 +83,14 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q48 dominance pruning is an anti-join on doc_id, not a cartesian sweep") {
-    val p = plan("q48_global_spans")
+    // the q48 query closure materializes its result for cache hygiene, so
+    // its returned plan is a checkpoint scan — assert on the library op's
+    // plan, which is what the query executes
+    val docs = graft.Tables.documents(spark, sf)
+    val spans = graft.text.EntityLinking.ngramSpans(docs, 3)
+    val gaz = graft.text.EntityLinking.phraseGazetteer(spans, 30)
+    val p = graft.text.EntityLinking.phraseMentionsGlobal(spans, gaz)
+      .queryExecution.sparkPlan.toString
     assert(p.contains("LeftAnti"))
     assert(!p.contains("CartesianProduct"))
   }
