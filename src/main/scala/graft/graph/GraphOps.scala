@@ -254,4 +254,78 @@ object GraphOps {
     vertices.join(referenced.withColumn("has_ref", lit(true)), Seq(idCol), "left")
       .withColumn("has_ref", coalesce(col("has_ref"), lit(false)))
   }
+
+  /** K-CORE decomposition (fixed k) by synchronous peeling: each round drops
+    * every vertex whose degree in the SURVIVING subgraph is < k, until the
+    * edge set is stable or `maxRounds` rounds have run. Bounding the rounds
+    * (instead of iterating blind to convergence) is what makes the result
+    * hash-comparable across engines: R synchronous rounds are a pure
+    * function of the input on ANY engine, and once peeling converges every
+    * further round is a no-op — so early exit here and a fully-unrolled
+    * R-round SQL oracle agree whether or not round R reached the fixpoint.
+    *
+    * Scale shape: each round is one degree aggregation plus two semi-joins
+    * of the (shrinking) edge list against a vertex-sized survivor set —
+    * AQE broadcasts the survivor side once it is small. Work only ever
+    * decreases round over round; there is no frontier growth to hub-guard.
+    *
+    * @param edges symmetric edge list (src, dst)
+    * @return (id, core_degree) for vertices surviving the peel
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    var live = edges.select(col("src"), col("dst")).localCheckpoint()
+    var n = live.count()
+    var converged = false
+    for (_ <- 1 to maxRounds if !converged) {
+      val keep = live.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"))
+      val next = live
+        .join(keep, live("src") === keep("id"), "left_semi")
+        .join(keep, live("dst") === keep("id"), "left_semi")
+        .localCheckpoint() // flatten the per-round lineage
+      val m = next.count()
+      converged = m == n
+      live = next; n = m
+    }
+    live.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
+  }
+
+  /** Synchronous LABEL PROPAGATION community detection, `rounds` fixed
+    * rounds: every vertex starts labeled with its own id; each round every
+    * vertex simultaneously adopts the most frequent label among its
+    * neighbors, ties broken toward the SMALLEST label. The deterministic
+    * tie-break is the whole trick — GraphX's LabelPropagation breaks ties
+    * by hash-order and is not reproducible across runs, let alone engines;
+    * (count DESC, label ASC) makes R rounds a pure function of the edge
+    * list, so the same unrolled computation runs in SQL for the gate.
+    *
+    * Scale shape per round: one join of edges against the vertex-sized
+    * label table (AQE-broadcast when small), one (vertex, label) count
+    * aggregation — partial map-side combine applies — and one windowed
+    * argmax partitioned by vertex. State is one label per vertex.
+    *
+    * @param edges symmetric edge list (src, dst)
+    * @return (id, label) — community = min vertex id that won the vote
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).cache()
+    val nodes = e.select(col("src").as("id")).distinct().cache()
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    for (i <- 1 to rounds) {
+      val votes = e.join(labels, e("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("c").desc, col("label").asc)
+      val won = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("id"), col("label"))
+      labels = nodes.join(won, Seq("id"), "left")
+        .select(nodes("id"), coalesce(col("label"), nodes("id")).as("label"))
+      // one join+window layer per round — keep the plan flat
+      if (i % 2 == 0) labels = labels.localCheckpoint()
+    }
+    val out = labels.localCheckpoint()
+    e.unpersist(); nodes.unpersist()
+    out
+  }
 }

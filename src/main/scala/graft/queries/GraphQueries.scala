@@ -138,6 +138,45 @@ object GraphQueries {
       val seed = proj.agg(min(col("src")).as("id"))
       graft.graph.GraphOps.ssspWeighted(sym, seed, 4)
         .orderBy(col("id"))
+    }),
+
+    // K-CORE (k=3, ≤8 peel rounds) on the co-shopper projection: the
+    // maximal subgraph where every member keeps ≥3 surviving co-shopper
+    // ties — the standard dense-nucleus extraction (peeling converges in
+    // ≤5 rounds on this graph at every SF; the bound only pins oracle
+    // parity). Output is each survivor with its in-core degree.
+    "q81_kcore" -> ((s, d) => {
+      val e = Erkg.entityEdges(s, d)
+        .filter(col("src") < Erkg.supplierOffset)
+      val proj = e.as("a").join(e.as("b"),
+          col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+        .groupBy(col("a.src").as("src"), col("b.src").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      val sym = proj.unionByName(
+        proj.select(col("dst").as("src"), col("src").as("dst")))
+      graft.graph.GraphOps.kCore(sym, 3, 8)
+        .orderBy(col("id"))
+    }),
+
+    // LABEL PROPAGATION communities (4 synchronous rounds, deterministic
+    // count-DESC/label-ASC tie-break) on the co-shopper projection —
+    // GraphX's LabelPropagation semantics made reproducible enough to
+    // hash-compare across engines.
+    "q85_label_prop" -> ((s, d) => {
+      val e = Erkg.entityEdges(s, d)
+        .filter(col("src") < Erkg.supplierOffset)
+      val proj = e.as("a").join(e.as("b"),
+          col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+        .groupBy(col("a.src").as("src"), col("b.src").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      val sym = proj.unionByName(
+        proj.select(col("dst").as("src"), col("src").as("dst")))
+      graft.graph.GraphOps.labelPropagation(sym, 4)
+        .orderBy(col("id"))
     }))
 
   /** Unrolled 10-iteration fixed-point PageRank oracle over the entity
@@ -175,7 +214,69 @@ object GraphQueries {
          |SELECT id, "rank" FROM pr10 ORDER BY "rank" DESC, id LIMIT 20""".stripMargin
   }
 
+  /** Shared oracle prelude: the symmetric co-shopper projection (q76/q77/
+    * q80/q81/q85 all run on this graph). MATERIALIZED is load-bearing for
+    * the unrolled iterative oracles: the peel round s_i references d_i
+    * twice, so DuckDB's default CTE inlining would re-evaluate the whole
+    * chain 3^rounds times. */
+  private val projSymCte =
+    """WITH e0 AS MATERIALIZED (
+      |  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE l_quantity >= 48),
+      |proj AS MATERIALIZED (
+      |  SELECT a.src AS src, b.src AS dst
+      |  FROM e0 a JOIN e0 b ON a.dst = b.dst AND a.src < b.src
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |sym AS MATERIALIZED (
+      |  SELECT src, dst FROM proj UNION SELECT dst, src FROM proj)""".stripMargin
+
+  /** Unrolled 8-round k=3 peel — mirrors GraphOps.kCore round for round
+    * (extra rounds past the fixpoint are no-ops, so Spark's early exit and
+    * the full unroll agree by construction). */
+  private val kcoreSql: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT src FROM s${i - 1} GROUP BY src HAVING COUNT(*) >= 3),
+         |s$i AS MATERIALIZED (
+         |  SELECT s.src, s.dst FROM s${i - 1} s
+         |  JOIN d$i a ON s.src = a.src
+         |  JOIN d$i b ON s.dst = b.src)""".stripMargin
+    }
+    (Seq(projSymCte, "s0 AS MATERIALIZED (SELECT src, dst FROM sym)") ++ rounds)
+      .mkString(",\n") +
+      """
+        |SELECT src AS id, COUNT(*) AS core_degree
+        |FROM s8 GROUP BY src ORDER BY id""".stripMargin
+  }
+
+  /** Unrolled 4-round synchronous label propagation — same deterministic
+    * (count DESC, label ASC) argmax as GraphOps.labelPropagation. */
+  private val labelPropSql: String = {
+    val head = Seq(projSymCte,
+      "nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)",
+      "l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes)")
+    val rounds = (1 to 4).map { i =>
+      s"""v$i AS MATERIALIZED (
+         |  SELECT e.dst AS id, l.label, COUNT(*) AS c
+         |  FROM sym e JOIN l${i - 1} l ON l.id = e.src GROUP BY 1, 2),
+         |w$i AS MATERIALIZED (
+         |  SELECT id, label FROM (
+         |    SELECT id, label,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+         |    FROM v$i) t WHERE rn = 1),
+         |l$i AS MATERIALIZED (
+         |  SELECT n.id, COALESCE(w.label, n.id) AS label
+         |  FROM nodes n LEFT JOIN w$i w ON w.id = n.id)""".stripMargin
+    }
+    (head ++ rounds).mkString(",\n") +
+      """
+        |SELECT id, label FROM l4 ORDER BY id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q81_kcore" -> kcoreSql,
+    "q85_label_prop" -> labelPropSql,
     "q44_motif_coshoppers" ->
       """WITH e0 AS (
         |  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst

@@ -134,6 +134,63 @@ class GraphSpec extends SparkSuite {
     assert(GraphOps.triangleCounts(path).isEmpty)
   }
 
+  test("kCore: k=2 peels pendant chain; triangle survives with degree 2") {
+    val s = spark
+    import s.implicits._
+    // triangle {1,2,3} with a pendant chain 3-4-5: the chain must peel in
+    // TWO rounds (5 first, then 4 — removing 5 is what exposes 4)
+    val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val sym = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.kCore(sym, 2, 8).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max degree empties the graph
+    assert(GraphOps.kCore(sym, 4, 8).isEmpty)
+  }
+
+  test("kCore: bounded rounds == converged result once the peel stabilizes") {
+    val s = spark
+    import s.implicits._
+    val e = Erkg.entityEdges(s, sf0001).filter(col("src") < Erkg.supplierOffset)
+    val proj = e.as("a").join(e.as("b"),
+        col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src"), col("b.src").as("dst"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select(col("src"), col("dst"))
+    val sym = GraphOps.symmetrize(proj).cache()
+    val r8 = GraphOps.kCore(sym, 3, 8).as[(Long, Long)].collect().toSet
+    val r20 = GraphOps.kCore(sym, 3, 20).as[(Long, Long)].collect().toSet
+    sym.unpersist()
+    assert(r8 == r20)
+    assert(r8.nonEmpty)
+    // every survivor keeps >= k in-core neighbors — the k-core invariant
+    assert(r8.forall(_._2 >= 3L))
+  }
+
+  test("labelPropagation: two cliques joined by a bridge keep separate labels") {
+    val s = spark
+    import s.implicits._
+    // K3 {1,2,3} — bridge 3-4 — K3 {4,5,6}: each clique converges to its
+    // min id; the bridge endpoints stay with their own clique's majority
+    val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val sym = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.labelPropagation(sym, 4).as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    // the second clique agrees on ONE label distinct from the first's
+    // (which label wins there depends on what crossed the bridge early)
+    val c2 = out(4L)
+    assert(c2 != 1L && out(5L) == c2 && out(6L) == c2)
+  }
+
+  test("labelPropagation: deterministic tie-break picks the smallest label") {
+    val s = spark
+    import s.implicits._
+    // vertex 3's neighbors {1, 2} each carry one vote — ties must go to 1
+    val e0 = Seq((1L, 3L), (2L, 3L))
+    val sym = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val r1 = GraphOps.labelPropagation(sym, 1).as[(Long, Long)].collect().toMap
+    assert(r1(3L) == 1L)
+  }
+
   test("flagship alias report: probabilities sum to 1, non-empty on sf0.001") {
     val rep = Erkg.suspiciousAliasReport(spark, sf0001).cache()
     assert(rep.count() > 0)
