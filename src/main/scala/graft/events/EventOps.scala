@@ -76,6 +76,38 @@ object EventOps {
       .withColumn("n", coalesce(col("n"), lit(0L)))
   }
 
+  /** Time-series GAP FILL + LOCF resample: one row per (user, day) over
+    * each user's [first-day, last-day] span, zero-filled event counts, and
+    * the day's decimal-exact value sum carried forward over gap days
+    * (last-observation-carried-forward — the standard resample before
+    * joining feeds with different cadences). Day grid stays TIMESTAMP on
+    * both engines (`date_trunc` semantics shared with the DuckDB oracle).
+    *
+    * Scale shape: one aggregation to daily grain, one tiny per-user span
+    * aggregate whose `sequence` explode generates days-per-user rows (grid
+    * is output-sized, never a cross join), one left join back on
+    * (user, day), one LOCF window per user. Skewed users cost days, not
+    * events, after the first aggregation.
+    */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("dv"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("dv").cast("double").as("day_value"),
+        // LOCF stays DECIMAL through the window; one cast at the end
+        last(col("dv"), ignoreNulls = true).over(w).cast("double").as("locf_value"))
+  }
+
   /** As-of join (inclusive): for each left row, the latest right row with
     * `right.ts <= left.ts` and equal keys — DuckDB `ASOF JOIN` semantics,
     * "latest" broken by greatest `tiebreak` among equal timestamps.

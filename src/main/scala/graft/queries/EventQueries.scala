@@ -143,6 +143,11 @@ object EventQueries {
         .orderBy(col("user_id"))),
 
     // As-of join: each click picks up the latest prior error of its user.
+    // Time-series gap fill + LOCF resample to a daily grid per user.
+    "q82_gapfill_locf" -> ((s, d) =>
+      EventOps.gapFillDaily(ev(s, d))
+        .orderBy(col("user_id"), col("day"))),
+
     "q32_asof_join" -> ((s, d) => {
       val e = ev(s, d)
       EventOps.asofJoin(
@@ -161,6 +166,26 @@ object EventQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    // generate_series over each user's day span; LOCF via IGNORE NULLS
+    // last_value over the same DECIMAL the Spark window carries.
+    "q82_gapfill_locf" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS dv
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        |        FROM daily GROUP BY user_id) s)
+        |SELECT g.user_id, g.day,
+        |  COALESCE(d.n_events, 0) AS n_events,
+        |  CAST(d.dv AS DOUBLE) AS day_value,
+        |  CAST(last_value(d.dv IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS locf_value
+        |FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
     // Stage codes 1/2/3 = view/click/purchase; the fold advances the stage
     // exactly like the Spark aggregate lambda, over the same total order.
     "q75_funnel" ->

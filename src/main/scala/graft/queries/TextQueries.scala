@@ -116,6 +116,38 @@ object TextQueries {
     // near-duplication) → keep the min-id representative per group. Docs in
     // no pair are their own canonical. The pair graph is tiny relative to the
     // corpus (only near-dups), so the CC runs on edges, never on documents.
+    // TF-IDF sparse cosine similarity JOIN through an inverted index
+    // (df-pruned blocking + fixed-point dot products; RankedSearch).
+    "q83_tfidf_pairs" -> ((s, d) =>
+      graft.text.RankedSearch.tfidfCosinePairs(docs(s, d), "doc_id", "text")
+        .orderBy(col("da"), col("db"))),
+
+    // PMI collocations: top-50 adjacent bigrams by pointwise mutual
+    // information. The score column is the PMI RATIO p(ab)/(p(a)p(b)) —
+    // log is monotonic, so the ranking is PMI's, while every arithmetic
+    // step stays integer-derived IEEE mul/div (no cross-engine ln drift).
+    "q84_collocations" -> ((s, d) => {
+      val dd = docs(s, d)
+      val tok = dd.select(explode(TextOps.tokens(col("text"))).as("t"))
+      val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val nTok = broadcast(tok.agg(count(lit(1)).as("n_tok")))
+      val big = dd.select(explode(TextOps.bigrams(col("text"))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val nBig = broadcast(big.agg(count(lit(1)).as("n_big")))
+      big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+        .join(uni.select(col("t").as("w1"), col("c").as("c_a")), Seq("w1"))
+        .join(uni.select(col("t").as("w2"), col("c").as("c_b")), Seq("w2"))
+        .crossJoin(nTok).crossJoin(nBig)
+        .select(col("w1"), col("w2"), col("c_ab"),
+          (col("c_ab").cast("double") * col("n_tok").cast("double")
+            * col("n_tok").cast("double") /
+            (col("n_big").cast("double") * col("c_a").cast("double")
+              * col("c_b").cast("double"))).as("pmi_ratio"))
+        .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
+
     "q52_dedup_canonical" -> ((s, d) => {
       val pairs = DedupOps.minhashPairs(docs(s, d), "doc_id", "text", 3, 32, 4, 0.5)
         .select(col("da").as("src"), col("db").as("dst"))
@@ -148,6 +180,67 @@ object TextQueries {
       |          FROM documents) t0) t1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // TF-IDF cosine pairs: same quantized-ln idf + fixed-point sums as the
+    // Spark plan (RankedSearch.tfidfCosinePairs); MATERIALIZED keeps the
+    // multiply-referenced postings/weights CTEs single-evaluation.
+    "q83_tfidf_pairs" ->
+      s"""WITH post AS MATERIALIZED (
+         |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toksSql) AS token FROM documents) t
+         |  GROUP BY 1, 2),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM post),
+         |idf AS MATERIALIZED (
+         |  SELECT token,
+         |    CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e9)
+         |      AS DOUBLE) / 1e9 AS idf
+         |  FROM (SELECT token, COUNT(*) AS df FROM post GROUP BY 1) d
+         |  CROSS JOIN nd
+         |  WHERE CAST(df AS DOUBLE) <= CAST(n_docs AS DOUBLE) * 0.1),
+         |wgt AS MATERIALIZED (
+         |  SELECT p.doc_id, p.token, CAST(p.tf AS DOUBLE) * i.idf AS w
+         |  FROM post p JOIN idf i ON p.token = i.token),
+         |nrm AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    sqrt(CAST(SUM(CAST(floor(w * w * 1e9) AS BIGINT)) AS DOUBLE) / 1e9)
+         |      AS norm
+         |  FROM wgt GROUP BY 1),
+         |dots AS MATERIALIZED (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |    CAST(SUM(CAST(floor(a.w * b.w * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+         |      AS dot
+         |  FROM wgt a JOIN wgt b
+         |    ON a.token = b.token AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d.da, d.db, d.dot / (na.norm * nb.norm) AS cosine
+         |FROM dots d
+         |JOIN nrm na ON na.doc_id = d.da
+         |JOIN nrm nb ON nb.doc_id = d.db
+         |WHERE d.dot / (na.norm * nb.norm) >= 0.3
+         |ORDER BY d.da, d.db""".stripMargin,
+    // PMI-ratio collocations: integer counts, one double mul/div chain in
+    // pinned order — no ln, so no cross-engine transcendental drift at all.
+    "q84_collocations" ->
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT unnest($toksSql) AS t FROM documents),
+         |uni AS MATERIALIZED (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+         |nt AS (SELECT COUNT(*) AS n_tok FROM tok),
+         |big AS MATERIALIZED (
+         |  SELECT w[i] AS w1, w[i + 1] AS w2 FROM (
+         |    SELECT $toksSql AS w,
+         |      unnest(range(1, len($toksSql))) AS i
+         |    FROM documents) t),
+         |nb AS (SELECT COUNT(*) AS n_big FROM big),
+         |cab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM big
+         |        GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+         |SELECT c.w1, c.w2, c.c_ab,
+         |  CAST(c.c_ab AS DOUBLE) * CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)
+         |    / (CAST(n_big AS DOUBLE) * CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))
+         |    AS pmi_ratio
+         |FROM cab c
+         |JOIN uni a ON a.t = c.w1
+         |JOIN uni b ON b.t = c.w2
+         |CROSS JOIN nt CROSS JOIN nb
+         |ORDER BY pmi_ratio DESC, c.w1, c.w2 LIMIT 50""".stripMargin,
     "q18_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(len($toksSql) AS INTEGER) AS n_ws_tokens,

@@ -125,4 +125,72 @@ object RankedSearch {
     // release the postings cache, or every failed call leaks an entry
     } finally postings.unpersist()
   }
+
+  /** TF-IDF sparse-vector COSINE similarity join over a document corpus:
+    * all pairs with cosine ≥ `minCos`, computed through an inverted index —
+    * the doc↔doc twin of [[bm25TopK]]'s query↔doc retrieval, and the
+    * sparse-vector member of the similarity-join family (MinHash q23 /
+    * SimHash q24 / embedding-LSH q27 are the other blockings).
+    *
+    * Scale design — never all-pairs:
+    *   - tokens present in more than `maxDfFrac` of documents are dropped
+    *     BEFORE the self-join (they are near-zero-idf noise and the whole
+    *     quadratic cost: a token shared by f docs fans out f² pair rows);
+    *   - the remaining postings self-join on token, so a pair is scored
+    *     only if it shares ≥1 surviving token (the inverted-index blocking
+    *     semantic) and costs Σ_token df², not |docs|²;
+    *   - weights/norms are per-doc precomputed; the pair aggregation sums
+    *     FIXED-POINT (floor(w_a·w_b·1e9) longs) so the dot product is
+    *     shuffle-order-independent.
+    *
+    * Cross-engine determinism: same quantized-ln idf as [[bm25TopK]]
+    * (floor(ln·1e9)/1e9), IEEE mul/div in pinned order, sqrt is correctly
+    * rounded everywhere — the result hash-compares against DuckDB.
+    *
+    * @return (da, db, cosine) with da < db
+    */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                       maxDfFrac: Double = 0.1,
+                       minCos: Double = 0.3): DataFrame = {
+    val postings = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    try {
+      val nDocs = broadcast(
+        postings.select(col("doc_id")).distinct()
+          .agg(count(lit(1)).as("n_docs")))
+      // df prune + quantized idf; vocabulary-sized → broadcast to the probe
+      val tokenIdf = broadcast(
+        postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+          .crossJoin(nDocs)
+          .filter(col("df").cast("double") <=
+            col("n_docs").cast("double") * lit(maxDfFrac))
+          .withColumn("idf",
+            floor(log(col("n_docs").cast("double") / col("df").cast("double"))
+              * lit(1e9)).cast("double") / lit(1e9))
+          .select(col("token"), col("idf")))
+      val weighted = postings.join(tokenIdf, Seq("token"))
+        .select(col("doc_id"), col("token"),
+          (col("tf").cast("double") * col("idf")).as("w"))
+      val norms = weighted.groupBy(col("doc_id"))
+        .agg(sqrt(sum(floor(col("w") * col("w") * lit(1e9)).cast("long"))
+          .cast("double") / lit(1e9)).as("norm"))
+      val dots = weighted.as("a")
+        .join(weighted.as("b"),
+          col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg((sum(floor(col("a.w") * col("b.w") * lit(1e9)).cast("long"))
+          .cast("double") / lit(1e9)).as("dot"))
+      val out = dots
+        .join(norms.select(col("doc_id").as("da"), col("norm").as("na")), Seq("da"))
+        .join(norms.select(col("doc_id").as("db"), col("norm").as("nb")), Seq("db"))
+        .select(col("da"), col("db"),
+          (col("dot") / (col("na") * col("nb"))).as("cosine"))
+        .filter(col("cosine") >= minCos)
+      out.localCheckpoint()
+    } finally postings.unpersist()
+  }
 }

@@ -130,4 +130,17 @@ object TextOps {
     regexp_replace(
       regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
       "[0-9]+", "<NUM>")
+
+  /** Adjacent-bigram array of the whitespace token stream (docs with < 2
+    * tokens yield an empty array — `sequence` must never see a negative
+    * stop, it would count DOWN). Struct elements keep the pair split for
+    * downstream grouping without re-parsing. */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    val n = org.apache.spark.sql.functions.size(t)
+    when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
 }

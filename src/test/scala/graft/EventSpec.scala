@@ -27,6 +27,29 @@ class EventSpec extends SparkSuite {
     assert(out(102L) == (None, None))              // user 2 has no errors
   }
 
+  test("gapFillDaily: zero-filled gap days, LOCF carries the last daily sum") {
+    val s = spark
+    import s.implicits._
+    def day(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // user 1: events on days 1 and 4 → grid 1..4, gaps on 2 and 3;
+    // user 2: single day → one-row grid
+    val events = Seq(
+      (1L, day(1), 10.0), (1L, day(1), 2.5), (1L, day(4), 7.0),
+      (2L, day(2), 1.0))
+      .toDF("user_id", "ts", "value")
+    val out = EventOps.gapFillDaily(events)
+      .orderBy(col("user_id"), col("day"))
+      .select(col("user_id"), col("n_events"), col("day_value"), col("locf_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, Some(12.5), 12.5),
+      (1L, 0L, None, 12.5),
+      (1L, 0L, None, 12.5),
+      (1L, 1L, Some(7.0), 7.0),
+      (2L, 1L, Some(1.0), 1.0)))
+  }
+
   test("rangeCountJoin counts matches across bucket boundaries, keeps zero-match rows") {
     val s = spark
     import s.implicits._

@@ -53,6 +53,30 @@ class RankedSearchSpec extends SparkSuite {
     assert(out.map(_.getLong(1)).toSet == Set(5L))
   }
 
+  test("tfidfCosinePairs: identical docs hit cosine 1, df-pruned tokens can't pair") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),          // exact dup of 1 → cosine 1.0
+      (3L, "delta epsilon zeta"),        // shares nothing kept with 1/2
+      (4L, "alpha beta other words here"))
+      .toDF("doc_id", "text")
+    // maxDfFrac=1.0 keeps every token
+    val out = RankedSearch.tfidfCosinePairs(docs, "doc_id", "text",
+        maxDfFrac = 1.0, minCos = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(out((1L, 2L)) - 1.0) < 1e-6)
+    assert(!out.contains((1L, 3L)) && !out.contains((2L, 3L)))
+    // a token in >maxDfFrac of docs is dropped BEFORE pairing: with the
+    // fraction at 0.5, "alpha"/"beta" (df 3 of 4) stop linking doc 4
+    val pruned = RankedSearch.tfidfCosinePairs(docs, "doc_id", "text",
+        maxDfFrac = 0.5, minCos = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pruned.contains((1L, 4L)) && !pruned.contains((2L, 4L)))
+    assert(pruned.contains((1L, 2L))) // "gamma" (df 2 of 4) still pairs them
+  }
+
   test("blockK widens recall without changing scores of shared candidates") {
     val narrow = RankedSearch.bm25TopK(corpus, "doc_id", "text",
       mention("mossack fonseca"), blockK = 1, topK = 5)

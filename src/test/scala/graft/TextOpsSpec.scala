@@ -26,6 +26,20 @@ class TextOpsSpec extends SparkSuite {
     assert(one("   ", TextOps.chunks(col("text"), 4, 1)).isEmpty)
   }
 
+  test("bigrams: adjacent pairs in order; short docs yield empty, not negative sequence") {
+    val s = spark
+    import s.implicits._
+    val out = Seq("a b c", "  solo  ", "", "x y")
+      .toDF("text")
+      .select(TextOps.bigrams(col("text")).as("b"))
+      .collect()
+      .map(_.getSeq[org.apache.spark.sql.Row](0).map(r =>
+        (r.getString(0), r.getString(1))))
+    assert(out(0) == Seq(("a", "b"), ("b", "c")))
+    assert(out(1).isEmpty && out(2).isEmpty)
+    assert(out(3) == Seq(("x", "y")))
+  }
+
   test("maskPii masks emails before digit runs, leaves clean text alone") {
     val s = spark
     import s.implicits._
