@@ -148,6 +148,43 @@ object EventQueries {
       EventOps.gapFillDaily(ev(s, d))
         .orderBy(col("user_id"), col("day"))),
 
+    // ROLLING 7-day distinct actives per event_type: an event contributes
+    // to the window ENDING on each of the next 7 days, turning the rolling
+    // range join into a 7× fan-out equi-join — exact distinct counts with
+    // one shuffle, no per-day range scan. (At 100 TB the same plan holds:
+    // fan-out is a constant 7 on the already-deduped daily grain.)
+    "q87_rolling_actives" -> ((s, d) => {
+      val daily = ev(s, d).select(col("event_type"),
+          date_trunc("day", col("ts")).as("day"), col("user_id"))
+        .distinct()
+      daily.select(col("event_type"), col("user_id"),
+          explode(sequence(col("day"),
+            col("day") + expr("interval 6 days"),
+            expr("interval 1 day"))).as("w_day"))
+        .groupBy(col("event_type"), col("w_day"))
+        .agg(count_distinct(col("user_id")).as("active_users"))
+        .orderBy(col("event_type"), col("w_day"))
+    }),
+
+    // SCD2 interval compaction: each user's event_type change-points become
+    // validity intervals [valid_from, valid_to) — the slowly-changing-
+    // dimension history build (one lag to detect changes, one lead to close
+    // intervals; single shuffle on the user key).
+    "q88_scd2_intervals" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ch = ev(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("event_id"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("event_id"))
+      ch.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    }),
+
     "q32_asof_join" -> ((s, d) => {
       val e = ev(s, d)
       EventOps.asofJoin(
@@ -166,6 +203,30 @@ object EventQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q87_rolling_actives" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT DISTINCT event_type, date_trunc('day', ts) AS day, user_id
+        |  FROM events),
+        |contrib AS (
+        |  SELECT event_type, user_id,
+        |    unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY))
+        |      AS w_day
+        |  FROM daily)
+        |SELECT event_type, w_day, COUNT(DISTINCT user_id) AS active_users
+        |FROM contrib GROUP BY 1, 2 ORDER BY event_type, w_day""".stripMargin,
+    "q88_scd2_intervals" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |ch AS (
+        |  SELECT user_id, event_type, ts AS valid_from, event_id
+        |  FROM o WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, valid_from, event_id,
+        |  LEAD(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from, event_id) AS valid_to
+        |FROM ch ORDER BY user_id, valid_from, event_id""".stripMargin,
     // generate_series over each user's day span; LOCF via IGNORE NULLS
     // last_value over the same DECIMAL the Spark window carries.
     "q82_gapfill_locf" ->

@@ -160,6 +160,15 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // PERSONALIZED PageRank from the suspicion seeds (10 fixed iterations,
+    // fixed-point): q15's global centrality re-anchored so teleport mass
+    // returns to the seed customers — ranks measure proximity to the
+    // investigation's starting names, the ER expansion-scoring shape.
+    "q86_ppr_seeds" -> ((s, d) =>
+      GraphOps.personalizedPageRankDeterministic(
+          Erkg.entityEdges(s, d), Erkg.seeds(s, d), 10)
+        .orderBy(col("rank").desc, col("id")).limit(20)),
+
     // LABEL PROPAGATION communities (4 synchronous rounds, deterministic
     // count-DESC/label-ASC tie-break) on the co-shopper projection —
     // GraphX's LabelPropagation semantics made reproducible enough to
@@ -274,9 +283,53 @@ object GraphQueries {
         |SELECT id, label FROM l4 ORDER BY id""".stripMargin
   }
 
+  /** Unrolled 10-iteration PERSONALIZED PageRank oracle: pagerankSql with
+    * the teleport vector concentrated on the seed customers (s/ns instead
+    * of 1/n), mirroring personalizedPageRankDeterministic bit for bit. */
+  private val pprSql: String = {
+    val head =
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE l_quantity >= 48),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |hop0 AS (SELECT c_custkey AS id FROM customer
+         |         WHERE c_name IN ($seedsSqlList)),
+         |sf AS MATERIALIZED (
+         |  SELECT n.id, CASE WHEN h.id IS NULL THEN 0 ELSE 1 END AS s
+         |  FROM (SELECT DISTINCT src AS id FROM edges) n
+         |  LEFT JOIN hop0 h ON h.id = n.id),
+         |ns AS (SELECT SUM(s) AS ns FROM sf),
+         |odeg AS MATERIALIZED (
+         |  SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
+         |pr0 AS (
+         |  SELECT id, CAST(s AS DOUBLE) / CAST(ns.ns AS DOUBLE) AS "rank"
+         |  FROM sf CROSS JOIN ns)""".stripMargin
+    val iters = (1 to 10).map { k =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT e.dst AS id,
+         |    CAST(SUM(CAST(floor((p."rank" / o.odeg) * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS inflow
+         |  FROM pr${k - 1} p
+         |  JOIN edges e ON e.src = p.id
+         |  JOIN odeg o ON o.src = e.src
+         |  GROUP BY e.dst),
+         |pr$k AS MATERIALIZED (
+         |  SELECT sf.id,
+         |    CAST(0.15 AS DOUBLE) * CAST(sf.s AS DOUBLE) / CAST(ns.ns AS DOUBLE)
+         |      + CAST(0.85 AS DOUBLE) * COALESCE(c$k.inflow, CAST(0 AS DOUBLE)) AS "rank"
+         |  FROM sf CROSS JOIN ns
+         |  LEFT JOIN c$k ON c$k.id = sf.id)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"""
+         |SELECT id, "rank" FROM pr10 ORDER BY "rank" DESC, id LIMIT 20""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "q81_kcore" -> kcoreSql,
     "q85_label_prop" -> labelPropSql,
+    "q86_ppr_seeds" -> pprSql,
     "q44_motif_coshoppers" ->
       """WITH e0 AS (
         |  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst

@@ -152,45 +152,57 @@ object RankedSearch {
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
                        maxDfFrac: Double = 0.1,
                        minCos: Double = 0.3): DataFrame = {
+    val (out, postings) = tfidfPairsPlan(docs, idCol, textCol, maxDfFrac, minCos)
+    // materialize-then-unpersist: the postings cache (referenced by the df
+    // stats, weights and both join sides) is released before returning
+    try out.localCheckpoint()
+    finally postings.unpersist()
+  }
+
+  /** Plan-only form of [[tfidfCosinePairs]]: returns (result plan, the
+    * cached postings the caller must unpersist after materializing). Split
+    * out so PlanSpec can assert on the join shape BEFORE the checkpoint
+    * erases it. */
+  private[graft] def tfidfPairsPlan(docs: DataFrame, idCol: String,
+                                    textCol: String, maxDfFrac: Double,
+                                    minCos: Double): (DataFrame, DataFrame) = {
     val postings = docs
       .select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .cache()
-    try {
-      val nDocs = broadcast(
-        postings.select(col("doc_id")).distinct()
-          .agg(count(lit(1)).as("n_docs")))
-      // df prune + quantized idf; vocabulary-sized → broadcast to the probe
-      val tokenIdf = broadcast(
-        postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
-          .crossJoin(nDocs)
-          .filter(col("df").cast("double") <=
-            col("n_docs").cast("double") * lit(maxDfFrac))
-          .withColumn("idf",
-            floor(log(col("n_docs").cast("double") / col("df").cast("double"))
-              * lit(1e9)).cast("double") / lit(1e9))
-          .select(col("token"), col("idf")))
-      val weighted = postings.join(tokenIdf, Seq("token"))
-        .select(col("doc_id"), col("token"),
-          (col("tf").cast("double") * col("idf")).as("w"))
-      val norms = weighted.groupBy(col("doc_id"))
-        .agg(sqrt(sum(floor(col("w") * col("w") * lit(1e9)).cast("long"))
-          .cast("double") / lit(1e9)).as("norm"))
-      val dots = weighted.as("a")
-        .join(weighted.as("b"),
-          col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg((sum(floor(col("a.w") * col("b.w") * lit(1e9)).cast("long"))
-          .cast("double") / lit(1e9)).as("dot"))
-      val out = dots
-        .join(norms.select(col("doc_id").as("da"), col("norm").as("na")), Seq("da"))
-        .join(norms.select(col("doc_id").as("db"), col("norm").as("nb")), Seq("db"))
-        .select(col("da"), col("db"),
-          (col("dot") / (col("na") * col("nb"))).as("cosine"))
-        .filter(col("cosine") >= minCos)
-      out.localCheckpoint()
-    } finally postings.unpersist()
+    val nDocs = broadcast(
+      postings.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_docs")))
+    // df prune + quantized idf; vocabulary-sized → broadcast to the probe
+    val tokenIdf = broadcast(
+      postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .crossJoin(nDocs)
+        .filter(col("df").cast("double") <=
+          col("n_docs").cast("double") * lit(maxDfFrac))
+        .withColumn("idf",
+          floor(log(col("n_docs").cast("double") / col("df").cast("double"))
+            * lit(1e9)).cast("double") / lit(1e9))
+        .select(col("token"), col("idf")))
+    val weighted = postings.join(tokenIdf, Seq("token"))
+      .select(col("doc_id"), col("token"),
+        (col("tf").cast("double") * col("idf")).as("w"))
+    val norms = weighted.groupBy(col("doc_id"))
+      .agg(sqrt(sum(floor(col("w") * col("w") * lit(1e9)).cast("long"))
+        .cast("double") / lit(1e9)).as("norm"))
+    val dots = weighted.as("a")
+      .join(weighted.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg((sum(floor(col("a.w") * col("b.w") * lit(1e9)).cast("long"))
+        .cast("double") / lit(1e9)).as("dot"))
+    val out = dots
+      .join(norms.select(col("doc_id").as("da"), col("norm").as("na")), Seq("da"))
+      .join(norms.select(col("doc_id").as("db"), col("norm").as("nb")), Seq("db"))
+      .select(col("da"), col("db"),
+        (col("dot") / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= minCos)
+    (out, postings)
   }
 }

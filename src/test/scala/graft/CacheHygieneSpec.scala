@@ -27,6 +27,11 @@ class CacheHygieneSpec extends SparkSuite {
       EntityLinking.phraseGazetteer(spans, 5)).collect()
     graft.text.RankedSearch.bm25TopK(docs, "doc_id", "text",
       Seq("a b").toDF("surface"), blockK = 2, topK = 3).collect()
+    graft.text.RankedSearch.tfidfCosinePairs(docs, "doc_id", "text",
+      maxDfFrac = 1.0, minCos = 0.0).collect()
+    graft.graph.GraphOps.labelPropagation(
+      graft.graph.GraphOps.symmetrize(
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")), 2).collect()
     assert(s.sharedState.cacheManager.isEmpty,
       "a library op registered a cache entry it never released")
   }

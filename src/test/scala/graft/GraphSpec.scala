@@ -166,6 +166,28 @@ class GraphSpec extends SparkSuite {
     assert(r8.forall(_._2 >= 3L))
   }
 
+  test("personalized PageRank: mass anchors to the seed; all-seeds == global PageRank") {
+    val s = spark
+    import s.implicits._
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val sym = GraphOps.symmetrize(e0.toDF("src", "dst"))
+    val ppr = GraphOps.personalizedPageRankDeterministic(
+        sym, Seq(1L).toDF("id"), 10)
+      .as[(Long, Double)].collect().toMap
+    // mass conserved on a symmetric graph (no dangling nodes)
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-9)
+    // the seed end of the path outranks the far end
+    assert(ppr(1L) == ppr.values.max && ppr(1L) > ppr(5L))
+    assert(ppr(2L) > ppr(4L))
+    // law: seeding EVERY vertex degenerates to the global teleport vector
+    val allSeeds = sym.select(col("src").as("id")).distinct()
+    val pprAll = GraphOps.personalizedPageRankDeterministic(sym, allSeeds, 10)
+      .as[(Long, Double)].collect().toMap
+    val global = GraphOps.pageRankDeterministic(sym, 10)
+      .as[(Long, Double)].collect().toMap
+    assert(pprAll == global)
+  }
+
   test("labelPropagation: two cliques joined by a bridge keep separate labels") {
     val s = spark
     import s.implicits._

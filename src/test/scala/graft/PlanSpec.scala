@@ -116,6 +116,26 @@ class PlanSpec extends SparkSuite {
     assert(!exchanges.exists(_.contains("text#")))
   }
 
+  test("q83 tfidf join probes through the broadcast df-pruned idf table") {
+    // the q83 closure materializes for cache hygiene (checkpoint scan), so
+    // assert on the op's pre-checkpoint plan: the vocabulary-sized idf
+    // table must reach the postings as a broadcast, and the pair stage must
+    // stay an equi-join on token — a cartesian/BNLJ here means the
+    // inverted-index blocking was lost
+    val docs = graft.Tables.documents(spark, sf)
+    val (out, postings) = graft.text.RankedSearch.tfidfPairsPlan(
+      docs, "doc_id", "text", 0.1, 0.3)
+    val p = out.queryExecution.sparkPlan.toString
+    postings.unpersist()
+    assert(p.contains("BroadcastHashJoin"))
+    // the only nested-loop allowed is the 1-row n_docs scalar crossJoin
+    assert(!p.contains("CartesianProduct"))
+    val selfJoin = p.linesIterator.find(l =>
+      l.contains("Join") && l.contains("token")).getOrElse("")
+    assert(!selfJoin.contains("NestedLoop"),
+      s"pair stage must be an equi-join on token, got: $selfJoin")
+  }
+
   test("q53 ac_spans match stage participates in whole-stage codegen") {
     // ac_spans has a doGenCode (round-3 fix) — the generate/project stage
     // that evaluates it must carry a `*(n)` codegen marker; with the old
