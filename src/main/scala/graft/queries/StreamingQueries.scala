@@ -207,6 +207,46 @@ object StreamingQueries {
     // The oracle encodes exactly those two rules — the output provably
     // differs from naive batch aggregation by the late-dropped rows plus the
     // withheld tail.
+    // LEFT OUTER stream-stream interval join under a sequenced two-batch
+    // replay: errors left-join clicks of the same user within 4 hours.
+    // Matches emit as in q63; an UNMATCHED error emits a null-click row
+    // only when a later batch's eviction proves no match can still arrive
+    // (match horizon below the watermark). The multi-watermark rule is the
+    // point: the GLOBAL watermark is the MIN over both sides' operators,
+    // so the sparse error side drags it hours behind max event time, and
+    // every unmatched left above that bound is correctly WITHHELD — the
+    // oracle encodes the min-side watermark exactly (batch trajectory
+    // verified against query progress at all three SFs).
+    "q89_stream_outer_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val lo = ev.agg(min(col("ts"))).head().getTimestamp(0).toInstant
+      val mid = lo.plusSeconds(15 * 86400)
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_outer_src")
+      try {
+        val base = 1600000000000L
+        writeSequencedFile(ev.filter(col("ts") < lit(mid)),
+          new java.io.File(srcDir.toFile, "f0.parquet"), base)
+        writeSequencedFile(ev.filter(col("ts") >= lit(mid)),
+          new java.io.File(srcDir.toFile, "f1.parquet"), base + 60000L)
+        val stream = s.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT, event_type STRING")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+        runToTable(
+          StreamOps.intervalJoinOuter(
+            stream.filter(col("event_type") === "error")
+              .select(col("user_id"), col("ts"), col("event_id")),
+            stream.filter(col("event_type") === "click")
+              .select(col("user_id"), col("ts"), col("event_id")),
+            keyCol = "user_id", windowSec = 14400L, watermark = "1 hour"),
+          "q89_stream_outer_join", "append")
+          .select(col("user_id"), col("l_ts"), col("l_event_id"),
+            col("r_ts"), col("r_event_id"))
+          .orderBy(col("l_event_id"), col("r_event_id"))
+      } finally rmTree(srcDir.toFile)
+    }),
+
     "q78_stream_late_data" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("ts"), col("event_type"), col("value"))
       val lo = ev.agg(min(col("ts"))).head().getTimestamp(0).toInstant // one scalar
@@ -271,6 +311,39 @@ object StreamingQueries {
         |SELECT user_id, MIN(ts) AS s_start,
         |  MAX(ts) + INTERVAL '30 minutes' AS s_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sess ORDER BY user_id, s_start""".stripMargin,
+    // Matched half = q63's inner join (no right row is ever late under this
+    // split). Null half: an unmatched error emits iff its match horizon
+    // (l_ts + 4h) closed below the flush batch's GLOBAL watermark — and the
+    // global watermark is the MIN over the two sides' watermark operators,
+    // so the SPARSE side (errors) governs: wm = min(max error ts, max click
+    // ts), ms-floored, minus the 1 h delay. Pinned against the engine's
+    // per-batch watermark trajectory at all three SFs (a max_ts-based bound
+    // is wrong by hours whenever one side's events end early).
+    "q89_stream_outer_join" ->
+      """WITH wm AS (
+        |  SELECT date_trunc('milliseconds', LEAST(
+        |      (SELECT MAX(ts) FROM events WHERE event_type = 'error'),
+        |      (SELECT MAX(ts) FROM events WHERE event_type = 'click')))
+        |    - INTERVAL '1 hour' AS w),
+        |err AS (SELECT user_id, ts, event_id FROM events
+        |        WHERE event_type = 'error'),
+        |clk AS (SELECT user_id, ts, event_id FROM events
+        |        WHERE event_type = 'click'),
+        |matched AS (
+        |  SELECT e.user_id, e.ts AS l_ts, e.event_id AS l_event_id,
+        |    c.ts AS r_ts, c.event_id AS r_event_id
+        |  FROM err e JOIN clk c ON c.user_id = e.user_id
+        |    AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL '4 hours'),
+        |nulls AS (
+        |  SELECT e.user_id, e.ts AS l_ts, e.event_id AS l_event_id,
+        |    CAST(NULL AS TIMESTAMP) AS r_ts, CAST(NULL AS BIGINT) AS r_event_id
+        |  FROM err e CROSS JOIN wm
+        |  WHERE e.ts + INTERVAL '4 hours' < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM clk c
+        |      WHERE c.user_id = e.user_id
+        |        AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL '4 hours'))
+        |SELECT * FROM matched UNION ALL SELECT * FROM nulls
+        |ORDER BY l_event_id, r_event_id""".stripMargin,
     "q63_stream_interval_join" ->
       """SELECT e.user_id, e.ts AS l_ts, e.event_id AS l_event_id,
         |  c.ts AS r_ts, c.event_id AS r_event_id

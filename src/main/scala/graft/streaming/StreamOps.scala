@@ -130,7 +130,25 @@ object StreamOps {
     * grows forever. Output columns are prefixed l_/r_ to stay unambiguous.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
-                   windowSec: Long, watermark: String): DataFrame = {
+                   windowSec: Long, watermark: String): DataFrame =
+    intervalJoinTyped(left, right, keyCol, windowSec, watermark, "inner")
+
+  /** LEFT OUTER form of [[intervalJoin]]: unmatched left rows additionally
+    * emit with null right columns — but only once the WATERMARK proves no
+    * match can still arrive (wm > l_ts + window), because until then the
+    * row must stay joinable state. That makes outer emission a
+    * watermark-trajectory semantic, not a batch-join semantic: under a
+    * sequenced replay the rule is exactly "unmatched AND expired below the
+    * watermark some later batch ran with" (q89 encodes it in its oracle);
+    * rows whose expiry the final watermark never passed are withheld —
+    * the same discipline q78 pins for withheld windows. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, keyCol: String,
+                        windowSec: Long, watermark: String): DataFrame =
+    intervalJoinTyped(left, right, keyCol, windowSec, watermark, "left_outer")
+
+  private def intervalJoinTyped(left: DataFrame, right: DataFrame,
+                                keyCol: String, windowSec: Long,
+                                watermark: String, joinType: String): DataFrame = {
     val l = left.withWatermark("ts", watermark)
       .select(col(keyCol).as("l_key") +: left.columns.filterNot(_ == keyCol)
         .map(c => col(c).as(s"l_$c")).toSeq: _*)
@@ -139,7 +157,8 @@ object StreamOps {
         .map(c => col(c).as(s"r_$c")).toSeq: _*)
     l.join(r, col("l_key") === col("r_key") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+        joinType)
       .withColumnRenamed("l_key", keyCol).drop("r_key")
   }
 
