@@ -290,6 +290,58 @@ object GraphOps {
     out
   }
 
+  /** HITS hubs & authorities, deterministic fixed-point form over a
+    * DIRECTED edge list: hubs score by the authorities they point at,
+    * authorities by the hubs pointing at them — on a bipartite
+    * customer→supplier graph this separates "broad buyers" from
+    * "widely-used suppliers", which PageRank's single score conflates.
+    * Determinism discipline: every aggregation (score sums AND the
+    * normalization totals) goes through 1e-15 fixed-point longs, and each
+    * round L1-normalizes (divide by the fixed-point total — all-rational,
+    * no sqrt), so `iterations` rounds are exactly reproducible in an
+    * unrolled SQL twin. Init is uniform over authorities; L1 scaling makes
+    * the fixpoint independent of the init constant.
+    *
+    * @return (id, hub, auth) for every vertex, 0.0 on the absent side
+    */
+  def hitsDeterministic(edges: DataFrame, iterations: Int): DataFrame = {
+    def fpSum(c: org.apache.spark.sql.Column) =
+      sum(floor(c * lit(1e15)).cast("long")).cast("double") / lit(1e15)
+    val e = edges.select(col("src"), col("dst")).cache()
+    // init = 1/n (NOT 1.0): L1 scaling makes the fixpoint init-invariant,
+    // but the FIRST round's fixed-point totals are not — an unnormalized
+    // init sums |E|·1e15 and overflows Long once |E| > ~9000. With Σa = 1
+    // every later total is bounded by max_indeg·1e15 (the scale dial: drop
+    // the 1e15 to 1e12 for graphs with ~10⁶-degree hubs).
+    val authNodes = e.select(col("dst").as("id")).distinct()
+    val nAuth = broadcast(authNodes.agg(count(lit(1)).as("n")))
+    var auth = authNodes.crossJoin(nAuth)
+      .select(col("id"), (lit(1.0) / col("n")).as("a"))
+    var hubs = e.select(col("src").as("id")).distinct()
+      .withColumn("h", lit(0.0))
+    for (i <- 1 to iterations) {
+      val hRaw = e.as("e").join(auth.as("av"), col("e.dst") === col("av.id"))
+        .groupBy(col("e.src").as("id")).agg(fpSum(col("av.a")).as("raw"))
+      val hTot = broadcast(hRaw.agg(fpSum(col("raw")).as("s")))
+      hubs = hRaw.crossJoin(hTot)
+        .select(col("id"), (col("raw") / col("s")).as("h"))
+      val aRaw = e.as("e").join(hubs.as("hv"), col("e.src") === col("hv.id"))
+        .groupBy(col("e.dst").as("id")).agg(fpSum(col("hv.h")).as("raw"))
+      val aTot = broadcast(aRaw.agg(fpSum(col("raw")).as("s")))
+      auth = aRaw.crossJoin(aTot)
+        .select(col("id"), (col("raw") / col("s")).as("a"))
+      // two join-agg layers per round — keep the plans flat
+      if (i % 2 == 0) { hubs = hubs.localCheckpoint(); auth = auth.localCheckpoint() }
+    }
+    val out = hubs.withColumnRenamed("h", "hub")
+      .join(auth.withColumnRenamed("a", "auth"), Seq("id"), "full_outer")
+      .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
+      .localCheckpoint()
+    e.unpersist()
+    out
+  }
+
   /** G2 — reverse-reachability flag: does any edge point at this vertex?
     * (`has_ref`, /root/reference/src/senzing_pipeline.py:363-368.)
     */

@@ -169,6 +169,16 @@ object GraphQueries {
           Erkg.entityEdges(s, d), Erkg.seeds(s, d), 10)
         .orderBy(col("rank").desc, col("id")).limit(20)),
 
+    // HITS hubs/authorities (5 fixed L1-normalized iterations) on the
+    // DIRECTED customer→supplier graph: hub = broad buyer, authority =
+    // widely-used supplier — the two-sided link-analysis score PageRank's
+    // single number conflates on a bipartite graph.
+    "q90_hits" -> ((s, d) => {
+      val e = Erkg.entityEdges(s, d)
+        .filter(col("src") < Erkg.supplierOffset)
+      GraphOps.hitsDeterministic(e, 5).orderBy(col("id"))
+    }),
+
     // LABEL PROPAGATION communities (4 synchronous rounds, deterministic
     // count-DESC/label-ASC tie-break) on the co-shopper projection —
     // GraphX's LabelPropagation semantics made reproducible enough to
@@ -326,10 +336,52 @@ object GraphQueries {
          |SELECT id, "rank" FROM pr10 ORDER BY "rank" DESC, id LIMIT 20""".stripMargin
   }
 
+  /** Unrolled 5-iteration HITS oracle (directed cust→supplier edges),
+    * mirroring hitsDeterministic: fixed-point sums for scores AND the L1
+    * normalization totals, division in pinned order. */
+  private val hitsSql: String = {
+    val head =
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity >= 48),
+        |an AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT dst FROM e0) t),
+        |a0 AS MATERIALIZED (
+        |  SELECT t.id, CAST(1.0 AS DOUBLE) / an.n AS a
+        |  FROM (SELECT DISTINCT dst AS id FROM e0) t CROSS JOIN an)""".stripMargin
+    val iters = (1 to 5).map { k =>
+      s"""hr$k AS MATERIALIZED (
+         |  SELECT e.src AS id,
+         |    CAST(SUM(CAST(floor(av.a * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS raw
+         |  FROM e0 e JOIN a${k - 1} av ON av.id = e.dst GROUP BY e.src),
+         |hs$k AS MATERIALIZED (
+         |  SELECT CAST(SUM(CAST(floor(raw * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS s
+         |  FROM hr$k),
+         |h$k AS MATERIALIZED (
+         |  SELECT id, raw / s AS h FROM hr$k CROSS JOIN hs$k),
+         |ar$k AS MATERIALIZED (
+         |  SELECT e.dst AS id,
+         |    CAST(SUM(CAST(floor(hv.h * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS raw
+         |  FROM e0 e JOIN h$k hv ON hv.id = e.src GROUP BY e.dst),
+         |ats$k AS MATERIALIZED (
+         |  SELECT CAST(SUM(CAST(floor(raw * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS s
+         |  FROM ar$k),
+         |a$k AS MATERIALIZED (
+         |  SELECT id, raw / s AS a FROM ar$k CROSS JOIN ats$k)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      """
+        |SELECT COALESCE(h.id, a.id) AS id,
+        |  COALESCE(h.h, CAST(0.0 AS DOUBLE)) AS hub,
+        |  COALESCE(a.a, CAST(0.0 AS DOUBLE)) AS auth
+        |FROM h5 h FULL OUTER JOIN a5 a ON a.id = h.id ORDER BY id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "q81_kcore" -> kcoreSql,
     "q85_label_prop" -> labelPropSql,
     "q86_ppr_seeds" -> pprSql,
+    "q90_hits" -> hitsSql,
     "q44_motif_coshoppers" ->
       """WITH e0 AS (
         |  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst

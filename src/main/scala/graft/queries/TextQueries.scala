@@ -116,6 +116,31 @@ object TextQueries {
     // near-duplication) → keep the min-id representative per group. Docs in
     // no pair are their own canonical. The pair graph is tiny relative to the
     // corpus (only near-dups), so the CC runs on edges, never on documents.
+    // Per-doc TF-IDF keyword extraction: top-5 tokens by tf × quantized-ln
+    // idf — the classic "document keywords" projection every corpus
+    // pipeline ships alongside TextRank's graph-based keyphrases (q35).
+    "q91_keywords" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val postings = docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val nDocs = broadcast(postings.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_docs")))
+      val idf = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .crossJoin(nDocs)
+        .select(col("token"),
+          (floor(log(col("n_docs").cast("double") / col("df").cast("double"))
+            * lit(1e9)).cast("double") / lit(1e9)).as("idf"))
+      postings.join(idf, Seq("token"))
+        .select(col("doc_id"), col("token"),
+          (col("tf").cast("double") * col("idf")).as("tfidf"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("tfidf").desc, col("token").asc)))
+        .filter(col("rn") <= 5)
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
     // TF-IDF sparse cosine similarity JOIN through an inverted index
     // (df-pruned blocking + fixed-point dot products; RankedSearch).
     "q83_tfidf_pairs" -> ((s, d) =>
@@ -180,6 +205,24 @@ object TextQueries {
       |          FROM documents) t0) t1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q91_keywords" ->
+      s"""WITH post AS MATERIALIZED (
+         |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toksSql) AS token FROM documents) t
+         |  GROUP BY 1, 2),
+         |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM post),
+         |idf AS MATERIALIZED (
+         |  SELECT token,
+         |    CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e9)
+         |      AS DOUBLE) / 1e9 AS idf
+         |  FROM (SELECT token, COUNT(*) AS df FROM post GROUP BY 1) d
+         |  CROSS JOIN nd)
+         |SELECT doc_id, token, tfidf, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT p.doc_id, p.token, CAST(p.tf AS DOUBLE) * i.idf AS tfidf,
+         |    ROW_NUMBER() OVER (PARTITION BY p.doc_id
+         |      ORDER BY CAST(p.tf AS DOUBLE) * i.idf DESC, p.token) AS rn
+         |  FROM post p JOIN idf i ON i.token = p.token) t
+         |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
     // TF-IDF cosine pairs: same quantized-ln idf + fixed-point sums as the
     // Spark plan (RankedSearch.tfidfCosinePairs); MATERIALIZED keeps the
     // multiply-referenced postings/weights CTEs single-evaluation.

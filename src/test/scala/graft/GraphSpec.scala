@@ -188,6 +188,25 @@ class GraphSpec extends SparkSuite {
     assert(pprAll == global)
   }
 
+  test("HITS: the shared supplier is the top authority, the broad buyer the top hub") {
+    val s = spark
+    import s.implicits._
+    // customers 1,2,3 → suppliers 11,12: all three buy from 11, only
+    // customer 1 also buys from 12 — 11 must out-score 12 as authority,
+    // and 1 (pointing at both) must be the top hub
+    val e = Seq((1L, 11L), (2L, 11L), (3L, 11L), (1L, 12L)).toDF("src", "dst")
+    val out = GraphOps.hitsDeterministic(e, 5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(11L)._2 > out(12L)._2, "shared supplier must out-score niche one")
+    assert(out(1L)._1 > out(2L)._1, "two-supplier buyer must out-score one-supplier")
+    assert(out(2L)._1 == out(3L)._1, "symmetric buyers tie exactly")
+    // L1 normalization: hubs and authorities each sum to 1
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9)
+    // suppliers have no hub score, customers no authority score
+    assert(out(11L)._1 == 0.0 && out(1L)._2 == 0.0)
+  }
+
   test("labelPropagation: two cliques joined by a bridge keep separate labels") {
     val s = spark
     import s.implicits._
