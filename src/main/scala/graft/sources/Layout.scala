@@ -30,4 +30,60 @@ object Layout {
     df.repartition(col(partCol))
       .sortWithinPartitions((partCol +: sortCols).map(col): _*)
       .write.mode("overwrite").partitionBy(partCol).parquet(dir)
+
+  /** Z-ORDER (Morton-curve) interleave of two long key columns — the sort
+    * key that makes row-group min/max stats selective on BOTH dimensions
+    * at once. A single-column sort gives perfect skipping on that column
+    * and none on any other; interleaving the keys' bits tiles the 2-D key
+    * space so each file covers a small rectangle, and a range predicate on
+    * EITHER column prunes most row groups. Pure codegen'd expression work:
+    * rank each key to a 21-bit integer ordinal (percent_rank over a window
+    * — value-distribution-proof, like Delta's range-based z-order), then
+    * interleave bits via shifts inside one expression.
+    */
+  def zOrderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                bits: Int = 21): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    // spread the low `bits` bits of x so consecutive bits land 2 apart —
+    // unrolled at plan-build time (bits is a constant), one flat
+    // shift/and/or expression tree inside whole-stage codegen
+    def spread(x: org.apache.spark.sql.Column) =
+      (0 until bits).map(i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .reduce(_ bitwiseOR _)
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Write `df` z-order-clustered on two long columns: scale both keys to
+    * bounded ordinals, sort by the interleaved Morton key within each
+    * output task. Same one-shuffle discipline as
+    * [[writePartitionedSorted]] — `repartitionByRange` on the z-key both
+    * co-locates neighboring tiles and bounds each task's tile span, then
+    * the in-task sort makes every file one Morton run. Ordinals come from
+    * min/max linear scaling through ONE 1-row broadcast aggregate (no
+    * global rank window — a single-partition sort is exactly the
+    * bottleneck a layout pass must not have; heavily skewed keys tile less
+    * evenly, the price of staying distributed). LayoutSpec asserts the
+    * payoff: per-file min/max ranges are narrow on BOTH columns. */
+  def writeZOrdered(df: DataFrame, dir: String,
+                    colA: String, colB: String, files: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val bits = 21
+    val stats = broadcast(df.agg(
+      min(col(colA)).as("__mina"), max(col(colA)).as("__maxa"),
+      min(col(colB)).as("__minb"), max(col(colB)).as("__maxb")))
+    def ordinal(c: String, mn: String, mx: String) =
+      floor((col(c) - col(mn)).cast("double") /
+          greatest((col(mx) - col(mn)).cast("double"), lit(1.0))
+        * lit((1L << bits) - 1)).cast("long")
+    val keyed = df.crossJoin(stats)
+      .withColumn("__z", zOrderKey(
+        ordinal(colA, "__mina", "__maxa"),
+        ordinal(colB, "__minb", "__maxb"), bits))
+      .drop("__mina", "__maxa", "__minb", "__maxb")
+    keyed.repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(dir)
+  }
 }
