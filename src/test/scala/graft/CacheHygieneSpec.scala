@@ -32,6 +32,12 @@ class CacheHygieneSpec extends SparkSuite {
     graft.graph.GraphOps.labelPropagation(
       graft.graph.GraphOps.symmetrize(
         Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")), 2).collect()
+    graft.graph.GraphOps.personalizedPageRankDeterministic(
+      graft.graph.GraphOps.symmetrize(
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")),
+      Seq(1L).toDF("id"), 3).collect()
+    graft.graph.GraphOps.hitsDeterministic(
+      Seq((1L, 11L), (2L, 11L)).toDF("src", "dst"), 3).collect()
     assert(s.sharedState.cacheManager.isEmpty,
       "a library op registered a cache entry it never released")
   }
