@@ -152,25 +152,41 @@ object TextQueries {
     // log is monotonic, so the ranking is PMI's, while every arithmetic
     // step stays integer-derived IEEE mul/div (no cross-engine ln drift).
     "q84_collocations" -> ((s, d) => {
+      // ONE tokenize + ONE count shuffle for both grams: unigrams ride the
+      // same exploded stream tagged with a null w2, so the (w1, w2) groupBy
+      // produces unigram AND bigram counts together, and the corpus totals
+      // fall out of the (vocabulary-sized) counts table instead of two
+      // extra passes over the exploded stream.
       val dd = docs(s, d)
-      val tok = dd.select(explode(TextOps.tokens(col("text"))).as("t"))
-      val uni = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
-      val nTok = broadcast(tok.agg(count(lit(1)).as("n_tok")))
-      val big = dd.select(explode(TextOps.bigrams(col("text"))).as("b"))
-        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val nBig = broadcast(big.agg(count(lit(1)).as("n_big")))
-      big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
-        .filter(col("c_ab") >= 5)
-        .join(uni.select(col("t").as("w1"), col("c").as("c_a")), Seq("w1"))
-        .join(uni.select(col("t").as("w2"), col("c").as("c_b")), Seq("w2"))
-        .crossJoin(nTok).crossJoin(nBig)
-        .select(col("w1"), col("w2"), col("c_ab"),
-          (col("c_ab").cast("double") * col("n_tok").cast("double")
-            * col("n_tok").cast("double") /
-            (col("n_big").cast("double") * col("c_a").cast("double")
-              * col("c_b").cast("double"))).as("pmi_ratio"))
-        .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
-        .limit(50)
+      val grams = dd
+        .select(TextOps.tokens(col("text")).as("toks"))
+        .select(explode(concat(
+          transform(col("toks"),
+            t => struct(t.as("w1"), lit(null).cast("string").as("w2"))),
+          TextOps.bigramsOf(col("toks")))).as("g"))
+        .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      val counts = grams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c")).cache()
+      try {
+        val uni = counts.filter(col("w2").isNull)
+          .select(col("w1"), col("c"))
+        val nTok = broadcast(uni.agg(sum(col("c")).as("n_tok")))
+        val bi = counts.filter(col("w2").isNotNull)
+        val nBig = broadcast(bi.agg(sum(col("c")).as("n_big")))
+        val out = bi.filter(col("c") >= 5)
+          .select(col("w1"), col("w2"), col("c").as("c_ab"))
+          .join(uni.select(col("w1"), col("c").as("c_a")), Seq("w1"))
+          .join(uni.select(col("w1").as("w2"), col("c").as("c_b")), Seq("w2"))
+          .crossJoin(nTok).crossJoin(nBig)
+          .select(col("w1"), col("w2"), col("c_ab"),
+            (col("c_ab").cast("double") * col("n_tok").cast("double")
+              * col("n_tok").cast("double") /
+              (col("n_big").cast("double") * col("c_a").cast("double")
+                * col("c_b").cast("double"))).as("pmi_ratio"))
+          .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+          .limit(50)
+        out.localCheckpoint()
+      } finally counts.unpersist()
     }),
 
     "q52_dedup_canonical" -> ((s, d) => {

@@ -135,8 +135,11 @@ object TextOps {
     * tokens yield an empty array — `sequence` must never see a negative
     * stop, it would count DOWN). Struct elements keep the pair split for
     * downstream grouping without re-parsing. */
-  def bigrams(text: Column): Column = {
-    val t = tokens(text)
+  def bigrams(text: Column): Column = bigramsOf(tokens(text))
+
+  /** [[bigrams]] over an already-computed token array — callers that also
+    * consume the unigram stream tokenize ONCE and feed both. */
+  def bigramsOf(t: Column): Column = {
     val n = org.apache.spark.sql.functions.size(t)
     when(n >= 2,
       transform(sequence(lit(1), n - 1),
