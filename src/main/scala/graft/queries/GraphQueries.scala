@@ -179,6 +179,31 @@ object GraphQueries {
       GraphOps.hitsDeterministic(e, 5).orderBy(col("id"))
     }),
 
+    // LOCAL CLUSTERING COEFFICIENT on the co-shopper projection: per-vertex
+    // triangles (q76's enumeration) over possible neighbor pairs — the
+    // standard cohesion metric; pure integer-derived division, exact.
+    "q92_clustering_coef" -> ((s, d) => {
+      val e = Erkg.entityEdges(s, d)
+        .filter(col("src") < Erkg.supplierOffset)
+      val proj = e.as("a").join(e.as("b"),
+          col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+        .groupBy(col("a.src").as("src"), col("b.src").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      val deg = GraphOps.symmetrize(proj)
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+      val tri = GraphOps.triangleCounts(proj)
+      deg.join(tri, Seq("id"), "left")
+        .select(col("id"), col("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          when(col("degree") >= 2,
+            (lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double")) /
+              (col("degree") * (col("degree") - 1)).cast("double"))
+            .otherwise(lit(0.0)).as("coef"))
+        .orderBy(col("id"))
+    }),
+
     // LABEL PROPAGATION communities (4 synchronous rounds, deterministic
     // count-DESC/label-ASC tie-break) on the co-shopper projection —
     // GraphX's LabelPropagation semantics made reproducible enough to
@@ -378,6 +403,22 @@ object GraphQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q92_clustering_coef" ->
+      s"""$projSymCte,
+         |deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src),
+         |tri AS (
+         |  SELECT id, COUNT(*) AS n_triangles FROM (
+         |    SELECT unnest([e1.src, e1.dst, e2.dst]) AS id
+         |    FROM proj e1
+         |    JOIN proj e2 ON e1.dst = e2.src
+         |    JOIN proj e3 ON e3.src = e1.src AND e3.dst = e2.dst) t
+         |  GROUP BY id)
+         |SELECT d.id, d.degree, COALESCE(t.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN d.degree >= 2
+         |    THEN CAST(2.0 AS DOUBLE) * CAST(COALESCE(t.n_triangles, 0) AS DOUBLE)
+         |         / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS coef
+         |FROM deg d LEFT JOIN tri t ON t.id = d.id ORDER BY d.id""".stripMargin,
     "q81_kcore" -> kcoreSql,
     "q85_label_prop" -> labelPropSql,
     "q86_ppr_seeds" -> pprSql,

@@ -116,6 +116,21 @@ object TextQueries {
     // near-duplication) → keep the min-id representative per group. Docs in
     // no pair are their own canonical. The pair graph is tiny relative to the
     // corpus (only near-dups), so the CC runs on edges, never on documents.
+    // Per-group EXACT-k deterministic sampling: 3 docs per language, chosen
+    // by md5(text) order — q72's rate-based hash sampling upgraded to the
+    // fixed-quota form (eval sets, per-stratum audits). Reproducible on any
+    // engine, never rand(); one window shuffle on the stratum key.
+    "q93_group_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, d)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // Per-doc TF-IDF keyword extraction: top-5 tokens by tf × quantized-ln
     // idf — the classic "document keywords" projection every corpus
     // pipeline ships alongside TextRank's graph-based keyphrases (q35).
@@ -221,6 +236,13 @@ object TextQueries {
       |          FROM documents) t0) t1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q93_group_sample" ->
+      """SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
     "q91_keywords" ->
       s"""WITH post AS MATERIALIZED (
          |  SELECT doc_id, token, COUNT(*) AS tf FROM (
