@@ -207,6 +207,36 @@ object StreamingQueries {
     // The oracle encodes exactly those two rules — the output provably
     // differs from naive batch aggregation by the late-dropped rows plus the
     // withheld tail.
+    // UPDATE-mode tumbling aggregation under the sequenced two-batch
+    // replay — the third output mode gated (q60 is Complete, q78 Append):
+    // each batch emits the CURRENT value of every group that changed, so
+    // the sink accumulates batch-0's aggregates for batch-0 groups plus
+    // the final aggregates for every group batch 1 touched. The oracle is
+    // exactly that union — prefix aggregates ∪ final aggregates of
+    // batch-1-touched groups — which only an incremental engine produces
+    // (a batch engine has no "value as of batch 0" rows).
+    "q94_stream_update" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("value"))
+      val lo = ev.agg(min(col("ts"))).head().getTimestamp(0).toInstant
+      val mid = lo.plusSeconds(15 * 86400)
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_upd_src")
+      try {
+        val base = 1600000000000L
+        writeSequencedFile(ev.filter(col("ts") < lit(mid)),
+          new java.io.File(srcDir.toFile, "f0.parquet"), base)
+        writeSequencedFile(ev.filter(col("ts") >= lit(mid)),
+          new java.io.File(srcDir.toFile, "f1.parquet"), base + 60000L)
+        val stream = s.readStream
+          .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+        runToTable(StreamOps.tumblingAgg(stream, "1 hour", "1 hour"),
+          "q94_stream_update", "update")
+          .orderBy(col("w_start"), col("event_type"), col("n"))
+      } finally rmTree(srcDir.toFile)
+    }),
+
     // LEFT OUTER stream-stream interval join under a sequenced two-batch
     // replay: errors left-join clicks of the same user within 4 hours.
     // Matches emit as in q63; an UNMATCHED error emits a null-click row
@@ -311,6 +341,30 @@ object StreamingQueries {
         |SELECT user_id, MIN(ts) AS s_start,
         |  MAX(ts) + INTERVAL '30 minutes' AS s_end, COUNT(*) AS n
         |FROM s GROUP BY user_id, sess ORDER BY user_id, s_start""".stripMargin,
+    // Prefix aggregates of batch 0 ∪ final aggregates of every group batch
+    // 1 touched (no row is late under the mid-split, so no drops).
+    "q94_stream_update" ->
+      """WITH m AS (SELECT MIN(ts) + INTERVAL '15 days' AS mid FROM events),
+        |f0 AS (SELECT e.* FROM events e CROSS JOIN m WHERE e.ts < m.mid),
+        |f1 AS (SELECT e.* FROM events e CROSS JOIN m WHERE e.ts >= m.mid),
+        |u0 AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM f0 GROUP BY 1, 2),
+        |touched AS (
+        |  SELECT DISTINCT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+        |    event_type FROM f1),
+        |u1 AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT * FROM u0
+        |UNION ALL
+        |SELECT u1.* FROM u1 JOIN touched t
+        |  ON t.w_start = u1.w_start AND t.event_type = u1.event_type
+        |ORDER BY w_start, event_type, n""".stripMargin,
     // Matched half = q63's inner join (no right row is ever late under this
     // split). Null half: an unmatched error emits iff its match horizon
     // (l_ts + 4h) closed below the flush batch's GLOBAL watermark — and the
