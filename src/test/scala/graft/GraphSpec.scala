@@ -147,6 +147,26 @@ class GraphSpec extends SparkSuite {
     assert(GraphOps.kCore(sym, 4, 8).isEmpty)
   }
 
+  test("kCore: monotone in k — the (k+1)-core is a subgraph of the k-core") {
+    val s = spark
+    import s.implicits._
+    val e = Erkg.entityEdges(s, sf0001).filter(col("src") < Erkg.supplierOffset)
+    val proj = e.as("a").join(e.as("b"),
+        col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src"), col("b.src").as("dst"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select(col("src"), col("dst"))
+    val sym = GraphOps.symmetrize(proj).cache()
+    val cores = (2 to 4).map(k =>
+      GraphOps.kCore(sym, k, 12).as[(Long, Long)].collect().toMap)
+    sym.unpersist()
+    for (Seq(lo, hi) <- cores.sliding(2)) {
+      assert(hi.keySet.subsetOf(lo.keySet), "higher k must shrink the core")
+      // degrees can only DROP when more vertices peel away
+      hi.keys.foreach(id => assert(hi(id) <= lo(id)))
+    }
+  }
+
   test("kCore: bounded rounds == converged result once the peel stabilizes") {
     val s = spark
     import s.implicits._
