@@ -217,33 +217,37 @@ object GraphOps {
     // uncached reference would re-derive that subtree once per iteration.
     val e = edges.select(col("src"), col("dst")).cache()
     val nodes = e.select(col("src").as("id")).distinct().cache()
-    val nAgg = broadcast(nodes.agg(count(lit(1)).as("n")))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg")).cache()
-    var ranks = nodes.crossJoin(nAgg)
-      .select(col("id"), (lit(1.0) / col("n")).as("rank"))
-    for (i <- 1 to iterations) {
-      val contribs = ranks.as("r")
-        .join(e.as("e"), col("r.id") === col("e.src"))
-        .join(outdeg.as("o"), col("e.src") === col("o.src"))
-        .select(col("e.dst").as("id"),
-          floor((col("r.rank") / col("o.odeg")) * lit(1e15)).as("contrib"))
-        .groupBy(col("id"))
-        .agg((sum(col("contrib")).cast("double") / lit(1e15)).as("inflow"))
-      ranks = nodes.crossJoin(nAgg)
-        .join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(0.15) / col("n") +
-            lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-      // Truncate lineage every few rounds: the rank table is small (one row
-      // per vertex) but its plan grows one join-agg layer per iteration —
-      // analysis/optimization cost alone goes superlinear without this.
-      if (i % 3 == 0) ranks = ranks.localCheckpoint()
+    // finally-unpersist: an exception mid-iteration must not leak the three
+    // loop-invariant caches (the discipline CacheHygieneSpec enforces).
+    try {
+      val nAgg = broadcast(nodes.agg(count(lit(1)).as("n")))
+      var ranks = nodes.crossJoin(nAgg)
+        .select(col("id"), (lit(1.0) / col("n")).as("rank"))
+      for (i <- 1 to iterations) {
+        val contribs = ranks.as("r")
+          .join(e.as("e"), col("r.id") === col("e.src"))
+          .join(outdeg.as("o"), col("e.src") === col("o.src"))
+          .select(col("e.dst").as("id"),
+            floor((col("r.rank") / col("o.odeg")) * lit(1e15)).as("contrib"))
+          .groupBy(col("id"))
+          .agg((sum(col("contrib")).cast("double") / lit(1e15)).as("inflow"))
+        ranks = nodes.crossJoin(nAgg)
+          .join(contribs, Seq("id"), "left")
+          .select(col("id"),
+            (lit(0.15) / col("n") +
+              lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        // Truncate lineage every few rounds: the rank table is small (one row
+        // per vertex) but its plan grows one join-agg layer per iteration —
+        // analysis/optimization cost alone goes superlinear without this.
+        if (i % 3 == 0) ranks = ranks.localCheckpoint()
+      }
+      // Materialize the final ranks so the invariant caches can be dropped
+      // without the caller's later action re-deriving the whole loop.
+      ranks.localCheckpoint()
+    } finally {
+      e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     }
-    // Materialize the final ranks so the invariant caches can be dropped
-    // without the caller's later action re-deriving the whole loop.
-    val out = ranks.localCheckpoint()
-    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
-    out
   }
 
   /** PERSONALIZED PageRank, deterministic fixed-point form: teleport mass
@@ -256,7 +260,10 @@ object GraphOps {
     * order — exactly reproducible in the unrolled SQL oracle.
     *
     * @param seeds single-column `id`; seeds absent from the graph carry no
-    *              mass (the flag is built over the graph's vertex set)
+    *              mass (the flag is built over the graph's vertex set). At
+    *              least one seed must intersect the vertex set — otherwise
+    *              every rank would be 0/0 = NaN silently on both engines,
+    *              so the empty intersection fails loudly instead.
     */
   def personalizedPageRankDeterministic(edges: DataFrame, seeds: DataFrame,
                                         iterations: Int): DataFrame = {
@@ -265,29 +272,38 @@ object GraphOps {
       .join(seeds.select(col("id")).distinct().withColumn("sfl", lit(1)),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("sfl"), lit(0)).as("s")).cache()
-    val nsAgg = broadcast(seedFlag.agg(sum(col("s")).as("ns")))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg")).cache()
-    var ranks = seedFlag.crossJoin(nsAgg)
-      .select(col("id"),
-        (col("s").cast("double") / col("ns").cast("double")).as("rank"))
-    for (i <- 1 to iterations) {
-      val contribs = ranks.as("r")
-        .join(e.as("e"), col("r.id") === col("e.src"))
-        .join(outdeg.as("o"), col("e.src") === col("o.src"))
-        .select(col("e.dst").as("id"),
-          floor((col("r.rank") / col("o.odeg")) * lit(1e15)).as("contrib"))
-        .groupBy(col("id"))
-        .agg((sum(col("contrib")).cast("double") / lit(1e15)).as("inflow"))
-      ranks = seedFlag.crossJoin(nsAgg)
-        .join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(0.15) * col("s").cast("double") / col("ns").cast("double") +
-            lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-      if (i % 3 == 0) ranks = ranks.localCheckpoint()
+    try {
+      // One 1-row aggregate action up front: the seed count is the teleport
+      // denominator everywhere, and evaluating it eagerly both guards the
+      // 0/0-NaN hole and replaces the broadcast crossJoin with a literal.
+      val ns = seedFlag.agg(sum(col("s")).as("ns")).first().getLong(0)
+      require(ns > 0,
+        "personalizedPageRank: no seed id intersects the graph's vertex set")
+      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg")).cache()
+      try {
+        var ranks = seedFlag
+          .select(col("id"),
+            (col("s").cast("double") / lit(ns.toDouble)).as("rank"))
+        for (i <- 1 to iterations) {
+          val contribs = ranks.as("r")
+            .join(e.as("e"), col("r.id") === col("e.src"))
+            .join(outdeg.as("o"), col("e.src") === col("o.src"))
+            .select(col("e.dst").as("id"),
+              floor((col("r.rank") / col("o.odeg")) * lit(1e15)).as("contrib"))
+            .groupBy(col("id"))
+            .agg((sum(col("contrib")).cast("double") / lit(1e15)).as("inflow"))
+          ranks = seedFlag
+            .join(contribs, Seq("id"), "left")
+            .select(col("id"),
+              (lit(0.15) * col("s").cast("double") / lit(ns.toDouble) +
+                lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+          if (i % 3 == 0) ranks = ranks.localCheckpoint()
+        }
+        ranks.localCheckpoint()
+      } finally outdeg.unpersist()
+    } finally {
+      e.unpersist(); seedFlag.unpersist()
     }
-    val out = ranks.localCheckpoint()
-    e.unpersist(); seedFlag.unpersist(); outdeg.unpersist()
-    out
   }
 
   /** HITS hubs & authorities, deterministic fixed-point form over a
@@ -308,41 +324,41 @@ object GraphOps {
     def fpSum(c: org.apache.spark.sql.Column) =
       sum(floor(c * lit(1e15)).cast("long")).cast("double") / lit(1e15)
     val e = edges.select(col("src"), col("dst")).cache()
-    // init = 1/n (NOT 1.0): L1 scaling makes the fixpoint init-invariant,
-    // but the FIRST round's fixed-point totals are not — an unnormalized
-    // init sums |E|·1e15 and overflows Long once |E| > ~9000. With Σa = 1
-    // every later total is bounded by max_indeg·1e15 (the scale dial: drop
-    // the 1e15 to 1e12 for graphs with ~10⁶-degree hubs).
-    val authNodes = e.select(col("dst").as("id")).distinct()
-    val nAuth = broadcast(authNodes.agg(count(lit(1)).as("n")))
-    var auth = authNodes.crossJoin(nAuth)
-      .select(col("id"), (lit(1.0) / col("n")).as("a"))
-    var hubs = e.select(col("src").as("id")).distinct()
-      .withColumn("h", lit(0.0))
-    for (_ <- 1 to iterations) {
-      // raw score tables are vertex-sized and referenced TWICE each (values
-      // + normalization total) — materialize them or every reference pair
-      // doubles the recomputed plan, 4× per iteration (21 s → 3 s at sf0.1)
-      val hRaw = e.as("e").join(auth.as("av"), col("e.dst") === col("av.id"))
-        .groupBy(col("e.src").as("id")).agg(fpSum(col("av.a")).as("raw"))
+    try {
+      // init = 1/n (NOT 1.0): L1 scaling makes the fixpoint init-invariant,
+      // but the FIRST round's fixed-point totals are not — an unnormalized
+      // init sums |E|·1e15 and overflows Long once |E| > ~9000. With Σa = 1
+      // every later total is bounded by max_indeg·1e15 (the scale dial: drop
+      // the 1e15 to 1e12 for graphs with ~10⁶-degree hubs).
+      val authNodes = e.select(col("dst").as("id")).distinct()
+      val nAuth = broadcast(authNodes.agg(count(lit(1)).as("n")))
+      var auth = authNodes.crossJoin(nAuth)
+        .select(col("id"), (lit(1.0) / col("n")).as("a"))
+      var hubs = e.select(col("src").as("id")).distinct()
+        .withColumn("h", lit(0.0))
+      for (_ <- 1 to iterations) {
+        // raw score tables are vertex-sized and referenced TWICE each (values
+        // + normalization total) — materialize them or every reference pair
+        // doubles the recomputed plan, 4× per iteration (21 s → 3 s at sf0.1)
+        val hRaw = e.as("e").join(auth.as("av"), col("e.dst") === col("av.id"))
+          .groupBy(col("e.src").as("id")).agg(fpSum(col("av.a")).as("raw"))
+          .localCheckpoint()
+        val hTot = broadcast(hRaw.agg(fpSum(col("raw")).as("s")))
+        hubs = hRaw.crossJoin(hTot)
+          .select(col("id"), (col("raw") / col("s")).as("h"))
+        val aRaw = e.as("e").join(hubs.as("hv"), col("e.src") === col("hv.id"))
+          .groupBy(col("e.dst").as("id")).agg(fpSum(col("hv.h")).as("raw"))
+          .localCheckpoint()
+        val aTot = broadcast(aRaw.agg(fpSum(col("raw")).as("s")))
+        auth = aRaw.crossJoin(aTot)
+          .select(col("id"), (col("raw") / col("s")).as("a"))
+      }
+      hubs.withColumnRenamed("h", "hub")
+        .join(auth.withColumnRenamed("a", "auth"), Seq("id"), "full_outer")
+        .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
+          coalesce(col("auth"), lit(0.0)).as("auth"))
         .localCheckpoint()
-      val hTot = broadcast(hRaw.agg(fpSum(col("raw")).as("s")))
-      hubs = hRaw.crossJoin(hTot)
-        .select(col("id"), (col("raw") / col("s")).as("h"))
-      val aRaw = e.as("e").join(hubs.as("hv"), col("e.src") === col("hv.id"))
-        .groupBy(col("e.dst").as("id")).agg(fpSum(col("hv.h")).as("raw"))
-        .localCheckpoint()
-      val aTot = broadcast(aRaw.agg(fpSum(col("raw")).as("s")))
-      auth = aRaw.crossJoin(aTot)
-        .select(col("id"), (col("raw") / col("s")).as("a"))
-    }
-    val out = hubs.withColumnRenamed("h", "hub")
-      .join(auth.withColumnRenamed("a", "auth"), Seq("id"), "full_outer")
-      .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
-        coalesce(col("auth"), lit(0.0)).as("auth"))
-      .localCheckpoint()
-    e.unpersist()
-    out
+    } finally e.unpersist()
   }
 
   /** G2 — reverse-reachability flag: does any edge point at this vertex?
@@ -371,20 +387,33 @@ object GraphOps {
     * @param edges symmetric edge list (src, dst)
     * @return (id, core_degree) for vertices surviving the peel
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int,
+            checkpointEvery: Int = 1): DataFrame = {
+    // `checkpointEvery` is the eager-materialization dial (same knob as the
+    // PageRank loops' every-3-rounds truncation): materializing + counting
+    // every round gives the earliest possible convergence exit — right for
+    // shallow peels, where most rounds ARE the last round — while a deep
+    // high-k peel on a big graph can raise it to batch several peel rounds
+    // into one job, trading later convergence detection for fewer actions.
+    // Convergence is only CHECKED on materialization rounds (the count is
+    // free there — the checkpoint already ran the job), so between checks
+    // the loop just stacks semi-join layers lazily.
+    require(checkpointEvery >= 1, "kCore: checkpointEvery must be >= 1")
     var live = edges.select(col("src"), col("dst")).localCheckpoint()
     var n = live.count()
     var converged = false
-    for (_ <- 1 to maxRounds if !converged) {
+    for (round <- 1 to maxRounds if !converged) {
       val keep = live.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("id"))
       val next = live
         .join(keep, live("src") === keep("id"), "left_semi")
         .join(keep, live("dst") === keep("id"), "left_semi")
-        .localCheckpoint() // flatten the per-round lineage
-      val m = next.count()
-      converged = m == n
-      live = next; n = m
+      if (round % checkpointEvery == 0 || round == maxRounds) {
+        val mat = next.localCheckpoint() // flatten the per-round lineage
+        val m = mat.count()
+        converged = m == n
+        live = mat; n = m
+      } else live = next
     }
     live.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
   }
@@ -409,22 +438,24 @@ object GraphOps {
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).cache()
     val nodes = e.select(col("src").as("id")).distinct().cache()
-    var labels = nodes.select(col("id"), col("id").as("label"))
-    for (i <- 1 to rounds) {
-      val votes = e.join(labels, e("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("id")).orderBy(col("c").desc, col("label").asc)
-      val won = votes.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("id"), col("label"))
-      labels = nodes.join(won, Seq("id"), "left")
-        .select(nodes("id"), coalesce(col("label"), nodes("id")).as("label"))
-      // one join+window layer per round — keep the plan flat
-      if (i % 2 == 0) labels = labels.localCheckpoint()
+    try {
+      var labels = nodes.select(col("id"), col("id").as("label"))
+      for (i <- 1 to rounds) {
+        val votes = e.join(labels, e("src") === labels("id"))
+          .select(col("dst").as("id"), col("label"))
+          .groupBy(col("id"), col("label")).agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(col("c").desc, col("label").asc)
+        val won = votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select(col("id"), col("label"))
+        labels = nodes.join(won, Seq("id"), "left")
+          .select(nodes("id"), coalesce(col("label"), nodes("id")).as("label"))
+        // one join+window layer per round — keep the plan flat
+        if (i % 2 == 0) labels = labels.localCheckpoint()
+      }
+      labels.localCheckpoint()
+    } finally {
+      e.unpersist(); nodes.unpersist()
     }
-    val out = labels.localCheckpoint()
-    e.unpersist(); nodes.unpersist()
-    out
   }
 }

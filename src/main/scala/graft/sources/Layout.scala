@@ -37,9 +37,10 @@ object Layout {
     * and none on any other; interleaving the keys' bits tiles the 2-D key
     * space so each file covers a small rectangle, and a range predicate on
     * EITHER column prunes most row groups. Pure codegen'd expression work:
-    * rank each key to a 21-bit integer ordinal (percent_rank over a window
-    * — value-distribution-proof, like Delta's range-based z-order), then
-    * interleave bits via shifts inside one expression.
+    * callers pass keys already scaled to `bits`-bit ordinals (see
+    * [[writeZOrdered]], which derives them by min/max linear scaling), and
+    * this expression interleaves their bits via shifts — one flat tree
+    * inside whole-stage codegen.
     */
   def zOrderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
                 bits: Int = 21): org.apache.spark.sql.Column = {

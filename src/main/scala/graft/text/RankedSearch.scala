@@ -141,7 +141,16 @@ object RankedSearch {
     *     semantic) and costs Σ_token df², not |docs|²;
     *   - weights/norms are per-doc precomputed; the pair aggregation sums
     *     FIXED-POINT (floor(w_a·w_b·1e9) longs) so the dot product is
-    *     shuffle-order-independent.
+    *     shuffle-order-independent. Magnitude bound (same dial as the HITS
+    *     1e15→1e12 comment in GraphOps): each term is ≤ (tf·idf)²·1e9 and a
+    *     LongType sum wraps silently past ~9.2e18, so a posting list is
+    *     safe while Σ_token (tf_a·idf·tf_b·idf)² < 9e9 — comfortably true
+    *     for natural-language tf counts (tf·idf ≲ 10³ ⇒ term ≲ 1e12·1e9/1e9
+    *     = 1e12, allowing ~9M shared tokens per pair), but a degenerate
+    *     corpus (one token repeated 10⁶× in two docs) would need the 1e9
+    *     scale lowered to 1e6. DuckDB's oracle sums into HUGEINT and cannot
+    *     wrap, so an overflow here shows up as a hash mismatch, not silent
+    *     agreement.
     *
     * Cross-engine determinism: same quantized-ln idf as [[bm25TopK]]
     * (floor(ln·1e9)/1e9), IEEE mul/div in pinned order, sqrt is correctly

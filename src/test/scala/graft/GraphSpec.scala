@@ -179,8 +179,13 @@ class GraphSpec extends SparkSuite {
     val sym = GraphOps.symmetrize(proj).cache()
     val r8 = GraphOps.kCore(sym, 3, 8).as[(Long, Long)].collect().toSet
     val r20 = GraphOps.kCore(sym, 3, 20).as[(Long, Long)].collect().toSet
+    // the eager-materialization dial must not change the fixpoint: batching
+    // three peel rounds per checkpoint lands on the same core
+    val r8b = GraphOps.kCore(sym, 3, 8, checkpointEvery = 3)
+      .as[(Long, Long)].collect().toSet
     sym.unpersist()
     assert(r8 == r20)
+    assert(r8 == r8b)
     assert(r8.nonEmpty)
     // every survivor keeps >= k in-core neighbors — the k-core invariant
     assert(r8.forall(_._2 >= 3L))
