@@ -125,24 +125,51 @@ object TextRank {
   def topPhraseSpans(tokens: DataFrame, maxN: Int,
                      window: Int, iterations: Int, k: Int): DataFrame = {
     val ranks = pageRank(tokens, window, iterations)
-    // One map per doc (distinct tokens per doc is small) instead of
-    // exploding every span into member rows: the member-rank lookup becomes
-    // per-row expression work after ONE equi-join on doc_id, replacing two
-    // shuffles of the exploded member table. The fixed-point fold is
-    // order-independent (long addition), so this is value-identical to the
-    // join+sum form and the oracle is untouched.
-    val rankMap = ranks.groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("token"), col("rank"))))
-        .as("rmap"))
-    val spanCounts = EntityLinking.ngramSpansFromTokens(tokens, maxN)
-      .groupBy(col("doc_id"), col("surface"), col("len"))
-      .agg(count(lit(1)).as("cnt"))
-    spanCounts.join(rankMap, Seq("doc_id"))
+    // Member ranks ride the TOKEN STREAM, not a per-doc vocabulary map: the
+    // previous form joined a map_from_entries(all distinct tokens → rank)
+    // row onto EVERY span row, so each span physically copied its doc's
+    // whole vocabulary map through the join output — S spans × V entries of
+    // per-row garbage per doc, the heap-churn signature behind the 3–6×
+    // GC spikes the round-6 bench caught on this family. Here the rank is
+    // attached per POSITION with one token-stream-sized equi-join, the doc
+    // is folded once into a (pos, token, fp) array, and one generator emits
+    // every span WITH its fixed-point member-rank sum — span rows carry
+    // three scalars, and the only non-scalar allocation is one doc-length
+    // array per doc row (which the span enumeration needed anyway). One
+    // fewer shuffle too: the spans⋈rankMap join on doc_id is gone.
+    // Value-identical: Σ floor(rank·1e15) over member positions is the same
+    // long arithmetic the map lookup fold computed (duplicate member tokens
+    // contribute identical floored ranks either way), so the oracle is
+    // untouched.
+    val fp = tokens.join(ranks, Seq("doc_id", "token"))
+      .select(col("doc_id"), col("pos"), col("token"),
+        floor(col("rank") * lit(1e15)).as("fp"))
+    val docsW = fp.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("token"), col("fp"))))
+        .as("wr"))
+    val wr = col("wr")
+    val spans = docsW
+      .select(col("doc_id"), wr, explode(sequence(lit(1), lit(maxN))).as("len"))
+      .select(col("doc_id"), col("len"),
+        explode(when(size(wr) >= col("len"),
+          transform(sequence(lit(1), size(wr) - col("len") + lit(1)),
+            i => struct(
+              concat_ws(" ",
+                transform(slice(wr, i, col("len")), e => e("token"))).as("surface"),
+              aggregate(slice(wr, i, col("len")), lit(0L),
+                (acc, e) => acc + e("fp")).as("fpsum"))))
+          .otherwise(array().cast("array<struct<surface:string,fpsum:bigint>>")))
+          .as("sp"))
+      .select(col("doc_id"), col("sp.surface").as("surface"), col("len"),
+        col("sp.fpsum").as("fpsum"))
+    spans.groupBy(col("doc_id"), col("surface"), col("len"))
+      .agg(count(lit(1)).as("cnt"),
+        // fpsum is a function of (doc_id, member tokens) — identical across
+        // occurrences of a surface — so min() is pure plumbing, not a choice
+        min(col("fpsum")).as("fpsum"))
       .withColumn("phrase_rank",
-        (aggregate(split(col("surface"), " "), lit(0L),
-          (acc, t) => acc + floor(element_at(col("rmap"), t) * lit(1e15)))
-          .cast("double") / lit(1e15)) / col("len"))
-      .drop("rmap")
+        (col("fpsum").cast("double") / lit(1e15)) / col("len"))
+      .drop("fpsum")
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("phrase_rank").desc, col("surface").asc)))
