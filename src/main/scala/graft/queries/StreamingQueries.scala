@@ -300,6 +300,170 @@ object StreamingQueries {
           "q78_stream_late_data", "append")
           .orderBy(col("w_start"), col("event_type"))
       } finally rmTree(srcDir.toFile)
+    }),
+
+    // SESSION WINDOWS under the sequenced late-data replay (q78's harness
+    // applied to `session_window` — the one streaming behavior round 6 left
+    // single-batch): three mtime-ordered files, Append mode. Sessions whose
+    // end (last event + gap) fell below the advancing watermark are emitted
+    // and REMOVED from state; still-open trailing sessions are withheld by
+    // the final watermark; every first-2-hours row replayed last arrives
+    // below the watermark and is dropped before it can merge. A batch-1 row
+    // can never merge into an already-emitted session: emission requires
+    // session_end <= wm, and every batch-1 ts exceeds wm — the oracle
+    // therefore sessionizes the SURVIVING rows globally and applies the
+    // closure rule (s_end <= floor-ms(hi) - 1h) on top.
+    "q95_stream_session_late" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+      val lo = ev.agg(min(col("ts"))).head().getTimestamp(0).toInstant
+      val lateCut = lo.plusSeconds(2 * 3600)
+      val mid = lo.plusSeconds(15 * 86400)
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_sess_src")
+      try {
+        val base = 1600000000000L
+        writeSequencedFile(ev.filter(col("ts") >= lit(lateCut) && col("ts") < lit(mid)),
+          new java.io.File(srcDir.toFile, "f0.parquet"), base)
+        writeSequencedFile(ev.filter(col("ts") >= lit(mid)),
+          new java.io.File(srcDir.toFile, "f1.parquet"), base + 60000L)
+        writeSequencedFile(ev.filter(col("ts") < lit(lateCut)),
+          new java.io.File(srcDir.toFile, "f2.parquet"), base + 120000L)
+        val stream = s.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+        runToTable(StreamOps.sessionAgg(stream, "30 minutes", "1 hour"),
+          "q95_stream_session_late", "append")
+          .orderBy(col("user_id"), col("s_start"))
+      } finally rmTree(srcDir.toFile)
+    }),
+
+    // STREAMING NEAR-DUP DEDUP under late data + state EVICTION (round-6
+    // item #3: q65 ran single-batch). Uses the BOUNDED-state operator —
+    // building this gate proved empirically that plain `dropDuplicates` on
+    // a non-event-time key gets NO watermark interaction (no late drop, no
+    // eviction; the StreamOps scaladoc caveat), so the eviction semantics
+    // live in `dropDuplicatesWithinWatermark`. Three-batch replay over the
+    // documents table with the deterministic ts rule (doc k at epoch+1d+k s):
+    //   batch 0: every document — one emission per distinct SimHash; state
+    //            expires at first-arrival ts + delay;
+    //   batch 1: "late" probes — fresh unseen content stamped far below the
+    //            watermark. PINNED SEMANTIC (observed, encoded in the
+    //            oracle): streaming dedup does NOT late-drop — a
+    //            below-watermark row with an unseen key still emits (state
+    //            bounds are about eviction, not input filtering; contrast
+    //            q78/q95 where aggregation drops late rows). Probe content
+    //            is anti-joined against the corpus SimHashes so a
+    //            coincidental collision cannot make emission depend on
+    //            state-timing. The batch also lets the eviction pass clear
+    //            every key whose expiry fell below wm = maxTs − delay,
+    //            i.e. first-arrival ts < maxTs − 2·delay;
+    //   batch 2: RE-ARRIVALS — doc_id % 5 == 2 documents replayed with
+    //            ts + 40 days (well above wm). A re-arrival whose key was
+    //            evicted is re-EMITTED (a real duplicate the horizon
+    //            forgot — the by-design cost of bounded state); one whose
+    //            key survived is suppressed.
+    // Determinism: delay = maxId/4 s + 125 ms puts the eviction boundary
+    // (maxTs − 2·delay) strictly BETWEEN document timestamps and scales
+    // with the table; and within a SimHash collision group the stored
+    // expiry is the arrival-order-dependent first member's, so re-arrivals
+    // are restricted to groups that lie entirely on one side of the
+    // boundary (fully-below ⇒ evicted ⇒ re-emit; fully-above ⇒ alive ⇒
+    // suppressed; straddling groups excluded). The oracle encodes exactly
+    // that rule in SQL.
+    "q96_stream_dedup_late" -> ((s, d) => {
+      import graft.dedup.DedupOps
+      import graft.text.TextOps
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val delayMs = maxId * 250L + 125L
+      // eviction boundary on FIRST-ARRIVAL ts: expiry (ts+delay) below
+      // wm (maxTs − delay) ⇔ ts below maxTs − 2·delay
+      val boundaryUs = (86400L + maxId) * 1000000L - 2L * delayMs * 1000L
+      val sig = docs.withColumn("simhash",
+        DedupOps.simhashExpr(TextOps.tokens(col("text"))))
+      val grp = sig.groupBy(col("simhash"))
+        .agg(min(col("doc_id")).as("gmin"), max(col("doc_id")).as("gmax"))
+      val rearrivals = sig.join(grp, Seq("simhash"))
+        .filter(col("doc_id") % 5 === 2)
+        .filter(((col("gmax") + lit(86400L)) * lit(1000000L) < lit(boundaryUs)) ||
+                ((col("gmin") + lit(86400L)) * lit(1000000L) > lit(boundaryUs)))
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(col("doc_id") + lit(86400L + 40L * 86400L)).as("ts"))
+      val lateProbes = docs.filter(col("doc_id") % 5 === 3)
+        .select(col("doc_id"),
+          concat(lit("late-probe-"), col("doc_id")).as("text"))
+        .withColumn("psim", DedupOps.simhashExpr(TextOps.tokens(col("text"))))
+        .join(sig.select(col("simhash").as("psim")).distinct(),
+          Seq("psim"), "left_anti")
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(lit(1000L)).as("ts"))
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_dedup_src")
+      try {
+        val base = 1600000000000L
+        writeSequencedFile(docs.select(col("doc_id"), col("text"), col("ts")),
+          new java.io.File(srcDir.toFile, "f0.parquet"), base)
+        writeSequencedFile(lateProbes,
+          new java.io.File(srcDir.toFile, "f1.parquet"), base + 60000L)
+        writeSequencedFile(rearrivals,
+          new java.io.File(srcDir.toFile, "f2.parquet"), base + 120000L)
+        val stream = s.readStream
+          .schema("doc_id BIGINT, text STRING, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString)
+        runToTable(
+          StreamOps.nearDupDedupBounded(stream, "text", s"$delayMs milliseconds"),
+          "q96_stream_dedup_late", "append")
+          .select(col("simhash"))
+          .orderBy(col("simhash"))
+      } finally rmTree(srcDir.toFile)
+    }),
+
+    // CHECKPOINT-RESTART exactly-once (round-6 item #2: spec-only until
+    // now). Query A consumes batch 0 and commits its aggregation state +
+    // source offsets to the checkpoint; a brand-NEW query B starts from the
+    // same checkpoint after batch 1 lands, restores state, reads ONLY the
+    // new file, and its Complete-mode sink must equal the batch aggregation
+    // of the whole table — state loss would drop batch-0 counts, offset
+    // loss would double-read f0 and double them; either breaks the hash.
+    "q97_stream_restart" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("value"))
+      val lo = ev.agg(min(col("ts"))).head().getTimestamp(0).toInstant
+      val mid = lo.plusSeconds(15 * 86400)
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_restart_src")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt")
+      val sinkA = s"q97a_${runSeq.incrementAndGet()}"
+      val sinkB = s"q97b_${runSeq.incrementAndGet()}"
+      try {
+        val base = 1600000000000L
+        def runOnce(sink: String): Unit = {
+          val stream = s.readStream
+            .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir.toString)
+          val q = StreamOps.tumblingAgg(stream, "1 hour", "1 hour")
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination()
+          finally if (q.isActive) q.stop()
+        }
+        writeSequencedFile(ev.filter(col("ts") < lit(mid)),
+          new java.io.File(srcDir.toFile, "f0.parquet"), base)
+        runOnce(sinkA) // batch 0 only; state lives in the checkpoint now
+        writeSequencedFile(ev.filter(col("ts") >= lit(mid)),
+          new java.io.File(srcDir.toFile, "f1.parquet"), base + 60000L)
+        runOnce(sinkB) // restored query: reads f1 ONLY, full result in sink
+        s.table(sinkB)
+          .orderBy(col("w_start"), col("event_type"))
+          .localCheckpoint()
+      } finally {
+        s.catalog.dropTempView(sinkA); s.catalog.dropTempView(sinkB)
+        rmTree(srcDir.toFile); rmTree(ckpt.toFile)
+      }
     }))
 
   /** DuckDB mirror of TextOps.tokens (same fragment as TextQueries). */
@@ -503,6 +667,98 @@ object StreamingQueries {
         |FROM agg a CROSS JOIN m
         |WHERE epoch_us(a.w_start) + 3600000000
         |      <= (epoch_us(m.hi) // 1000 - 3600000) * 1000
-        |ORDER BY w_start, event_type""".stripMargin
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    // q62's gaps-and-islands sessionization restricted to the SURVIVING
+    // rows (first-2-hours rows replayed last are all late-dropped), plus
+    // the session closure rule at the engine's ms granularity: a session
+    // emits iff its end (last event + 30 min gap) is <= the final
+    // watermark (floor-ms of max surviving event time minus the 1 h
+    // delay) — open trailing sessions stay withheld in state.
+    "q95_stream_session_late" ->
+      """WITH m AS (SELECT MIN(ts) AS lo, MAX(ts) AS hi FROM events),
+        |kept AS (
+        |  SELECT e.user_id, e.ts FROM events e CROSS JOIN m
+        |  WHERE e.ts >= m.lo + INTERVAL '2 hours'),
+        |o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL '30 minutes'
+        |         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM kept),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM o),
+        |agg AS (
+        |  SELECT user_id, MIN(ts) AS s_start,
+        |    MAX(ts) + INTERVAL '30 minutes' AS s_end, COUNT(*) AS n
+        |  FROM s GROUP BY user_id, sess)
+        |SELECT a.user_id, a.s_start, a.s_end, a.n
+        |FROM agg a CROSS JOIN m
+        |WHERE epoch_us(a.s_end)
+        |      <= (epoch_us(m.hi) // 1000 - 3600000) * 1000
+        |ORDER BY user_id, s_start""".stripMargin,
+
+    // Batch-0 emissions (one per distinct SimHash) ∪ late-probe emissions
+    // ∪ re-emissions. A probe is a single unseen token, so its SimHash is
+    // exactly the low 32 bits of its md5 (every +1 vote sets the bit) —
+    // probes colliding with a corpus SimHash are excluded on both sides,
+    // and their EMISSION pins the no-late-drop semantic. A re-arrival
+    // (doc_id % 5 = 2, replayed +40 d) re-emits iff its SimHash group lies
+    // entirely below the eviction boundary (first arrival's expiry
+    // ts+delay fell under wm = maxTs − delay ⇒ evicted before the
+    // re-arrival batch). Boundary arithmetic mirrors the engine in µs:
+    // boundary = (86400 + max_id)·1e6 − 2·(max_id·250 + 125)·1000,
+    // strictly between document timestamps so <-vs-<= cannot bite.
+    "q96_stream_dedup_late" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, token, COUNT(*) AS cnt,
+         |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents) t
+         |  GROUP BY doc_id, token),
+         |bits AS (
+         |  SELECT doc_id, i AS bit,
+         |    SUM(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+         |  FROM tok CROSS JOIN range(32) t(i) GROUP BY doc_id, i),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |m AS (SELECT MAX(doc_id) AS mx FROM documents),
+         |grp AS (SELECT simhash, MAX(doc_id) AS gmax FROM sig GROUP BY simhash),
+         |probe AS (
+         |  SELECT DISTINCT CAST('0x' ||
+         |      substr(md5('late-probe-' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |    AS BIGINT) AS simhash
+         |  FROM documents WHERE doc_id % 5 = 3),
+         |probefresh AS (
+         |  SELECT simhash FROM probe
+         |  WHERE simhash NOT IN (SELECT simhash FROM sig)),
+         |reemit AS (
+         |  SELECT DISTINCT s.simhash
+         |  FROM sig s JOIN grp g USING (simhash) CROSS JOIN m
+         |  WHERE s.doc_id % 5 = 2
+         |    AND (86400 + g.gmax) * 1000000
+         |        < (86400 + m.mx) * 1000000 - 2 * (m.mx * 250 + 125) * 1000)
+         |SELECT simhash FROM (
+         |  SELECT DISTINCT simhash FROM sig
+         |  UNION ALL
+         |  SELECT simhash FROM probefresh
+         |  UNION ALL
+         |  SELECT simhash FROM reemit) u
+         |ORDER BY simhash""".stripMargin,
+
+    // Exactly-once across a kill-and-restart: the restored query's
+    // Complete-mode sink equals the batch aggregation of the WHOLE table —
+    // q60's oracle verbatim. Lost state would drop batch-0 counts,
+    // re-read offsets would double them.
+    "q97_stream_restart" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin
   )
 }

@@ -15,9 +15,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * aggregations, no collect.
   *
   * Scale notes: streaming state lives in the state store keyed by
-  * (window/key) — watermarks bound its size; `dropDuplicates` state is
-  * likewise GC'd past the watermark. At 100 TB/day these are the only
-  * streaming plans that don't accumulate unbounded state.
+  * (window/key) — watermarks bound aggregation/join state. CAVEAT the q96
+  * replay proved empirically: `dropDuplicates` on a key that does NOT
+  * include the event-time column gets no watermark interaction at all —
+  * late rows are NOT dropped and key state is NEVER evicted (Spark only
+  * applies watermark eviction when the event-time column is part of the
+  * dedup key; `dropDuplicatesWithinWatermark` exists precisely for this).
+  * So [[dedup]]/[[nearDupDedup]]/[[ingestPipeline]] are EXACT but carry
+  * state for every distinct key ever seen; the `...Bounded` variants trade
+  * horizon-old re-crawl suppression for watermark-bounded state — at
+  * 100 TB/day the bounded forms are the production shape.
   */
 object StreamOps {
 
@@ -165,23 +172,44 @@ object StreamOps {
   /** Streaming NEAR-duplicate dedup: the dedup key is the per-row SimHash
     * expression ([[graft.dedup.DedupOps.simhashExpr]] — pure expression work,
     * no shuffle, no aggregation), so `dropDuplicates` stays the query's ONLY
-    * stateful operator and its state is GC'd past the watermark. Documents
-    * whose token multisets hash to the same 32-bit SimHash (near-identical
-    * content) keep only the first arrival. */
+    * stateful operator. EXACT but unbounded: the key omits the event-time
+    * column, so this state is never watermark-evicted (object scaladoc
+    * caveat) — use [[nearDupDedupBounded]] when state must stay bounded.
+    * Documents whose token multisets hash to the same 32-bit SimHash
+    * (near-identical content) keep only the first arrival. */
   def nearDupDedup(docs: DataFrame, textCol: String, watermark: String): DataFrame =
     docs.withWatermark("ts", watermark)
       .withColumn("simhash",
         graft.dedup.DedupOps.simhashExpr(graft.text.TextOps.tokens(col(textCol))))
       .dropDuplicates("simhash")
 
+  /** BOUNDED-STATE near-dup dedup: `dropDuplicatesWithinWatermark` keeps a
+    * SimHash key's state only until the watermark passes its first
+    * arrival's event time + delay, so duplicates are guaranteed suppressed
+    * only within that horizon — a re-crawl older than the horizon
+    * re-emits, the by-design cost of bounded state. [[nearDupDedup]] is
+    * exact but its per-key state is never evicted (see the object scaladoc
+    * caveat); at 100 TB/day this is the shape that survives. NOTE (pinned
+    * by q96): streaming dedup does NOT drop late input rows — a
+    * below-watermark arrival with an unseen key still emits; the watermark
+    * governs state EVICTION only. Gated end-to-end under a sequenced
+    * three-batch replay by q96. */
+  def nearDupDedupBounded(docs: DataFrame, textCol: String,
+                          watermark: String): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .withColumn("simhash",
+        graft.dedup.DedupOps.simhashExpr(graft.text.TextOps.tokens(col(textCol))))
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** End-to-end STREAMING training-data ingest — the north-star pipeline as
     * one incremental query: quality-filter → PII-mask → context-window chunk
     * → exact chunk dedup. Everything upstream of the dedup is per-row
     * expression work (filters, regex masking, chunk enumeration — no
-    * aggregation), so the watermarked `dropDuplicates` on the chunk
-    * fingerprint is the query's ONLY stateful operator and its state is GC'd
-    * past the horizon. A new arrival of already-seen content (re-crawls,
-    * mirror pages) emits nothing.
+    * aggregation), so the `dropDuplicates` on the chunk fingerprint is the
+    * query's ONLY stateful operator — exact but never evicted (object
+    * scaladoc caveat; swap in `dropDuplicatesWithinWatermark` for the
+    * bounded production shape). A new arrival of already-seen content
+    * (re-crawls, mirror pages) emits nothing.
     * Output: (doc_id, ts, chunk_id, chunk, fp). */
   def ingestPipeline(docs: DataFrame, minQuality: Double, chunkSize: Int,
                      overlap: Int, watermark: String): DataFrame = {
