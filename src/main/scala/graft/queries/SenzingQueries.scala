@@ -37,6 +37,41 @@ object SenzingQueries {
       val path = SenzingFixture.ensureWritten()
       Senzing.aliasRecords(Senzing.readExport(s, path))
         .orderBy(col("alias"), col("entity"), col("type"))
+    }),
+
+    // END-TO-END ERKG FLAGSHIP on the fixture — the reference CLI
+    // (/root/reference/src/senzing_pipeline.py:400-421 + filter_senzing
+    // :373-397) as ONE oracle-checked dataflow: readExport → graph
+    // vertices/edges (G1) → 17-name exact seed match against VERTEX names
+    // (first non-empty ENTITY_DESC, uid fallback — senzing_pipeline.py:383
+    // matches `ent.name`, NOT the F1/F2-filtered KB, so bearer pseudo-names
+    // can seed the graph even though the KB rejects them) → 2-hop closure
+    // over the DIRECTED related-entity graph (rank_0 ∪ rank_1 ∪ rank_2,
+    // :392-397 — exactly kHop k=2) → alias records filtered to the closure
+    // by the alias's own entity id (:415, INTERNAL_ID for record aliases,
+    // related ENTITY_ID for name aliases — record INTERNAL_IDs never
+    // intersect the closure's resolved ids in this fixture, a faithfully
+    // reproduced asymmetry of the reference's filter) → P(entity|alias)
+    // report (:417-421). The 17-seed list mirrors suspicious.txt's shape:
+    // KB names, ENTITY_DESC-derived vertex names, a uid-fallback vertex, a
+    // bearer pseudo-name, and one deliberate no-match.
+    "q98_erkg_flagship" -> ((s, _) => {
+      import s.implicits._
+      val path = SenzingFixture.ensureWritten()
+      val raw = Senzing.readExport(s, path)
+      val verts = Senzing.graphVertices(raw)
+      val edges = Senzing.graphEdges(raw).select(col("src"), col("dst"))
+      val seedIds = verts
+        .join(broadcast(SenzingFixture.seedNames.toDF("name")), Seq("name"))
+        .select(col("id"))
+      val closure = graft.graph.GraphOps.kHop(edges, seedIds, 2)
+      val filtered = Senzing.aliasRecords(raw)
+        .join(broadcast(closure),
+          col("entity") === closure("id"), "left_semi")
+      graft.ops.Relational.aliasProbabilitiesLong(
+          filtered.withColumn("entity", col("entity").cast("string")),
+          "alias", "entity")
+        .orderBy(col("alias"), col("entity"))
     }))
 
   // ---- DuckDB twins ---------------------------------------------------------
@@ -129,6 +164,48 @@ object SenzingQueries {
          |  WHERE (rel).MATCH_LEVEL_CODE IN ('POSSIBLY_SAME', 'RESOLVED', 'DISCLOSED'))
          |SELECT alias, entity, type
          |FROM (SELECT * FROM fromrec UNION ALL SELECT * FROM fromrel) u
-         |ORDER BY alias, entity, type""".stripMargin
+         |ORDER BY alias, entity, type""".stripMargin,
+    "q98_erkg_flagship" ->
+      s"""WITH raw AS (
+         |  SELECT RESOLVED_ENTITY.ENTITY_ID AS eid,
+         |    RESOLVED_ENTITY.ENTITY_NAME AS ename,
+         |    RESOLVED_ENTITY.RECORDS AS recs,
+         |    RELATED_ENTITIES AS rels
+         |  FROM $readJson),
+         |verts AS (
+         |  SELECT eid AS id,
+         |    coalesce(
+         |      list_filter(recs,
+         |        r -> r.ENTITY_DESC IS NOT NULL AND r.ENTITY_DESC <> '')[1]
+         |        .ENTITY_DESC,
+         |      CAST(eid AS VARCHAR)) AS name
+         |  FROM raw),
+         |edges AS (
+         |  SELECT eid AS src, (rel).ENTITY_ID AS dst
+         |  FROM (SELECT eid, unnest(rels) AS rel FROM raw) t),
+         |h0 AS (SELECT DISTINCT id FROM verts WHERE name IN (${
+        SenzingFixture.seedNames.map(n => s"'$n'").mkString(", ")})),
+         |h1 AS (SELECT id FROM h0
+         |       UNION SELECT e.dst FROM edges e JOIN h0 ON e.src = h0.id),
+         |h2 AS (SELECT id FROM h1
+         |       UNION SELECT e.dst FROM edges e JOIN h1 ON e.src = h1.id),
+         |named AS (SELECT * FROM raw WHERE ename IS NOT NULL AND ename <> ''),
+         |fromrec AS (
+         |  SELECT (r).ENTITY_DESC AS alias, (r).INTERNAL_ID AS entity
+         |  FROM (SELECT unnest(recs) AS r FROM named) t),
+         |fromrel AS (
+         |  SELECT ename AS alias, (rel).ENTITY_ID AS entity
+         |  FROM (SELECT unnest(rels) AS rel, ename FROM named) t
+         |  WHERE (rel).MATCH_LEVEL_CODE IN ('POSSIBLY_SAME', 'RESOLVED', 'DISCLOSED')),
+         |obs AS (
+         |  SELECT alias, entity, COUNT(*) AS cnt
+         |  FROM (SELECT * FROM fromrec UNION ALL SELECT * FROM fromrel) u
+         |  WHERE entity IN (SELECT id FROM h2)
+         |  GROUP BY 1, 2)
+         |SELECT alias, CAST(entity AS VARCHAR) AS entity,
+         |  CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY alias) AS BIGINT) AS probability,
+         |  CAST(SUM(cnt) OVER (PARTITION BY alias) AS BIGINT) AS n_obs
+         |FROM obs ORDER BY alias, entity""".stripMargin
   )
 }

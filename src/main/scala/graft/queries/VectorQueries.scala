@@ -82,7 +82,69 @@ object VectorQueries {
       val cents = VectorOps.centroids(e, "label")
       VectorOps.ivfKnn(e.filter(col("vec_id") < 8), e, cents, "label", 3, nprobe = 2)
         .orderBy(col("query_id"), col("rn"))
-    }))
+    }),
+
+    // ANN RECALL as a GATED number: on fixed data, recall of each
+    // approximate path against its exact baseline is a deterministic
+    // integer ratio, so "approximate but useful" becomes a regression-proof
+    // contract — a blocking or probe change that silently hurts recall now
+    // breaks the hash, not just a vibe. Two rows:
+    //   lsh_pairs  — single-band sign-LSH pairs (q27's blocking) vs the
+    //                exact O(N²) pair set at the same 0.2 threshold;
+    //   lsh_banded — 4-band × 2-plane banded sign-LSH (q100's operator):
+    //                the recall dial, same exact baseline;
+    //   ivf_top5   — IVF nprobe=2 top-5 (q54's path, k=5) vs brute-force
+    //                top-5 (q25's math). All hit sets are semi-joins of
+    //                approximate against exact; counts aggregate through
+    //                1-row broadcast aggregates (no collect).
+    "q99_ann_recall" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = emb(s, d)
+      val cos = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        call_function("cosine_sim", a, b)
+      // the exact O(N²) baseline is referenced FOUR times (two semi-joins +
+      // two totals) — materialize the tiny surviving pair set once instead
+      // of re-running the quadratic join per reference
+      val exactPairs = VectorOps.cosinePairs(e, 0.2, cos)
+        .select(col("ia"), col("ib"))
+        .localCheckpoint()
+      val lshPairs = VectorOps.lshNeighborPairs(e, 8, 0.2)
+        .select(col("ia"), col("ib"))
+      val lshRow = exactPairs.join(lshPairs, Seq("ia", "ib"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(exactPairs.agg(count(lit(1)).as("total"))))
+      val bandedPairs = VectorOps.lshNeighborPairsBanded(e, 8, 4, 0.2)
+        .select(col("ia"), col("ib"))
+      val bandedRow = exactPairs.join(bandedPairs, Seq("ia", "ib"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(exactPairs.agg(count(lit(1)).as("total"))))
+      val q = e.filter(col("vec_id") < 8)
+      val brute = VectorOps.knnBruteForce(q, e, 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint() // referenced twice (semi-join + total)
+      val cents = VectorOps.centroids(e, "label")
+      val ivf = VectorOps.ivfKnn(q, e, cents, "label", 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivfRow = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(brute.agg(count(lit(1)).as("total"))))
+      lshRow.select(lit("lsh_pairs").as("metric"), col("hits"), col("total"))
+        .unionByName(bandedRow.select(lit("lsh_banded").as("metric"),
+          col("hits"), col("total")))
+        .unionByName(ivfRow.select(lit("ivf_top5").as("metric"),
+          col("hits"), col("total")))
+        .withColumn("recall",
+          col("hits").cast("double") / col("total").cast("double"))
+        .orderBy(col("metric"))
+    }),
+
+    // Banded sign-LSH ANN pairs — the recall-dial member of the cosine
+    // similarity-join family (single-band q27 trades recall for fewer
+    // candidates; 4 bands × 2 planes recovers the recall q99 showed q27
+    // giving up). Gated on the full (ia, ib, cosine) pair set.
+    "q100_lsh_banded_pairs" -> ((s, d) =>
+      VectorOps.lshNeighborPairsBanded(emb(s, d), 8, 4, 0.2)
+        .orderBy(col("ia"), col("ib"))))
 
   /** DuckDB mirror of VectorOps.dot: sequential left-fold of per-element
     * double products (1-indexed lists). */
@@ -154,7 +216,102 @@ object VectorQueries {
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.2
          |ORDER BY ia, ib""".stripMargin,
     "q28_ivf_knn" -> ivfOracle(nprobe = 1),
-    "q54_ivf_multiprobe" -> ivfOracle(nprobe = 2)
+    "q54_ivf_multiprobe" -> ivfOracle(nprobe = 2),
+    // Recall = |approx ∩ exact| / |exact| on fixed data — pure integer
+    // arithmetic once the underlying pair/top-k sets agree (q25-q27/q54
+    // oracles pin those), so the ratio is hash-exact across engines.
+    "q99_ann_recall" ->
+      s"""WITH exact AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.2),
+         |sig AS (
+         |  SELECT vec_id, embedding, $sigSql AS bucket FROM embeddings),
+         |lshp AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.2),
+         |lrow AS (
+         |  SELECT 'lsh_pairs' AS metric,
+         |    (SELECT COUNT(*) FROM exact e JOIN lshp l
+         |       ON e.ia = l.ia AND e.ib = l.ib) AS hits,
+         |    (SELECT COUNT(*) FROM exact) AS total),
+         |bsig AS (
+         |  SELECT vec_id, embedding, b AS band,
+         |         substr(bucket, b * 2 + 1, 2) AS key
+         |  FROM sig CROSS JOIN range(0, 4) t(b)),
+         |bandp AS (
+         |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM bsig a JOIN bsig b
+         |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.2),
+         |brow AS (
+         |  SELECT 'lsh_banded' AS metric,
+         |    (SELECT COUNT(*) FROM exact e JOIN bandp l
+         |       ON e.ia = l.ia AND e.ib = l.ib) AS hits,
+         |    (SELECT COUNT(*) FROM exact) AS total),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |      FROM embeddings WHERE vec_id < 8),
+         |bs AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         ${cosSql("q_emb", "e.embedding")} AS cosine
+         |  FROM q JOIN embeddings e ON e.vec_id <> query_id),
+         |br AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+         |  FROM bs),
+         |brute AS (SELECT query_id, neighbor_id FROM br WHERE rn <= 5),
+         |dims AS (
+         |  SELECT label AS cell, i - 1 AS pos,
+         |         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |           / COUNT(*) AS mean
+         |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+         |  GROUP BY label, i),
+         |cents AS (
+         |  SELECT cell, list(mean ORDER BY pos) AS centroid
+         |  FROM dims GROUP BY cell),
+         |ad AS (
+         |  SELECT query_id, q_emb, cell,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY ${l2Sql("q_emb", "centroid")} ASC, cell ASC) AS crn
+         |  FROM q CROSS JOIN cents),
+         |assigned AS (SELECT query_id, q_emb, cell FROM ad WHERE crn <= 2),
+         |probe AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |         ${cosSql("q_emb", "e.embedding")} AS cosine
+         |  FROM assigned a JOIN embeddings e
+         |    ON e.label = a.cell AND e.vec_id <> a.query_id),
+         |ir AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+         |  FROM probe),
+         |ivf AS (SELECT query_id, neighbor_id FROM ir WHERE rn <= 5),
+         |irow AS (
+         |  SELECT 'ivf_top5' AS metric,
+         |    (SELECT COUNT(*) FROM brute b JOIN ivf v
+         |       ON b.query_id = v.query_id AND b.neighbor_id = v.neighbor_id) AS hits,
+         |    (SELECT COUNT(*) FROM brute) AS total)
+         |SELECT metric, hits, total,
+         |  CAST(hits AS DOUBLE) / CAST(total AS DOUBLE) AS recall
+         |FROM (SELECT * FROM irow UNION ALL SELECT * FROM lrow
+         |      UNION ALL SELECT * FROM brow) u
+         |ORDER BY metric""".stripMargin,
+    // Banded variant of q27's oracle: same signature string, four 2-bit
+    // prefix slices as band keys, DISTINCT over the per-band candidate
+    // union, exact cosine verify.
+    "q100_lsh_banded_pairs" ->
+      s"""WITH sig AS (
+         |  SELECT vec_id, embedding, $sigSql AS bucket FROM embeddings),
+         |bsig AS (
+         |  SELECT vec_id, embedding, b AS band,
+         |         substr(bucket, b * 2 + 1, 2) AS key
+         |  FROM sig CROSS JOIN range(0, 4) t(b))
+         |SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib,
+         |       ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |FROM bsig a JOIN bsig b
+         |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.2
+         |ORDER BY ia, ib""".stripMargin
   )
 
   /** IVF oracle, nprobe-parameterized: q28 single-probe, q54 multi-probe. */

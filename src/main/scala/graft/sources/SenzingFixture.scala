@@ -113,6 +113,22 @@ object SenzingFixture {
   val countries: Seq[(String, String)] =
     Seq(("GB", "United Kingdom"), ("PA", "Panama"))
 
+  /** The flagship's 17-name suspicion list (q98) — the fixture analog of
+    * the reference's 17-line suspicious.txt
+    * (/root/reference/data/icij-example/suspicious.txt): hand + generated
+    * KB names, two ENTITY_DESC-derived vertex names ("Alias 107-1" is the
+    * empty-first-desc fallback, "Alias 130-0" names an F2-dropped entity),
+    * one uid-fallback vertex ("124" has no records), one bearer pseudo-name
+    * (the GRAPH doesn't blacklist — only the KB does), and one deliberate
+    * no-match (exact matching is high-precision/low-recall,
+    * senzing_pipeline.py:381-383). */
+  val seedNames: Seq[String] = Seq(
+    "Acme Corp", "John Doe", "Juan Perez",
+    "Person 105", "Person 110", "Person 125", "Person 145", "Person 355",
+    "Entity 101 Corp", "Entity 102 Corp", "Entity 103 Corp",
+    "Entity 202 Corp", "Alias 107-1", "Alias 130-0", "124",
+    "bearer warrant", "Nonexistent Company XYZ")
+
   /** Idempotently materialize the fixture; returns its path. */
   def ensureWritten(): String = {
     val p = Paths.get(path)

@@ -216,4 +216,32 @@ class SenzingSpec extends SparkSuite {
     assert(back.select("entity_id", "type", "name", "description").collect().toSet ==
       ents.collect().toSet)
   }
+
+  test("flagship fixture golden: 17 seed names → 15 vertices → 68-entity closure") {
+    // The fixture-scale twin of the reference's pinned 17-seed → 29-id
+    // closure (/root/reference/dev.ipynb cell 141): q98's seed match and
+    // 2-hop expansion land on exact golden counts. Two of the 17 names
+    // match nothing — "Nonexistent Company XYZ" by design, and
+    // "Entity 102 Corp" because entity 102's NAME feature is a bearer
+    // pseudo-name (102 % 17 == 0), exactly the high-precision/low-recall
+    // exact-match miss the reference comments on (senzing_pipeline.py:381).
+    // The bearer-named vertex 119 DOES seed — the graph has no blacklist,
+    // only the KB does.
+    val s = spark
+    import s.implicits._
+    val path = graft.sources.SenzingFixture.ensureWritten()
+    val fraw = Senzing.readExport(s, path)
+    val verts = Senzing.graphVertices(fraw)
+    val seeds = verts
+      .join(broadcast(graft.sources.SenzingFixture.seedNames.toDF("name")),
+        Seq("name"))
+      .select(col("id"))
+    val seedIds = seeds.as[Long].collect().toSet
+    assert(seedIds.size == 15)
+    assert(seedIds.contains(119L))  // bearer-named vertex seeds the graph
+    assert(!seedIds.contains(102L)) // bearer NAME broke the exact match
+    val closure = graft.graph.GraphOps.kHop(
+      Senzing.graphEdges(fraw).select(col("src"), col("dst")), seeds, 2)
+    assert(closure.count() == 68L)
+  }
 }

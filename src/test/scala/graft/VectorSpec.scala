@@ -76,6 +76,21 @@ class VectorSpec extends SparkSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("banded LSH: single-band ⊆ banded ⊆ exact, with no duplicate pairs") {
+    // agreement on ALL nPlanes bits implies agreement on every band, so the
+    // banded candidate set can only grow recall — never lose a pair
+    val exact = VectorOps.cosinePairs(vecs, 0.5)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = VectorOps.lshNeighborPairs(vecs, 4, 0.5)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bandedRows = VectorOps.lshNeighborPairsBanded(vecs, 4, 2, 0.5)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val banded = bandedRows.toSet
+    assert(bandedRows.length == banded.size) // multi-band agreement dedup'd
+    assert(single.subsetOf(banded))
+    assert(banded.subsetOf(exact))
+  }
+
   test("centroids: mean of each cell, dimension order preserved") {
     val c = VectorOps.centroids(vecs, "label")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
