@@ -91,8 +91,9 @@ object VectorQueries {
     // breaks the hash, not just a vibe. Two rows:
     //   lsh_pairs  — single-band sign-LSH pairs (q27's blocking) vs the
     //                exact O(N²) pair set at the same 0.2 threshold;
-    //   lsh_banded — 4-band × 2-plane banded sign-LSH (q100's operator):
-    //                the recall dial, same exact baseline;
+    //   lsh_banded — 32-plane × 4-band banded sign-LSH (q100's operator,
+    //                8-bit band keys): the recall/candidate dial, same
+    //                exact baseline;
     //   ivf_top5   — IVF nprobe=2 top-5 (q54's path, k=5) vs brute-force
     //                top-5 (q25's math). All hit sets are semi-joins of
     //                approximate against exact; counts aggregate through
@@ -113,7 +114,9 @@ object VectorQueries {
       val lshRow = exactPairs.join(lshPairs, Seq("ia", "ib"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .crossJoin(broadcast(exactPairs.agg(count(lit(1)).as("total"))))
-      val bandedPairs = VectorOps.lshNeighborPairsBanded(e, 8, 4, 0.2)
+      val bandedPairs = VectorOps.lshNeighborPairsBanded(e, 32, 4, 0.2,
+          sigFn = (c, n) => call_function("lsh_signature", c, lit(n)),
+          cosineFn = cos)
         .select(col("ia"), col("ib"))
       val bandedRow = exactPairs.join(bandedPairs, Seq("ia", "ib"), "left_semi")
         .agg(count(lit(1)).as("hits"))
@@ -138,13 +141,21 @@ object VectorQueries {
         .orderBy(col("metric"))
     }),
 
-    // Banded sign-LSH ANN pairs — the recall-dial member of the cosine
-    // similarity-join family (single-band q27 trades recall for fewer
-    // candidates; 4 bands × 2 planes recovers the recall q99 showed q27
-    // giving up). Gated on the full (ia, ib, cosine) pair set.
-    "q100_lsh_banded_pairs" -> ((s, d) =>
-      VectorOps.lshNeighborPairsBanded(emb(s, d), 8, 4, 0.2)
-        .orderBy(col("ia"), col("ib"))))
+    // Banded sign-LSH ANN pairs — the recall/candidate-dial member of the
+    // cosine similarity-join family: 32 planes in 4 bands of 8 bits, so a
+    // pair is a candidate when any 8-bit band agrees (~1.6 % of all pairs)
+    // and recall rises steeply with similarity where single-band q27 stays
+    // flat-low. Gated on the full (ia, ib, cosine) pair set.
+    "q100_lsh_banded_pairs" -> ((s, d) => {
+      // native codegen'd twins of the HOF signature + cosine (law-equal,
+      // ExtensionsSpec/CosineSimilaritySpec) — the 32-plane × 64-dim
+      // signature fold is the query's dominant expression cost
+      graft.functions.GraftFunctions.register(s)
+      VectorOps.lshNeighborPairsBanded(emb(s, d), 32, 4, 0.2,
+          sigFn = (c, n) => call_function("lsh_signature", c, lit(n)),
+          cosineFn = (a, b) => call_function("cosine_sim", a, b))
+        .orderBy(col("ia"), col("ib"))
+    }))
 
   /** DuckDB mirror of VectorOps.dot: sequential left-fold of per-element
     * double products (1-indexed lists). */
@@ -163,13 +174,16 @@ object VectorQueries {
       s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), (acc, x) -> acc + x))"
 
-  /** DuckDB mirror of VectorOps.lshSignature (8 planes, 0-indexed dims). */
-  private val sigSql =
-    "array_to_string(list_transform(range(0, 8), p -> CASE WHEN " +
+  /** DuckDB mirror of VectorOps.lshSignature (0-indexed dims),
+    * plane-count-parameterized (q27/q74 use 8, q99/q100's banded form 32). */
+  private def sigSqlN(nPlanes: Int) =
+    s"array_to_string(list_transform(range(0, $nPlanes), p -> CASE WHEN " +
       "list_reduce(list_prepend(0.0, list_transform(range(1, len(embedding)+1), " +
       "i -> CAST(embedding[i] AS DOUBLE) * " +
       "((CAST((p * 73856093 + (i - 1) * 19349663) % 10007 AS DOUBLE) / 10007.0) * 2.0 - 1.0)" +
       ")), (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END), '')"
+
+  private val sigSql = sigSqlN(8)
 
   def oracles: Map[String, String] = Map(
     "q38_cosine_hof" ->
@@ -236,10 +250,12 @@ object VectorQueries {
          |    (SELECT COUNT(*) FROM exact e JOIN lshp l
          |       ON e.ia = l.ia AND e.ib = l.ib) AS hits,
          |    (SELECT COUNT(*) FROM exact) AS total),
+         |sig32 AS (
+         |  SELECT vec_id, embedding, ${sigSqlN(32)} AS bucket FROM embeddings),
          |bsig AS (
          |  SELECT vec_id, embedding, b AS band,
-         |         substr(bucket, b * 2 + 1, 2) AS key
-         |  FROM sig CROSS JOIN range(0, 4) t(b)),
+         |         substr(bucket, b * 8 + 1, 8) AS key
+         |  FROM sig32 CROSS JOIN range(0, 4) t(b)),
          |bandp AS (
          |  SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
          |  FROM bsig a JOIN bsig b
@@ -296,15 +312,15 @@ object VectorQueries {
          |FROM (SELECT * FROM irow UNION ALL SELECT * FROM lrow
          |      UNION ALL SELECT * FROM brow) u
          |ORDER BY metric""".stripMargin,
-    // Banded variant of q27's oracle: same signature string, four 2-bit
+    // Banded variant of q27's oracle: the 32-plane signature, four 8-bit
     // prefix slices as band keys, DISTINCT over the per-band candidate
     // union, exact cosine verify.
     "q100_lsh_banded_pairs" ->
       s"""WITH sig AS (
-         |  SELECT vec_id, embedding, $sigSql AS bucket FROM embeddings),
+         |  SELECT vec_id, embedding, ${sigSqlN(32)} AS bucket FROM embeddings),
          |bsig AS (
          |  SELECT vec_id, embedding, b AS band,
-         |         substr(bucket, b * 2 + 1, 2) AS key
+         |         substr(bucket, b * 8 + 1, 8) AS key
          |  FROM sig CROSS JOIN range(0, 4) t(b))
          |SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib,
          |       ${cosSql("a.embedding", "b.embedding")} AS cosine

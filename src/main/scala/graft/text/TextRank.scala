@@ -63,36 +63,42 @@ object TextRank {
     // tail, same discipline as GraphOps.pageRankDeterministic).
     val nodes = tokens.select(col("doc_id"), col("token")).distinct().cache()
     val n = nodes.groupBy(col("doc_id")).agg(count(lit(1)).as("n")).cache()
-    val edges = coocEdges(tokens, window).cache()
-    val outdeg = edges.groupBy(col("doc_id"), col("src"))
-      .agg(count(lit(1)).as("odeg")).cache()
+    // edges⋈outdeg is loop-invariant — attach odeg once so each iteration
+    // runs ONE ranks⋈edges equi-join instead of a 3-table join (same
+    // division and fixed-point floor: value-identical, oracle untouched)
+    val e0 = coocEdges(tokens, window)
+    val edges = e0.join(
+        e0.groupBy(col("doc_id"), col("src")).agg(count(lit(1)).as("odeg")),
+        Seq("doc_id", "src"))
+      .cache()
 
-    var ranks = nodes.join(n, Seq("doc_id"))
-      .select(col("doc_id"), col("token"), (lit(1.0) / col("n")).as("rank"))
-    for (_ <- 1 to iterations) {
-      val contribs = ranks.as("r")
-        .join(edges.as("e"), col("r.doc_id") === col("e.doc_id") &&
-          col("r.token") === col("e.src"))
-        .join(outdeg.as("o"), col("e.doc_id") === col("o.doc_id") &&
-          col("e.src") === col("o.src"))
-        .select(col("e.doc_id").as("doc_id"), col("e.dst").as("token"),
-          floor((col("r.rank") / col("o.odeg")) * lit(1e15)).as("contrib"))
-        .groupBy(col("doc_id"), col("token"))
-        .agg((sum(col("contrib")).cast("double") / lit(1e15)).as("inflow"))
-      ranks = nodes.join(n, Seq("doc_id"))
-        .join(contribs, Seq("doc_id", "token"), "left")
-        .select(col("doc_id"), col("token"),
-          (lit(teleport) / col("n") +
-            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+    try {
+      var ranks = nodes.join(n, Seq("doc_id"))
+        .select(col("doc_id"), col("token"), (lit(1.0) / col("n")).as("rank"))
+      for (_ <- 1 to iterations) {
+        val contribs = ranks.as("r")
+          .join(edges.as("e"), col("r.doc_id") === col("e.doc_id") &&
+            col("r.token") === col("e.src"))
+          .select(col("e.doc_id").as("doc_id"), col("e.dst").as("token"),
+            floor((col("r.rank") / col("e.odeg")) * lit(1e15)).as("contrib"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg((sum(col("contrib")).cast("double") / lit(1e15)).as("inflow"))
+        ranks = nodes.join(n, Seq("doc_id"))
+          .join(contribs, Seq("doc_id", "token"), "left")
+          .select(col("doc_id"), col("token"),
+            (lit(teleport) / col("n") +
+              lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+      }
+      // Materialize the final ranks (small: one row per distinct doc-token)
+      // so the invariant caches can be dropped without the caller's later
+      // action re-deriving the whole loop — a library call must leave
+      // NOTHING in the session cache registry (un-owned entries accumulate
+      // over a long-lived session and alias by logical plan across
+      // unrelated queries).
+      ranks.localCheckpoint()
+    } finally {
+      nodes.unpersist(); n.unpersist(); edges.unpersist()
     }
-    // Materialize the final ranks (small: one row per distinct doc-token) so
-    // the invariant caches can be dropped without the caller's later action
-    // re-deriving the whole loop — a library call must leave NOTHING in the
-    // session cache registry (un-owned entries accumulate over a long-lived
-    // session and alias by logical plan across unrelated queries).
-    val out = ranks.localCheckpoint()
-    nodes.unpersist(); n.unpersist(); edges.unpersist(); outdeg.unpersist()
-    out
   }
 
   /** Per-doc top-k tokens by rank (W1 window top-k; ties → token asc).

@@ -119,44 +119,51 @@ object VectorOps {
       .select(col("ia"), col("ib"), col("cosine"))
   }
 
-  /** BANDED sign-LSH pairs — the recall dial [[lshNeighborPairs]] lacks.
-    * One `bucket` of all nPlanes bits demands agreement on EVERY
-    * hyperplane, so pair recall is p^nPlanes (p = 1 − θ/π): ~1 % for
-    * 0.2-cosine pairs at 8 planes — q99 measured 3.4 % end-to-end. Banding
-    * the signature MinHash-style (q23's trick applied to the cosine
-    * family) makes a pair a candidate when ANY band of nPlanes/bands
-    * consecutive bits agrees: recall 1 − (1 − p^(n/b))^b — ~79 % for the
-    * same pairs at 4×2, rising toward 1 for truly-similar pairs — while
-    * candidates stay bucket-bounded (bands × N²/2^(n/b) worst case, not
-    * N²). Same one-signature-scan shape: compute the full nPlanes-bit
-    * signature once, explode into `bands` prefix-sliced band keys, bucket
-    * equi-join on (band, key), dedup candidates, exact-cosine verify.
+  /** BANDED sign-LSH pairs — the recall/candidate dial [[lshNeighborPairs]]
+    * lacks. One `bucket` of all nPlanes bits demands agreement on EVERY
+    * hyperplane, so pair recall is p^nPlanes (p = 1 − θ/π) — ~1 % for
+    * 0.2-cosine pairs at 8 planes. Banding MinHash-style (q23's trick
+    * applied to the cosine family) makes a pair a candidate when ANY band
+    * of nPlanes/bands consecutive bits agrees: recall
+    * 1 − (1 − p^(n/b))^b, rising steeply with pair similarity, while
+    * candidates stay bucket-bounded at ~bands · N²/2^(n/b) expected.
+    *
+    * The band width IS the blocking: at 32 planes × 4 bands each key is
+    * 8 bits (256 buckets/band → ~1.6 % of all pairs are candidates); a
+    * naive 8 planes × 4 bands leaves 2-bit keys (4 buckets/band), ~68 % of
+    * ALL pairs become candidates, and the "LSH" silently degenerates to a
+    * brute-force scan — the first cut of q100 did exactly that and cost
+    * 48 s at sf0.1 vs ~2 s now.
+    *
+    * Plan shape: the bucket self-join moves ONLY (band, key, vec_id) rows;
+    * candidate pairs are dedup'd on the two ids FIRST and the embeddings
+    * attach afterwards via two hash joins for the exact-cosine verify — at
+    * no point does a candidate row carry a vector through a shuffle.
     * Recall of both variants is hash-gated by q99. */
   def lshNeighborPairsBanded(vecs: DataFrame, nPlanes: Int, bands: Int,
-                             threshold: Double): DataFrame = {
+                             threshold: Double,
+                             sigFn: (Column, Int) => Column = lshSignature,
+                             cosineFn: (Column, Column) => Column = cosine): DataFrame = {
     require(nPlanes % bands == 0, "lshNeighborPairsBanded: bands must divide nPlanes")
     val rowsPerBand = nPlanes / bands
-    val sig = vecs.select(col("vec_id"), col("embedding"),
-      lshSignature(col("embedding"), nPlanes).as("sig"))
-    val banded = sig.select(col("vec_id"), col("embedding"),
+    val sig = vecs.select(col("vec_id"),
+      sigFn(col("embedding"), nPlanes).as("sig"))
+    val banded = sig.select(col("vec_id"),
       explode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> struct(b AS band, substring(sig, b * $rowsPerBand + 1, $rowsPerBand) AS key))"))
         .as("bk"))
-      .select(col("vec_id"), col("embedding"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("vec_id").as("ia"), col("embedding").as("ea"),
-      col("band"), col("key"))
-    val b = banded.select(col("vec_id").as("ib"), col("embedding").as("eb"),
-      col("band"), col("key"))
-    a.join(b, Seq("band", "key")).filter(col("ia") < col("ib"))
-      .withColumn("cosine", cosine(col("ea"), col("eb")))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("vec_id").as("ia"), col("band"), col("key"))
+    val b = banded.select(col("vec_id").as("ib"), col("band"), col("key"))
+    val cand = a.join(b, Seq("band", "key")).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"))
+      .distinct() // a pair agreeing in several bands is ONE candidate
+    cand
+      .join(vecs.select(col("vec_id").as("ia"), col("embedding").as("ea")), Seq("ia"))
+      .join(vecs.select(col("vec_id").as("ib"), col("embedding").as("eb")), Seq("ib"))
+      .withColumn("cosine", cosineFn(col("ea"), col("eb")))
       .filter(col("cosine") >= threshold)
-      // a pair agreeing in several bands is ≤`bands` duplicate candidates:
-      // verify each (expression work) and dedup on the SCALAR result rather
-      // than distinct-ing rows that still carry two embedding arrays — the
-      // dedup shuffle then moves (long, long, double), not vectors
       .select(col("ia"), col("ib"), col("cosine"))
-      .distinct()
   }
 
   /** MLlib twin of [[lshNeighborPairs]] (SURVEY.md §2 V2 cites
