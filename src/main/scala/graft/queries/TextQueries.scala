@@ -216,7 +216,18 @@ object TextQueries {
           coalesce(col("component"), col("doc_id")).as("canonical"),
           (coalesce(col("component"), col("doc_id")) === col("doc_id")).as("is_canonical"))
         .orderBy(col("doc_id"))
-    }))
+    }),
+
+    // SEQUENCE PACKING (concat-and-chop): the span manifest that fills
+    // 512-token training windows from the doc-id-ordered token stream —
+    // zero padding waste, docs split across window boundaries. The global
+    // prefix sum runs as the two-phase bucket scan (see
+    // [[graft.text.Packing]]); the oracle is the NAIVE single window —
+    // value-identical by construction, so the gate also proves the
+    // distributed prefix sum against its sequential definition.
+    "q101_pack_sequences" -> ((s, d) =>
+      graft.text.Packing.packSequences(docs(s, d), "doc_id", "text", 512L)
+        .orderBy(col("bin"), col("doc_id"))))
 
   /** DuckDB mirror of TextOps.tokens. */
   private val toksSql =
@@ -488,6 +499,27 @@ object TextQueries {
          |  FROM tok CROSS JOIN range(32) t(i) GROUP BY doc_id, i)
          |SELECT doc_id,
          |  CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The NAIVE sequential prefix sum — the definition the distributed
+    // two-phase scan must reproduce exactly. Integer arithmetic only.
+    "q101_pack_sequences" ->
+      s"""WITH counted AS (
+         |  SELECT doc_id, n_tok FROM (
+         |    SELECT doc_id, len($toksSql) AS n_tok FROM documents) t
+         |  WHERE n_tok > 0),
+         |placed AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+         |  FROM counted),
+         |spans AS (
+         |  SELECT doc_id, st, st + n_tok AS fin,
+         |    unnest(generate_series(st // 512, (st + n_tok - 1) // 512)) AS bin
+         |  FROM placed)
+         |SELECT doc_id, bin,
+         |  GREATEST(st, bin * 512) - bin * 512 AS off_in_bin,
+         |  LEAST(fin, (bin + 1) * 512) - GREATEST(st, bin * 512) AS len,
+         |  GREATEST(st, bin * 512) - st AS doc_from
+         |FROM spans ORDER BY bin, doc_id""".stripMargin
   )
 }

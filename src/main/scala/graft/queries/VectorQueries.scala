@@ -89,11 +89,16 @@ object VectorQueries {
     // integer ratio, so "approximate but useful" becomes a regression-proof
     // contract — a blocking or probe change that silently hurts recall now
     // breaks the hash, not just a vibe. Two rows:
-    //   lsh_pairs  — single-band sign-LSH pairs (q27's blocking) vs the
-    //                exact O(N²) pair set at the same 0.2 threshold;
-    //   lsh_banded — 32-plane × 4-band banded sign-LSH (q100's operator,
-    //                8-bit band keys): the recall/candidate dial, same
-    //                exact baseline;
+    //   lsh_pairs / lsh_pairs@0.4 — single-band sign-LSH pairs (q27's
+    //                blocking) vs the exact O(N²) pair set, at the hard
+    //                0.2 threshold and restricted to the ≥0.4 pairs (the strongest tier non-empty at every SF);
+    //   lsh_banded / lsh_banded@0.4 — 32-plane × 4-band banded sign-LSH
+    //                (q100's operator, 8-bit band keys): the
+    //                recall/candidate dial, same exact baselines. The
+    //                tiered rows gate "recall rises with similarity" as
+    //                NUMBERS, not prose — both pair sets carry their exact
+    //                cosine, so the ≥0.4 tier is a filter over the same
+    //                materialized sets, not a recompute;
     //   ivf_top5   — IVF nprobe=2 top-5 (q54's path, k=5) vs brute-force
     //                top-5 (q25's math). All hit sets are semi-joins of
     //                approximate against exact; counts aggregate through
@@ -103,24 +108,24 @@ object VectorQueries {
       val e = emb(s, d)
       val cos = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
         call_function("cosine_sim", a, b)
-      // the exact O(N²) baseline is referenced FOUR times (two semi-joins +
-      // two totals) — materialize the tiny surviving pair set once instead
-      // of re-running the quadratic join per reference
-      val exactPairs = VectorOps.cosinePairs(e, 0.2, cos)
-        .select(col("ia"), col("ib"))
-        .localCheckpoint()
+      // the exact O(N²) baseline is referenced EIGHT times (per-tier
+      // semi-joins + totals) — materialize the tiny surviving pair set once
+      // instead of re-running the quadratic join per reference
+      val exactPairs = VectorOps.cosinePairs(e, 0.2, cos).localCheckpoint()
       val lshPairs = VectorOps.lshNeighborPairs(e, 8, 0.2)
-        .select(col("ia"), col("ib"))
-      val lshRow = exactPairs.join(lshPairs, Seq("ia", "ib"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .crossJoin(broadcast(exactPairs.agg(count(lit(1)).as("total"))))
+        .select(col("ia"), col("ib")).localCheckpoint()
       val bandedPairs = VectorOps.lshNeighborPairsBanded(e, 32, 4, 0.2,
           sigFn = (c, n) => call_function("lsh_signature", c, lit(n)),
           cosineFn = cos)
-        .select(col("ia"), col("ib"))
-      val bandedRow = exactPairs.join(bandedPairs, Seq("ia", "ib"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .crossJoin(broadcast(exactPairs.agg(count(lit(1)).as("total"))))
+        .select(col("ia"), col("ib")).localCheckpoint()
+      def pairRecallRow(metric: String, approx: DataFrame, tier: Double) = {
+        val base = exactPairs.filter(col("cosine") >= tier)
+          .select(col("ia"), col("ib"))
+        base.join(approx, Seq("ia", "ib"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(broadcast(base.agg(count(lit(1)).as("total"))))
+          .select(lit(metric).as("metric"), col("hits"), col("total"))
+      }
       val q = e.filter(col("vec_id") < 8)
       val brute = VectorOps.knnBruteForce(q, e, 5)
         .select(col("query_id"), col("neighbor_id"))
@@ -131,9 +136,10 @@ object VectorQueries {
       val ivfRow = brute.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("hits"))
         .crossJoin(broadcast(brute.agg(count(lit(1)).as("total"))))
-      lshRow.select(lit("lsh_pairs").as("metric"), col("hits"), col("total"))
-        .unionByName(bandedRow.select(lit("lsh_banded").as("metric"),
-          col("hits"), col("total")))
+      pairRecallRow("lsh_pairs", lshPairs, 0.2)
+        .unionByName(pairRecallRow("lsh_pairs@0.4", lshPairs, 0.4))
+        .unionByName(pairRecallRow("lsh_banded", bandedPairs, 0.2))
+        .unionByName(pairRecallRow("lsh_banded@0.4", bandedPairs, 0.4))
         .unionByName(ivfRow.select(lit("ivf_top5").as("metric"),
           col("hits"), col("total")))
         .withColumn("recall",
@@ -236,7 +242,8 @@ object VectorQueries {
     // oracles pin those), so the ratio is hash-exact across engines.
     "q99_ann_recall" ->
       s"""WITH exact AS (
-         |  SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |         ${cosSql("a.embedding", "b.embedding")} AS cosine
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |  WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.2),
          |sig AS (
@@ -250,6 +257,11 @@ object VectorQueries {
          |    (SELECT COUNT(*) FROM exact e JOIN lshp l
          |       ON e.ia = l.ia AND e.ib = l.ib) AS hits,
          |    (SELECT COUNT(*) FROM exact) AS total),
+         |lrow5 AS (
+         |  SELECT 'lsh_pairs@0.4' AS metric,
+         |    (SELECT COUNT(*) FROM exact e JOIN lshp l
+         |       ON e.ia = l.ia AND e.ib = l.ib WHERE e.cosine >= 0.4) AS hits,
+         |    (SELECT COUNT(*) FROM exact WHERE cosine >= 0.4) AS total),
          |sig32 AS (
          |  SELECT vec_id, embedding, ${sigSqlN(32)} AS bucket FROM embeddings),
          |bsig AS (
@@ -266,6 +278,11 @@ object VectorQueries {
          |    (SELECT COUNT(*) FROM exact e JOIN bandp l
          |       ON e.ia = l.ia AND e.ib = l.ib) AS hits,
          |    (SELECT COUNT(*) FROM exact) AS total),
+         |brow5 AS (
+         |  SELECT 'lsh_banded@0.4' AS metric,
+         |    (SELECT COUNT(*) FROM exact e JOIN bandp l
+         |       ON e.ia = l.ia AND e.ib = l.ib WHERE e.cosine >= 0.4) AS hits,
+         |    (SELECT COUNT(*) FROM exact WHERE cosine >= 0.4) AS total),
          |q AS (SELECT vec_id AS query_id, embedding AS q_emb
          |      FROM embeddings WHERE vec_id < 8),
          |bs AS (
@@ -310,7 +327,9 @@ object VectorQueries {
          |SELECT metric, hits, total,
          |  CAST(hits AS DOUBLE) / CAST(total AS DOUBLE) AS recall
          |FROM (SELECT * FROM irow UNION ALL SELECT * FROM lrow
-         |      UNION ALL SELECT * FROM brow) u
+         |      UNION ALL SELECT * FROM lrow5
+         |      UNION ALL SELECT * FROM brow
+         |      UNION ALL SELECT * FROM brow5) u
          |ORDER BY metric""".stripMargin,
     // Banded variant of q27's oracle: the 32-plane signature, four 8-bit
     // prefix slices as band keys, DISTINCT over the per-band candidate

@@ -52,4 +52,50 @@ class TextOpsSpec extends SparkSuite {
     assert(out(1) == "Customer#<NUM>")
     assert(out(2) == "no pii here")
   }
+
+  test("packSequences: full bins hold exactly `capacity`, docs reassemble contiguously") {
+    val s = spark
+    import s.implicits._
+    // deterministic docs of varying token counts incl. one spanning several
+    // bins (37 tokens vs capacity 16) and one empty (must emit nothing)
+    val rows = (0L to 40L).map { i =>
+      val n = if (i == 7) 0 else (i % 37 + 1).toInt
+      (i, (1 to n).map(k => s"t$k").mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val packed = graft.text.Packing
+      .packSequences(df, "doc_id", "text", capacity = 16L, bucketSize = 8L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(!packed.exists(_._1 == 7L)) // empty doc absent
+    // every span fits its bin
+    packed.foreach { case (_, _, off, len, _) =>
+      assert(len > 0 && off >= 0 && off + len <= 16)
+    }
+    // all bins except the last are filled to exactly `capacity`
+    val byBin = packed.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    val lastBin = byBin.keys.max
+    byBin.foreach { case (bin, tot) =>
+      if (bin != lastBin) assert(tot == 16L, s"bin $bin holds $tot")
+    }
+    // per doc: spans ordered by bin reassemble the token stream contiguously
+    val expected = rows.filter(_._1 != 7L)
+      .map { case (id, t) => id -> t.split(' ').length.toLong }.toMap
+    packed.groupBy(_._1).foreach { case (id, spans) =>
+      val sorted = spans.sortBy(_._2)
+      assert(sorted.map(_._4).sum == expected(id))
+      sorted.foldLeft(0L) { case (pos, (_, _, _, len, from)) =>
+        assert(from == pos); pos + len
+      }
+    }
+    // the two-phase prefix sum equals the naive per-driver cumsum
+    val naiveStarts = rows.filter { case (_, t) => t.nonEmpty }
+      .sortBy(_._1)
+      .scanLeft((-1L, 0L)) { case ((_, acc), (id, t)) =>
+        (id, acc + t.split(' ').length) }
+      .sliding(2).map { case Seq((_, st), (id, _)) => id -> st }.toMap
+    packed.filter(_._5 == 0L).foreach { case (id, bin, off, _, _) =>
+      assert(naiveStarts(id) == bin * 16L + off)
+    }
+  }
 }
