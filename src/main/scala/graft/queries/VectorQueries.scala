@@ -152,6 +152,17 @@ object VectorQueries {
     // pair is a candidate when any 8-bit band agrees (~1.6 % of all pairs)
     // and recall rises steeply with similarity where single-band q27 stays
     // flat-low. Gated on the full (ia, ib, cosine) pair set.
+    // INT8-QUANTIZED brute-force top-5 — the compressed-store twin of q25:
+    // both sides quantized to int8 codes (per-vector scale cancels in
+    // cosine, so similarity is a pure integer dot — the only float is the
+    // final sqrt/divide). Gated on the full ranked list, so quantization
+    // error is pinned exactly, not summarized.
+    "q102_quantized_knn" -> ((s, d) => {
+      val e = emb(s, d)
+      VectorOps.knnBruteForceInt8(e.filter(col("vec_id") < 8), e, 5)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     "q100_lsh_banded_pairs" -> ((s, d) => {
       // native codegen'd twins of the HOF signature + cosine (law-equal,
       // ExtensionsSpec/CosineSimilaritySpec) — the 32-plane × 64-dim
@@ -190,6 +201,22 @@ object VectorQueries {
       ")), (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END), '')"
 
   private val sigSql = sigSqlN(8)
+
+  /** DuckDB mirror of VectorOps.quantizeInt8 / cosineInt8: integer dot of
+    * int8 codes, double only at the final sqrt/divide. */
+  private val quantizeSql =
+    """CASE WHEN mx = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |     ELSE list_transform(embedding,
+      |            x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / mx)) AS BIGINT))
+      |END""".stripMargin
+
+  private def idotSql(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  private def cosInt8Sql(a: String, b: String) =
+    s"(CAST(${idotSql(a, b)} AS DOUBLE) / " +
+      s"(sqrt(CAST(${idotSql(a, a)} AS DOUBLE)) * sqrt(CAST(${idotSql(b, b)} AS DOUBLE))))"
 
   def oracles: Map[String, String] = Map(
     "q38_cosine_hof" ->
@@ -237,6 +264,26 @@ object VectorQueries {
          |ORDER BY ia, ib""".stripMargin,
     "q28_ivf_knn" -> ivfOracle(nprobe = 1),
     "q54_ivf_multiprobe" -> ivfOracle(nprobe = 2),
+    // q25's oracle with both sides quantized: the scale cancels, so the
+    // pair score is an exact integer dot — only the final sqrt/divide is
+    // floating point, correctly rounded on both engines.
+    "q102_quantized_knn" ->
+      s"""WITH qz AS (
+         |  SELECT vec_id, $quantizeSql AS code
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding,
+         |            x -> abs(CAST(x AS DOUBLE)))) AS mx
+         |        FROM embeddings) t),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${cosInt8Sql("q.code", "c.code")} AS cosine
+         |  FROM qz q JOIN qz c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neighbor_id ASC) AS rn
+         |  FROM s)
+         |SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     // Recall = |approx ∩ exact| / |exact| on fixed data — pure integer
     // arithmetic once the underlying pair/top-k sets agree (q25-q27/q54
     // oracles pin those), so the ratio is hash-exact across engines.

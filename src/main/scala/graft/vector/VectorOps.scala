@@ -89,6 +89,49 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rn"))
   }
 
+  /** Symmetric per-vector INT8 quantization — the 4×-memory compression
+    * path a 100 TB embedding store actually ships: q_i = round(x_i ·
+    * 127/max|x|), the all-zero vector maps to zeros. The per-vector scale
+    * CANCELS in cosine, so quantized similarity is a pure INTEGER dot over
+    * int8 codes (exact long sums, no float drift possible — the only
+    * floating point left is the final sqrt/divide, correctly rounded on
+    * every engine). Accuracy vs float is gated end-to-end by q102's
+    * quantized top-k and law-tested recall floor in VectorSpec. */
+  def quantizeInt8(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    transform(vec, x =>
+      when(mx === 0.0, lit(0L))
+        .otherwise(round(x.cast("double") * (lit(127.0) / mx)).cast("long")))
+  }
+
+  /** Cosine over two quantized (long-code) vectors: integer dot and norms,
+    * double only at the final sqrt/divide. */
+  def cosineInt8(a: Column, b: Column): Column = {
+    def idot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+    idot(a, b).cast("double") /
+      (sqrt(idot(a, a).cast("double")) * sqrt(idot(b, b).cast("double")))
+  }
+
+  /** Brute-force top-k under INT8 quantization — [[knnBruteForce]]'s shape
+    * with both sides quantized and the integer cosine; zero-vector codes
+    * produce NaN cosine exactly like the float path (parity by design).
+    * Output: (query_id, neighbor_id, cosine, rn). */
+  def knnBruteForceInt8(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      quantizeInt8(col("embedding")).as("q_emb")))
+    corpus.select(col("vec_id").as("neighbor_id"),
+        quantizeInt8(col("embedding")).as("c_emb"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosineInt8(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rn"))
+  }
+
   /** Exact cosine near-dup pairs (ia < ib, cosine >= threshold). O(N²) —
     * the correctness baseline that [[lshNeighborPairs]] approximates.
     * `cosineFn` swaps the HOF fold for the native codegen expression

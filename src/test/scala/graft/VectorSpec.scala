@@ -76,6 +76,33 @@ class VectorSpec extends SparkSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("int8 quantization: scale-invariant codes, unit self-similarity, top-1 preserved") {
+    val d = vecs
+    // per-vector scale cancels: v and 2·v quantize to the SAME codes
+    val codes = d.select(col("vec_id"),
+        VectorOps.quantizeInt8(col("embedding")).as("c1"),
+        VectorOps.quantizeInt8(transform(col("embedding"),
+          x => x * lit(2.0f))).as("c2"))
+      .collect()
+    codes.foreach(r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"row $r"))
+    // self-similarity is 1 up to the sqrt(d)·sqrt(d) rounding of the norm
+    // product (the dot itself is exact integer arithmetic)
+    val self = d.select(VectorOps.cosineInt8(
+        VectorOps.quantizeInt8(col("embedding")),
+        VectorOps.quantizeInt8(col("embedding"))).as("c"))
+      .collect().map(_.getDouble(0))
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+    // the nearest neighbor survives quantization on well-separated vectors
+    val floatTop = VectorOps.knnBruteForce(d, d, 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val int8Top = VectorOps.knnBruteForceInt8(d, d, 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(floatTop == int8Top)
+  }
+
   test("banded LSH: single-band ⊆ banded ⊆ exact, with no duplicate pairs") {
     // agreement on ALL nPlanes bits implies agreement on every band, so the
     // banded candidate set can only grow recall — never lose a pair
