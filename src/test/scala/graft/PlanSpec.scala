@@ -146,4 +146,25 @@ class PlanSpec extends SparkSuite {
     assert(acLines.exists(_.contains("*(")),
       s"ac_spans stage not codegen'd:\n${acLines.mkString("\n")}")
   }
+
+  test("q101 prefix sum is two-phase: the per-doc window is bucket-partitioned") {
+    // The scale trap packSequences exists to avoid: a global
+    // `sum over (order by doc_id)` window has no partition key and runs the
+    // whole corpus in ONE task. The plan must show (a) the document-level
+    // cumsum window PARTITIONED by bucket, and (b) the only
+    // unpartitioned-window sort being the tiny bucket-offsets table (fed by
+    // the bucket aggregate, not by documents).
+    val p = plan("q101_pack_sequences")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.size == 2, s"expected 2 windows in:\n$p")
+    // Spark prints windowspecdefinition(bucket#.., doc_id#.. ASC ...) for
+    // the bucket-partitioned per-doc cumsum and
+    // windowspecdefinition(bucket#.. ASC ...) for the tiny offsets sort —
+    // distinguish by the per-doc ordering column
+    assert(windows.count(_.contains("doc_id")) == 1,
+      s"document-level window count:\n${windows.mkString("\n")}")
+    val docWindow = windows.find(_.contains("doc_id")).get
+    assert(docWindow.contains("windowspecdefinition(bucket"),
+      s"per-doc cumsum not bucket-partitioned:\n$docWindow")
+  }
 }
