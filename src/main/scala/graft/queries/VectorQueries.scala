@@ -163,6 +163,15 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // BINARY-code Hamming top-5 — the 1-bit tier below q102's int8: sign
+    // codes (two 32-dim longs), similarity = popcount(xor). Everything is
+    // integer arithmetic, so the gate is drift-proof by construction.
+    "q103_hamming_knn" -> ((s, d) => {
+      val e = emb(s, d)
+      VectorOps.hammingTopK(e.filter(col("vec_id") < 8), e, 5)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     "q100_lsh_banded_pairs" -> ((s, d) => {
       // native codegen'd twins of the HOF signature + cosine (law-equal,
       // ExtensionsSpec/CosineSimilaritySpec) — the 32-plane × 64-dim
@@ -264,6 +273,33 @@ object VectorQueries {
          |ORDER BY ia, ib""".stripMargin,
     "q28_ivf_knn" -> ivfOracle(nprobe = 1),
     "q54_ivf_multiprobe" -> ivfOracle(nprobe = 2),
+    // Sign codes as the same sequential acc·2+bit fold (list_prepend seeds
+    // the init), Hamming via bit_count(xor) — all-integer.
+    "q103_hamming_knn" ->
+      s"""WITH codes AS (
+         |  SELECT vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(embedding[1:32],
+         |        x -> CASE WHEN CAST(x AS DOUBLE) >= 0
+         |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |      (acc, b) -> acc * 2 + b) AS lo,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(embedding[33:64],
+         |        x -> CASE WHEN CAST(x AS DOUBLE) >= 0
+         |             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |      (acc, b) -> acc * 2 + b) AS hi
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS hamming
+         |  FROM codes q JOIN codes c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY hamming ASC, neighbor_id ASC) AS rn
+         |  FROM s)
+         |SELECT query_id, neighbor_id, CAST(hamming AS BIGINT) AS hamming,
+         |  CAST(rn AS INTEGER) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     // q25's oracle with both sides quantized: the scale cancels, so the
     // pair score is an exact integer dot — only the final sqrt/divide is
     // floating point, correctly rounded on both engines.

@@ -132,6 +132,42 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rn"))
   }
 
+  /** BINARY (sign-bit) embedding code over 32 consecutive dimensions
+    * starting at `offset` (0-based): a sequential acc·2 + signbit fold, so
+    * dimension order is pinned and the code fits comfortably in a Long
+    * (DuckDB's BIGINT errors on overflow, so a single 64-dim code is out —
+    * a 64-dim embedding carries TWO 32-dim codes). The 1-bit tier of the
+    * quantization family below [[quantizeInt8]]: 32× compression, and
+    * similarity becomes bit_count(xor) — pure integer, zero drift. */
+  def signCode32(vec: Column, offset: Int): Column =
+    aggregate(slice(vec, offset + 1, 32),
+      lit(0L),
+      (acc, x) => acc * 2 + when(x.cast("double") >= 0, 1L).otherwise(0L))
+
+  /** Brute-force top-k by HAMMING distance over the two 32-dim sign codes —
+    * the binary-embedding retrieval baseline (cheapest similarity scan a
+    * 100 TB store can run: one xor+popcount per candidate, 8 bytes per
+    * vector). Ties break toward the smaller neighbor id.
+    * Output: (query_id, neighbor_id, hamming, rn). */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def coded(df: DataFrame, idAs: String, pfx: String) =
+      df.select(col("vec_id").as(idAs),
+        signCode32(col("embedding"), 0).as(s"${pfx}_lo"),
+        signCode32(col("embedding"), 32).as(s"${pfx}_hi"))
+    val q = broadcast(coded(queries, "query_id", "q"))
+    coded(corpus, "neighbor_id", "c")
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming",
+        bit_count(col("q_lo").bitwiseXOR(col("c_lo"))).cast("long") +
+          bit_count(col("q_hi").bitwiseXOR(col("c_hi"))).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming").asc, col("neighbor_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rn"))
+  }
+
   /** Exact cosine near-dup pairs (ia < ib, cosine >= threshold). O(N²) —
     * the correctness baseline that [[lshNeighborPairs]] approximates.
     * `cosineFn` swaps the HOF fold for the native codegen expression
