@@ -67,6 +67,48 @@ object DedupOps {
     out
   }
 
+  /** CORPUS-LEVEL SEGMENT DEDUP — the C4/RefinedWeb "duplicated line
+    * removal" pass, at fixed-token-segment granularity (the driver corpus
+    * carries no newlines, so the segment IS the line unit): split every
+    * document into non-overlapping `segTokens`-token segments, keep each
+    * distinct segment only at its FIRST occurrence in the corpus
+    * (lexicographically smallest (doc_id, seg_idx)), and reassemble each
+    * document's retained text from its surviving segments in order.
+    * Unlike [[exactDedup]] (whole-document granularity) this rewrites
+    * documents: boilerplate repeated across the corpus disappears from
+    * every copy but the first, while unique prose stays.
+    *
+    * Scale shape: ONE window shuffle, partitioned on the segment's 16-byte
+    * md5 (never the segment text as the key), then one group-back on
+    * doc_id. Segment text crosses the wire once per occurrence — the
+    * unavoidable minimum for an op that rewrites text — and the window
+    * state per key is just (doc_id, seg_idx) pairs of one segment's
+    * occurrence list. No driver-side state, no all-pairs anything.
+    *
+    * Output: (doc_id, n_segs, n_kept, retained_text); docs with zero
+    * tokens have no segments and are absent (mirrors chunking/q55). */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   segTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextOps.chunks(col(textCol), segTokens, 0))
+        .as(Seq("seg_idx", "seg")))
+    segs
+      .withColumn("keep", row_number().over(
+        Window.partitionBy(md5(col("seg")))
+          .orderBy(col("doc_id"), col("seg_idx"))) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("seg_idx"), col("seg"))))),
+            x => x.getField("seg")),
+          " ").as("retained_text"))
+  }
+
   /** Prefix-filtered exact Jaccard (same result set as [[jaccardPairs]],
     * locked by the shared oracle): shingles get a global rare-first total
     * order (frequency, then lexicographic); a doc's PREFIX is its first

@@ -466,4 +466,43 @@ object GraphOps {
       e.unpersist(); nodes.unpersist()
     }
   }
+
+  /** HASH-GUIDED GRAPH WALKS — node2vec-style corpus walks with a
+    * DERANDOMIZED step rule: from each seed, take `steps` steps; at step k
+    * standing on vertex v, the next vertex is the neighbor u minimizing
+    * md5("k|v|u") with (hash, u) tie-break. The hash spreads choices
+    * uniformly-ish over neighbors while keeping every walk a pure function
+    * of the edge list — reproducible across runs, engines, and task
+    * retries, which is the property a resumable embedding/sampling
+    * pipeline needs and true rand() walks lack (and which makes the walk
+    * oracle-checkable at all). Dead-end vertices simply end their walk.
+    *
+    * Scale shape per step: ONE equi-join of the seed-sized frontier
+    * against the edge list (AQE broadcasts the frontier side) and one
+    * windowed argmin partitioned by seed — no per-vertex state beyond the
+    * frontier row itself, so millions of concurrent walks cost a
+    * frontier-sized shuffle per step, never an edges-sized one.
+    *
+    * @param edges symmetric (src, dst) edge list
+    * @param seeds single-column `id` walk starts
+    * @return (seed, step, node) — step 0 is the seed itself
+    */
+  def hashGuidedWalks(edges: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var frontier = seeds.select(col("id").as("seed"), col("id").as("node"))
+    var out = frontier.select(col("seed"), lit(0).as("step"), col("node"))
+    for (k <- 1 to steps) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("seed")).orderBy(col("h"), col("dst"))
+      frontier = frontier.join(e, col("node") === col("src"))
+        .withColumn("h",
+          md5(concat_ws("|", lit(k), col("node"), col("dst"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("seed"), col("dst").as("node"))
+      out = out.unionByName(
+        frontier.select(col("seed"), lit(k).as("step"), col("node")))
+    }
+    out
+  }
 }

@@ -185,6 +185,81 @@ object EventQueries {
         .orderBy(col("user_id"), col("valid_from"), col("event_id"))
     }),
 
+    // CDC CHANGELOG MERGE (latest-wins upsert + tombstone deletes): treat
+    // the event stream as a changelog keyed on user_id — every event
+    // upserts (key → value), except 'error' events which are DELETE
+    // tombstones. The merged snapshot keeps each key's latest op (by
+    // (ts, event_id), a total order) unless that op is a tombstone — the
+    // MERGE INTO / compaction semantics every lakehouse table maintenance
+    // job runs. One window shuffle on the key; at 100 TB the changelog
+    // side shuffles once and the snapshot is key-sized.
+    "q107_cdc_merge" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_ops", count(lit(1)).over(
+          Window.partitionBy(col("user_id"))))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("value").as("last_value"),
+          col("ts").as("last_ts"), col("n_ops"))
+        .orderBy(col("user_id"))
+    }),
+
+    // RETENTION COHORTS: users grouped by first-seen day, distinct actives
+    // per (cohort, whole-week offset) — the product-analytics matrix. Two
+    // shuffles total: one min-per-user, one distinct-count; the cohort
+    // assignment rides a key-sized broadcast back onto the event stream.
+    "q108_retention_cohorts" -> ((s, d) => {
+      val e = ev(s, d)
+      val firstSeen = e.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      e.select(col("user_id"), to_date(col("ts")).as("day"))
+        .join(broadcast(firstSeen), Seq("user_id"))
+        .select(col("user_id"), col("cohort_day"),
+          (datediff(col("day"), col("cohort_day"))
+            .cast("long") / lit(7L)).cast("int").as("week_offset"))
+        .groupBy(col("cohort_day"), col("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("week_offset"))
+    }),
+
+    // ROLLING Z-SCORE ANOMALY FLAGS, overflow-safe fixed-point: per
+    // event_type, each event is scored against the previous 20 events'
+    // mean/variance; |z| > 3 flags it. All arithmetic is INTEGER on
+    // milli-scaled values — the z²>9 test is cross-multiplied to
+    //   (n·v − Σv)²·(n−1) > 9·n·(n·Σv² − (Σv)²)
+    // so neither engine ever divides or takes a square root, and the
+    // magnitude bound fits comfortably in int64 (v ≤ 5·10⁵ milli-units ⇒
+    // LHS ≤ (20·5e5)²·19 ≈ 2e15, RHS ≤ 9·20·20·20·(5e5)² ≈ 2e16 — same
+    // overflow discipline as the RankedSearch fixed-point note). Rows
+    // without a full 20-event history are emitted unflagged: the rule is
+    // total, not partial-window-dependent.
+    "q109_anomaly_zscore" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val order = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val w = order.rowsBetween(-20, -1)
+      ev(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * lit(1000)).cast("long").as("v"))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("v")).over(w))
+        .withColumn("s2", sum(col("v") * col("v")).over(w))
+        .withColumn("is_anomaly",
+          col("cnt") === 20 &&
+            (col("cnt") * col("v") - col("s1")) *
+              (col("cnt") * col("v") - col("s1")) * (col("cnt") - 1) >
+            lit(9L) * col("cnt") *
+              (col("cnt") * col("s2") - col("s1") * col("s1")))
+        .select(col("event_type"), col("event_id"), col("v"),
+          col("cnt").as("n_window"), col("is_anomaly"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
     "q32_asof_join" -> ((s, d) => {
       val e = ev(s, d)
       EventOps.asofJoin(
@@ -203,6 +278,48 @@ object EventQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "q107_cdc_merge" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM events)
+        |SELECT user_id, value AS last_value, ts AS last_ts,
+        |  CAST(n_ops AS BIGINT) AS n_ops
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+    "q108_retention_cohorts" ->
+      """WITH fs AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY 1)
+        |SELECT f.cohort_day,
+        |  CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) // 7
+        |    AS INTEGER) AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN fs f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same cross-multiplied integer z² test as the Spark plan — no sqrt,
+    // no division, so the boolean agrees bit-for-bit.
+    "q109_anomaly_zscore" ->
+      """WITH v AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, event_id, v,
+        |    COUNT(*) OVER win AS cnt,
+        |    SUM(v) OVER win AS s1,
+        |    SUM(v * v) OVER win AS s2
+        |  FROM v
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, event_id, v,
+        |  CAST(cnt AS BIGINT) AS n_window,
+        |  (cnt = 20 AND
+        |   (cnt * v - s1) * (cnt * v - s1) * (cnt - 1) >
+        |     9 * cnt * (cnt * s2 - s1 * s1)) AS is_anomaly
+        |FROM w ORDER BY event_type, event_id""".stripMargin,
     "q87_rolling_actives" ->
       """WITH daily AS MATERIALIZED (
         |  SELECT DISTINCT event_type, date_trunc('day', ts) AS day, user_id

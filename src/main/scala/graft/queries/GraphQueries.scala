@@ -221,7 +221,46 @@ object GraphQueries {
         proj.select(col("dst").as("src"), col("src").as("dst")))
       graft.graph.GraphOps.labelPropagation(sym, 4)
         .orderBy(col("id"))
-    }))
+    }),
+
+    // DETERMINISTIC hash-guided walks (node2vec-style, derandomized): 4
+    // steps from each suspicion seed over the entity graph; step rule =
+    // argmin md5("step|cur|next") over the current vertex's neighbors.
+    // The DuckDB twin unrolls the 4 frontier joins and reproduces the
+    // walk VERTEX BY VERTEX — an exact gate on a "random"-walk operator,
+    // possible only because the randomness is content-derived.
+    "q110_seeded_walks" -> ((s, d) =>
+      GraphOps.hashGuidedWalks(Erkg.entityEdges(s, d), Erkg.seeds(s, d), 4)
+        .orderBy(col("seed"), col("step"))))
+
+  /** Unrolled 4-step hash-guided-walk oracle: each step is one frontier
+    * join + per-seed argmin on the SAME md5("k|cur|next") rule the Spark
+    * operator uses, so the walk is reproduced vertex by vertex. */
+  private val walksSql: String = {
+    val head =
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE l_quantity >= 48),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |f0 AS (SELECT c_custkey AS seed, c_custkey AS node FROM customer
+         |       WHERE c_name IN ($seedsSqlList))""".stripMargin
+    val steps = (1 to 4).map { k =>
+      s"""f$k AS (
+         |  SELECT seed, node FROM (
+         |    SELECT f.seed, e.dst AS node,
+         |      ROW_NUMBER() OVER (PARTITION BY f.seed
+         |        ORDER BY md5(concat_ws('|', $k, f.node, e.dst)), e.dst) AS rn
+         |    FROM f${k - 1} f JOIN edges e ON f.node = e.src) t
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val union = (0 to 4).map { k =>
+      s"SELECT seed, CAST($k AS INTEGER) AS step, node FROM f$k"
+    }.mkString("\n  UNION ALL\n  ")
+    (head +: steps).mkString(",\n") +
+      s"\nSELECT seed, step, node FROM (\n  $union\n) u ORDER BY seed, step"
+  }
 
   /** Unrolled 10-iteration fixed-point PageRank oracle over the entity
     * graph (mirrors GraphOps.pageRankDeterministic bit for bit). */
@@ -403,6 +442,7 @@ object GraphQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q110_seeded_walks" -> walksSql,
     "q92_clustering_coef" ->
       s"""$projSymCte,
          |deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src),

@@ -218,6 +218,80 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // C4-style corpus-level SEGMENT DEDUP: 16-token segments, global
+    // first-occurrence wins, documents reassembled from their survivors —
+    // the pass that strips cross-document boilerplate while whole-doc
+    // dedup (q21) would keep every copy that differs anywhere.
+    "q104_segment_dedup" -> ((s, d) =>
+      DedupOps.segmentDedup(docs(s, d), "doc_id", "text", 16)
+        .orderBy(col("doc_id"))),
+
+    // Benchmark DECONTAMINATION: flag training docs sharing any 8-token
+    // n-gram with the eval set (source = 'src0' plays the benchmark). The
+    // eval gram set is benchmark-sized — tiny next to the corpus — so it
+    // BROADCASTS and the training side is never shuffled for the probe;
+    // the per-doc overlap count comes from the training side's own
+    // (already per-doc-distinct) gram stream.
+    "q105_decontam" -> ((s, d) => {
+      val dd = docs(s, d)
+      val bench = dd.filter(col("source") === "src0")
+        .select(explode(TextOps.shingles(col("text"), 8)).as("gram"))
+        .distinct()
+      val train = dd.filter(col("source") =!= "src0")
+      val hits = train
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 8)).as("gram"))
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam_grams"))
+      train.select(col("doc_id"), col("source"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_contam_grams"), lit(0L)).as("n_contam_grams"),
+          (coalesce(col("n_contam_grams"), lit(0L)) > 0).as("is_contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style REPETITION quality rules: top-unigram fraction,
+    // top-bigram fraction, duplicate-trigram coverage, and the keep flag.
+    // ONE tokenize + ONE (doc, n, gram) count shuffle for all three gram
+    // orders (the q84 trick, extended): every ratio is integer/integer
+    // division, so the gate holds bit-for-bit cross-engine.
+    "q106_repetition_stats" -> ((s, d) => {
+      val grams = docs(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), explode(concat(
+          transform(col("toks"),
+            t => struct(lit(1).as("n"), t.as("gram"))),
+          transform(TextOps.ngramsOf(col("toks"), 2),
+            g => struct(lit(2).as("n"), g.as("gram"))),
+          transform(TextOps.ngramsOf(col("toks"), 3),
+            g => struct(lit(3).as("n"), g.as("gram"))))).as("g"))
+        .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      val stats = grams.groupBy(col("doc_id"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(sum(col("c")).as("total"), max(col("c")).as("mx"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"))
+      val p = stats.groupBy(col("doc_id"))
+        .agg(
+          max(when(col("n") === 1, col("total"))).as("n_tokens"),
+          max(when(col("n") === 1, col("mx"))).as("mx1"),
+          max(when(col("n") === 2, col("total"))).as("tot2"),
+          max(when(col("n") === 2, col("mx"))).as("mx2"),
+          max(when(col("n") === 3, col("total"))).as("tot3"),
+          max(when(col("n") === 3, col("dup"))).as("dup3"))
+      val topUni = col("mx1").cast("double") / col("n_tokens").cast("double")
+      val topBi = coalesce(
+        col("mx2").cast("double") / col("tot2").cast("double"), lit(0.0))
+      val dupTri = coalesce(
+        col("dup3").cast("double") / col("tot3").cast("double"), lit(0.0))
+      p.select(col("doc_id"), col("n_tokens"),
+          topUni.as("top_uni_frac"), topBi.as("top_bi_frac"),
+          dupTri.as("dup_tri_frac"),
+          (topUni <= 0.2 && topBi <= 0.18 && dupTri <= 0.3).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SEQUENCE PACKING (concat-and-chop): the span manifest that fills
     // 512-token training windows from the doc-id-ordered token stream —
     // zero padding waste, docs split across window boundaries. The global
@@ -247,6 +321,84 @@ object TextQueries {
       |          FROM documents) t0) t1)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // Segment dedup: same 16-token slicing as q55's chunker (width =
+    // stride = 16), same global first-occurrence rule keyed on md5(seg).
+    "q104_segment_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |segs AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(w[k*16+1 : k*16+16], ' ')
+         |            for k in range(0, CAST((len(w) + 15) // 16 AS INT))]) AS seg,
+         |    unnest(range(0, (len(w) + 15) // 16)) AS seg_idx
+         |  FROM t WHERE len(w) > 0),
+         |fl AS (
+         |  SELECT doc_id, seg_idx, seg,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(seg)
+         |      ORDER BY doc_id, seg_idx) = 1 AS keep
+         |  FROM segs)
+         |SELECT doc_id, COUNT(*) AS n_segs,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COALESCE(string_agg(CASE WHEN keep THEN seg END, ' '
+         |    ORDER BY seg_idx), '') AS retained_text
+         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Decontamination: per-doc-distinct 8-grams (mirrors TextOps.shingles)
+    // on both sides; benchmark = source 'src0'.
+    "q105_decontam" ->
+      s"""WITH sh8 AS (
+         |  SELECT DISTINCT doc_id, source, gram FROM (
+         |    SELECT doc_id, source,
+         |      unnest([array_to_string(w[i:i+7], '|')
+         |              for i in range(1, len(w) - 6)]) AS gram
+         |    FROM (SELECT doc_id, source, $toksSql AS w FROM documents) t0) t1),
+         |bench AS (SELECT DISTINCT gram FROM sh8 WHERE source = 'src0'),
+         |hits AS (
+         |  SELECT s.doc_id, COUNT(*) AS n FROM sh8 s
+         |  JOIN bench b USING (gram)
+         |  WHERE s.source <> 'src0' GROUP BY 1)
+         |SELECT d.doc_id, d.source,
+         |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contam_grams,
+         |  COALESCE(h.n, 0) > 0 AS is_contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.source <> 'src0' ORDER BY d.doc_id""".stripMargin,
+    // Repetition rules: identical (doc, n, gram) count table, identical
+    // integer/integer ratio arithmetic; NULL gram orders (docs too short
+    // for bigrams/trigrams) coalesce to 0.0 on both engines.
+    "q106_repetition_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, $toksSql AS w FROM documents) t0
+         |  WHERE len(w) > 0),
+         |g AS (
+         |  SELECT doc_id, 1 AS n, unnest(w) AS gram FROM t
+         |  UNION ALL
+         |  SELECT doc_id, 2,
+         |    unnest([array_to_string(w[i:i+1], '|')
+         |            for i in range(1, len(w))]) FROM t
+         |  UNION ALL
+         |  SELECT doc_id, 3,
+         |    unnest([array_to_string(w[i:i+2], '|')
+         |            for i in range(1, len(w) - 1)]) FROM t),
+         |c AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+         |st AS (SELECT doc_id, n, SUM(c) AS total, MAX(c) AS mx,
+         |         SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+         |       FROM c GROUP BY 1, 2),
+         |p AS (SELECT doc_id,
+         |        MAX(CASE WHEN n = 1 THEN total END) AS n_tokens,
+         |        MAX(CASE WHEN n = 1 THEN mx END) AS mx1,
+         |        MAX(CASE WHEN n = 2 THEN total END) AS tot2,
+         |        MAX(CASE WHEN n = 2 THEN mx END) AS mx2,
+         |        MAX(CASE WHEN n = 3 THEN total END) AS tot3,
+         |        MAX(CASE WHEN n = 3 THEN dup END) AS dup3
+         |      FROM st GROUP BY 1)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(mx1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_uni_frac,
+         |  COALESCE(CAST(mx2 AS DOUBLE) / CAST(tot2 AS DOUBLE), 0.0) AS top_bi_frac,
+         |  COALESCE(CAST(dup3 AS DOUBLE) / CAST(tot3 AS DOUBLE), 0.0) AS dup_tri_frac,
+         |  (CAST(mx1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.2
+         |   AND COALESCE(CAST(mx2 AS DOUBLE) / CAST(tot2 AS DOUBLE), 0.0) <= 0.18
+         |   AND COALESCE(CAST(dup3 AS DOUBLE) / CAST(tot3 AS DOUBLE), 0.0) <= 0.3)
+         |    AS keep
+         |FROM p ORDER BY doc_id""".stripMargin,
     "q93_group_sample" ->
       """SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
         |  SELECT doc_id, lang,

@@ -93,13 +93,19 @@ object TextOps {
 
   /** Word n-gram shingles ("|"-joined, distinct) — the dedup unit for
     * Jaccard/MinHash. Docs shorter than n yield an empty array. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    array_distinct(
-      when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws("|", slice(t, i, lit(n)))))
-      .otherwise(array().cast("array<string>")))
+  def shingles(text: Column, n: Int): Column =
+    array_distinct(ngramsOf(tokens(text), n))
+
+  /** Non-distinct "|"-joined word n-grams over an already-computed token
+    * array — the frequency-counting twin of [[shingles]] (which dedups):
+    * repetition statistics need every occurrence, not the set. Arrays
+    * shorter than n yield an empty array. */
+  def ngramsOf(t: Column, n: Int): Column = {
+    val sz = org.apache.spark.sql.functions.size(t)
+    when(sz >= n,
+      transform(sequence(lit(1), sz - (n - 1)),
+        i => concat_ws("|", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Fixed-token-window chunking with overlap — the training-pipeline op

@@ -57,4 +57,29 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ex == rel)
   }
+
+  test("segmentDedup: first occurrence keeps, later copies are stripped") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "a b c x y z"),   // two 3-token segments, both first occurrences
+      (1L, "a b c q r s"),   // first segment duplicates doc 0's
+      (2L, "a b c x y z")    // exact copy of doc 0: retains nothing
+    ).toDF("doc_id", "text")
+    val out = DedupOps.segmentDedup(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) == ((2L, 2L, "a b c x y z")))
+    assert(out(1L) == ((2L, 1L, "q r s")))
+    assert(out(2L) == ((2L, 0L, "")))
+  }
+
+  test("segmentDedup: disjoint corpus is unchanged and token totals conserve") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "a b c d e"), (1L, "f g h i j")).toDF("doc_id", "text")
+    val out = DedupOps.segmentDedup(d, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(0L -> "a b c d e", 1L -> "f g h i j"))
+  }
 }

@@ -257,6 +257,26 @@ class GraphSpec extends SparkSuite {
     assert(r1(3L) == 1L)
   }
 
+  test("hashGuidedWalks: every step follows an edge, walks are reproducible") {
+    val s = spark
+    import s.implicits._
+    val e0 = Seq((1L, 2L), (2L, 3L), (2L, 4L), (3L, 5L), (4L, 5L))
+    val sym = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val w1 = GraphOps.hashGuidedWalks(sym, seeds, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val w2 = GraphOps.hashGuidedWalks(sym, seeds, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(w1 == w2)                       // pure function of the edge list
+    assert(w1.count(_._2 == 0) == 1 && w1.exists(_ == ((1L, 0, 1L))))
+    val byStep = w1.toSeq.sortBy(_._2).map(_._3)
+    val edgeSet = (e0 ++ e0.map(_.swap)).toSet
+    byStep.sliding(2).foreach {
+      case Seq(a, b) => assert(edgeSet.contains((a, b)), s"$a->$b not an edge")
+      case _ =>
+    }
+  }
+
   test("flagship alias report: probabilities sum to 1, non-empty on sf0.001") {
     val rep = Erkg.suspiciousAliasReport(spark, sf0001).cache()
     assert(rep.count() > 0)
