@@ -86,6 +86,60 @@ object GraphOps {
     graph.connectedComponents().vertices.toDF("id", "component")
   }
 
+  /** CONNECTED COMPONENTS as a pure DataFrame fixed-point — the twin of
+    * [[connectedComponents]] for engines/sessions without GraphX: min-label
+    * propagation PLUS per-round pointer jumping (comp ← comp(comp)), the
+    * accelerated-convergence trick behind the large-star/small-star
+    * MapReduce CC family (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"). Labels only ever decrease and jumping
+    * collapses label chains, so long paths converge in far fewer than
+    * diameter rounds.
+    *
+    * Scale shape per round: one edges-sized shuffle (neighbor-min
+    * aggregation) + two label-table equi-joins (vertex-sized); the
+    * convergence probe is a single 1-row SUM action — labels decrease
+    * monotonically, so an unchanged sum IS a fixpoint proof, no except()
+    * diff needed. `localCheckpoint` flattens lineage each round (the kCore
+    * discipline).
+    *
+    * At the fixpoint every edge has equal labels on both ends, and the
+    * component minimum keeps its own id, so the label equals the lowest
+    * vertex id in the component — the same contract as GraphX's
+    * `connectedComponents` (law-pinned in GraphSpec).
+    *
+    * @param edges any edge list (symmetrized internally); isolated
+    *              vertices don't appear (no edges ⇒ no rows), matching the
+    *              GraphX twin on an edge-derived graph
+    * @return (id, component) */
+  def connectedComponentsDF(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val sym = symmetrize(edges).localCheckpoint()
+    var lab = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var last = Option.empty[Long]
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val nbrMin = sym
+        .join(lab.select(col("id").as("dst"), col("comp").as("dcomp")),
+          Seq("dst"))
+        .groupBy(col("src")).agg(min(col("dcomp")).as("nmin"))
+        .select(col("src").as("id"), col("nmin"))
+      val stepped = lab.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      val jumped = stepped
+        .join(stepped.select(col("id").as("pid"), col("comp").as("pcomp")),
+          col("comp") === col("pid"), "left")
+        .select(col("id"), coalesce(col("pcomp"), col("comp")).as("comp"))
+      lab = jumped.localCheckpoint()
+      val s = lab.agg(sum(col("comp"))).first().getLong(0)
+      done = last.contains(s)
+      last = Some(s)
+      round += 1
+    }
+    lab.select(col("id"), col("comp").as("component"))
+  }
+
   /** BFS DISTANCE labeling (unweighted SSSP) within `maxHops`: the
     * first-reach hop of every vertex — [[kHop]]'s reachability SET enriched
     * to distances. Same scale shape: the labeled set stays seed-neighborhood

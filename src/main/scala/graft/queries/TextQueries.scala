@@ -218,6 +218,23 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SAME semantics and SAME oracle as q52, but the transitive closure
+    // runs on the pure-DataFrame CC (min-label propagation + pointer
+    // jumping) instead of GraphX — proving the engine's component
+    // grouping needs no RDD path. Gated verbatim against q52's oracle.
+    "q115_dedup_canonical_df" -> ((s, d) => {
+      val pairs = DedupOps.minhashPairs(docs(s, d), "doc_id", "text", 3, 32, 4, 0.5)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val comps = graft.graph.GraphOps.connectedComponentsDF(pairs)
+        .withColumnRenamed("id", "doc_id")
+      docs(s, d).select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical"),
+          (coalesce(col("component"), col("doc_id")) === col("doc_id")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C4-style corpus-level SEGMENT DEDUP: 16-token segments, global
     // first-occurrence wins, documents reassembled from their survivors —
     // the pass that strips cross-document boilerplate while whole-doc
@@ -292,6 +309,75 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR-style IMPORTANCE WEIGHTS for data selection: score every
+    // training doc (source <> 'src0') by how target-like it is, where the
+    // target distribution is the 'src0' slice — avg log p_target(w) −
+    // log p_raw(w) over the doc's tokens under add-1-smoothed unigram LMs.
+    // The per-token log-ratio is ln of an INTEGER ratio, quantized
+    // fixed-point (the BM25 idf discipline), and per-doc totals are long
+    // sums — order-independent, so the gate holds bit-for-bit. Scale
+    // shape: one vocab count shuffle; the (vocab-sized) ratio table
+    // BROADCASTS onto the token stream; one per-doc sum shuffle. Magnitude
+    // bound: |ln ratio| ≤ ln(N+V) ≈ 16 ⇒ ≤ 1.6e10 per token fixed-point,
+    // ×10⁴ tokens/doc ≈ 1.6e14 per doc — far from the int64 edge.
+    "q114_importance_weights" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      val counts = toks.groupBy(col("token")).agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("cr"))
+      val totals = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+        count(lit(1)).as("v"))
+      val ratios = counts.crossJoin(broadcast(totals))
+        .select(col("token"),
+          floor(log(((col("ct") + 1) * (col("nr") + col("v"))).cast("double")
+              / ((col("cr") + 1) * (col("nt") + col("v"))).cast("double"))
+            * lit(1e9)).cast("long").as("lr_fp"))
+      toks.filter(col("source") =!= "src0")
+        .join(broadcast(ratios), Seq("token"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lr_fp")).as("logratio_fp"))
+        .withColumn("avg_logratio",
+          (col("logratio_fp").cast("double") / lit(1e9))
+            / col("n_tokens").cast("double"))
+        .withColumn("keep", col("avg_logratio") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // CORPUS-PIPELINE FLAGSHIP — the training-data analog of q98's ERKG
+    // flagship: ONE gated dataflow running the passes a real corpus build
+    // chains, in order: (1) language + holdout slice (en, source<>src0),
+    // (2) quality floor (q20's score >= 0.55), (3) near-dup
+    // canonicalization among survivors (MinHash-LSH pairs -> DataFrame
+    // connected components -> keep min-id representative), (4) benchmark
+    // decontamination (drop docs sharing an 8-gram with src0), (5) pack
+    // survivors into 512-token training windows. The output is the
+    // packing manifest, so the gate pins every stage at once — a wrong
+    // survivor set anywhere shifts every downstream bin boundary. Every
+    // stage keeps its standalone scale shape (per-row quality expression,
+    // banded LSH blocking, broadcast gram probe, two-phase prefix sum).
+    "q116_corpus_flagship" -> ((s, d) => {
+      val dd = docs(s, d)
+      val s1 = dd.filter(col("lang") === "en" && col("source") =!= "src0")
+        .filter(TextOps.qualityScore(col("text")) >= 0.55)
+      val pairs = DedupOps.minhashPairs(s1, "doc_id", "text", 3, 32, 4, 0.5)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val nonCanonical = graft.graph.GraphOps.connectedComponentsDF(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val s2 = s1.join(nonCanonical, Seq("doc_id"), "left_anti")
+      val bench = dd.filter(col("source") === "src0")
+        .select(explode(TextOps.shingles(col("text"), 8)).as("gram"))
+        .distinct()
+      val contaminated = s2
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 8)).as("gram"))
+        .join(broadcast(bench), Seq("gram"))
+        .select(col("doc_id")).distinct()
+      val s3 = s2.join(contaminated, Seq("doc_id"), "left_anti")
+      graft.text.Packing.packSequences(s3, "doc_id", "text", 512L)
+        .orderBy(col("bin"), col("doc_id"))
+    }),
+
     // SEQUENCE PACKING (concat-and-chop): the span manifest that fills
     // 512-token training windows from the doc-id-ordered token stream —
     // zero padding waste, docs split across window boundaries. The global
@@ -320,7 +406,81 @@ object TextQueries {
       |            list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS w
       |          FROM documents) t0) t1)""".stripMargin
 
+  /** MinHash-LSH pairs → transitive closure → min-id canonical — shared by
+    * q52 (GraphX components) and q115 (pure-DataFrame components): the two
+    * engines must agree on the SAME closure. */
+  private val dedupCanonicalSql =
+    s"""WITH RECURSIVE $shingleCte,
+       |hs AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 268435456 AS hs
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id, i,
+       |    MIN(((2 * i + 1) * hs + 7919 * i) % 268435456) AS minhash
+       |  FROM hs CROSS JOIN range(32) t(i) GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY i)) AS bucket
+       |  FROM mh GROUP BY doc_id, i // 4),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT da, db,
+       |    CAST(SUM(CASE WHEN ha.minhash = hb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
+       |  FROM cands
+       |  JOIN mh ha ON ha.doc_id = da
+       |  JOIN mh hb ON hb.doc_id = db AND hb.i = ha.i
+       |  GROUP BY da, db),
+       |pairs AS (SELECT da, db FROM est WHERE est_jaccard >= 0.5),
+       |edges AS (SELECT da AS src, db AS dst FROM pairs
+       |          UNION SELECT db, da FROM pairs),
+       |reach(root, node) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+       |  UNION
+       |  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node),
+       |comp AS (SELECT root AS doc_id, MIN(node) AS component
+       |         FROM reach GROUP BY root)
+       |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical,
+       |  COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+       |FROM documents d LEFT JOIN comp c USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    // Importance weights: identical integer-ratio ln quantization and
+    // long accumulation on both engines; docs with zero tokens (or all
+    // tokens unseen — impossible here since the vocab covers the corpus)
+    // are absent on both sides.
+    "q114_importance_weights" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, unnest(w) AS token
+         |  FROM (SELECT doc_id, source, $toksSql AS w FROM documents) t),
+         |counts AS (
+         |  SELECT token,
+         |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+         |    SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+         |  FROM tk GROUP BY 1),
+         |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr, COUNT(*) AS v
+         |        FROM counts),
+         |ratios AS (
+         |  SELECT token,
+         |    CAST(floor(ln(CAST((ct + 1) * (nr + v) AS DOUBLE)
+         |                / CAST((cr + 1) * (nt + v) AS DOUBLE)) * 1e9)
+         |      AS BIGINT) AS lr_fp
+         |  FROM counts CROSS JOIN tot),
+         |agg AS (
+         |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         |    CAST(SUM(r.lr_fp) AS BIGINT) AS logratio_fp
+         |  FROM tk t JOIN ratios r USING (token)
+         |  WHERE t.source <> 'src0' GROUP BY 1)
+         |SELECT doc_id, n_tokens, logratio_fp,
+         |  (CAST(logratio_fp AS DOUBLE) / 1e9) / CAST(n_tokens AS DOUBLE)
+         |    AS avg_logratio,
+         |  (CAST(logratio_fp AS DOUBLE) / 1e9) / CAST(n_tokens AS DOUBLE) > 0
+         |    AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin,
     // Segment dedup: same 16-token slicing as q55's chunker (width =
     // stride = 16), same global first-occurrence rule keyed on md5(seg).
     "q104_segment_dedup" ->
@@ -601,44 +761,9 @@ object TextQueries {
         |WHERE CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
         |      % (CASE WHEN lang = 'en' THEN 4 ELSE 2 END) = 0
         |ORDER BY doc_id""".stripMargin,
-    "q52_dedup_canonical" ->
-      s"""WITH RECURSIVE $shingleCte,
-         |hs AS (
-         |  SELECT doc_id,
-         |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 268435456 AS hs
-         |  FROM sh),
-         |mh AS (
-         |  SELECT doc_id, i,
-         |    MIN(((2 * i + 1) * hs + 7919 * i) % 268435456) AS minhash
-         |  FROM hs CROSS JOIN range(32) t(i) GROUP BY doc_id, i),
-         |bands AS (
-         |  SELECT doc_id, i // 4 AS band,
-         |    md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY i)) AS bucket
-         |  FROM mh GROUP BY doc_id, i // 4),
-         |cands AS (
-         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |est AS (
-         |  SELECT da, db,
-         |    CAST(SUM(CASE WHEN ha.minhash = hb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
-         |  FROM cands
-         |  JOIN mh ha ON ha.doc_id = da
-         |  JOIN mh hb ON hb.doc_id = db AND hb.i = ha.i
-         |  GROUP BY da, db),
-         |pairs AS (SELECT da, db FROM est WHERE est_jaccard >= 0.5),
-         |edges AS (SELECT da AS src, db AS dst FROM pairs
-         |          UNION SELECT db, da FROM pairs),
-         |reach(root, node) AS (
-         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
-         |  UNION
-         |  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node),
-         |comp AS (SELECT root AS doc_id, MIN(node) AS component
-         |         FROM reach GROUP BY root)
-         |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical,
-         |  COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
-         |FROM documents d LEFT JOIN comp c USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+    "q52_dedup_canonical" -> dedupCanonicalSql,
+    // q115 = q52 through the DataFrame CC — same oracle verbatim.
+    "q115_dedup_canonical_df" -> dedupCanonicalSql,
     "q24_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, token, COUNT(*) AS cnt,

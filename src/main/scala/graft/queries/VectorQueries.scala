@@ -172,6 +172,59 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // DETERMINISTIC Lloyd k-means — real clustering beside the label-cell
+    // stand-ins (IVF/PQ): min-vec_id seeds, 2 assign/update rounds with
+    // DECIMAL(28,12) centroid means, final assignment gated row by row
+    // (the oracle unrolls both rounds). The codebook broadcasts each
+    // round; the corpus is scanned, never shuffled.
+    "q111_kmeans" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      VectorOps.kmeansAssign(emb(s, d), 8, 2)
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .orderBy(col("vec_id"))
+    }),
+
+    // SemDeDup (semantic dedup): k-means cells as the blocking stage,
+    // exact cosine >= 0.4 WITHIN each cell, connected components over the
+    // near-dup pair graph, min-id representative — embedding-space
+    // near-dedup the way q52 is shingle-space near-dedup. The pair scan is
+    // cell-local (never corpus²), and the k-means assignment is computed
+    // once (localCheckpoint: it feeds both pair sides and the report).
+    "q112_semdedup" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = emb(s, d)
+      val cells = VectorOps.kmeansAssign(e, 8, 2).localCheckpoint()
+      val member = e.join(cells, Seq("vec_id"))
+        .select(col("cluster"), col("vec_id"), col("embedding"))
+      val pairs = member.select(col("cluster"), col("vec_id").as("ia"),
+          col("embedding").as("ea"))
+        .join(member.select(col("cluster"), col("vec_id").as("ib"),
+          col("embedding").as("eb")), Seq("cluster"))
+        .filter(col("ia") < col("ib"))
+        .filter(call_function("cosine_sim", col("ea"), col("eb")) >= 0.4)
+        .select(col("ia").as("src"), col("ib").as("dst"))
+      val comps = graft.graph.GraphOps
+        .connectedComponents(s, graft.graph.GraphOps.symmetrize(pairs))
+        .withColumnRenamed("id", "vec_id")
+      cells.join(comps, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(col("component"), col("vec_id")).as("canonical"),
+          (coalesce(col("component"), col("vec_id")) === col("vec_id"))
+            .as("is_canonical"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // PRODUCT-QUANTIZED ADC top-5 — the m-subspace tier of the compressed
+    // similarity family (scalar int8 = q102, 1-bit = q103): 4 subspaces
+    // of 16 dims, label-cell codebooks, asymmetric-distance top-k. The
+    // full ranked list is gated, so quantization error is pinned exactly.
+    "q113_pq_adc_knn" -> ((s, d) => {
+      val e = emb(s, d)
+      VectorOps.pqTopK(e.filter(col("vec_id") < 8), e, 4, 64, 5)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     "q100_lsh_banded_pairs" -> ((s, d) => {
       // native codegen'd twins of the HOF signature + cosine (law-equal,
       // ExtensionsSpec/CosineSimilaritySpec) — the 32-plane × 64-dim
@@ -227,7 +280,126 @@ object VectorQueries {
     s"(CAST(${idotSql(a, b)} AS DOUBLE) / " +
       s"(sqrt(CAST(${idotSql(a, a)} AS DOUBLE)) * sqrt(CAST(${idotSql(b, b)} AS DOUBLE))))"
 
+  /** Unrolled deterministic-Lloyd CTE chain: seeds c0 = min-vec_id
+    * vectors, then per round an assignment (argmin L2, (dist, cell)
+    * tie-break) and a DECIMAL(28,12) centroid update — mirroring
+    * VectorOps.kmeansAssign round for round. Ends with `af(vec_id,
+    * cluster)`, the final assignment under the last codebook. */
+  private def kmeansCte(k: Int, iters: Int): String = {
+    def assignSql(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.centroid")} ASC, c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN $cents c) t
+         |  WHERE rn = 1)""".stripMargin
+    val head =
+      s"""c0 AS (
+         |  SELECT vec_id AS cell,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+         |  FROM embeddings ORDER BY vec_id LIMIT $k)""".stripMargin
+    val rounds = (1 to iters).flatMap { r =>
+      Seq(assignSql(s"a$r", s"c${r - 1}"),
+        s"""d$r AS (
+           |  SELECT cell, i - 1 AS pos,
+           |    CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+           |      / COUNT(*) AS mean
+           |  FROM a$r CROSS JOIN range(1, 65) t(i) GROUP BY cell, i),
+           |c$r AS (
+           |  SELECT cell, list(mean ORDER BY pos) AS centroid
+           |  FROM d$r GROUP BY cell)""".stripMargin)
+    }
+    val fin =
+      s"""af AS (
+         |  SELECT vec_id, cell AS cluster FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.centroid")} ASC, c.cell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN c$iters c) t
+         |  WHERE rn = 1)""".stripMargin
+    (head +: rounds :+ fin).mkString(",\n")
+  }
+
+  /** DuckDB mirror of VectorOps.l2Sq (no final sqrt — the ADC unit). */
+  private def l2sqSql(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+      s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), (acc, x) -> acc + x)"
+
   def oracles: Map[String, String] = Map(
+    "q111_kmeans" ->
+      s"""WITH ${kmeansCte(8, 2)}
+         |SELECT vec_id, cluster,
+         |  COUNT(*) OVER (PARTITION BY cluster) AS cluster_size
+         |FROM af ORDER BY vec_id""".stripMargin,
+    // SemDeDup: the same unrolled k-means cells, exact cosine >= 0.4
+    // within each cell, transitive closure (reach) to components,
+    // min-id representative — q52's closure pattern in embedding space.
+    "q112_semdedup" ->
+      s"""WITH RECURSIVE ${kmeansCte(8, 2)},
+         |mem AS (
+         |  SELECT a.vec_id, a.cluster, e.embedding
+         |  FROM af a JOIN embeddings e USING (vec_id)),
+         |p0 AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |  FROM mem a JOIN mem b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT ia, ib FROM p0 WHERE cosine >= 0.4),
+         |edges AS (SELECT ia AS src, ib AS dst FROM pairs
+         |          UNION SELECT ib, ia FROM pairs),
+         |reach(root, node) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+         |  UNION
+         |  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT root AS vec_id, MIN(node) AS component
+         |         FROM reach GROUP BY root)
+         |SELECT a.vec_id, a.cluster,
+         |  COALESCE(c.component, a.vec_id) AS canonical,
+         |  COALESCE(c.component, a.vec_id) = a.vec_id AS is_canonical
+         |FROM af a LEFT JOIN comp c USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin,
+    // PQ/ADC: per-subspace label-cell codebooks (16-dim slices), argmin
+    // encoding, fixed-point ADC sums — every stage mirrors pqTopK.
+    "q113_pq_adc_knn" ->
+      s"""WITH books AS (
+         |  SELECT sub, label AS cell, i - 1 AS pos,
+         |    CAST(SUM(CAST(CAST(embedding[sub * 16 + i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |      / COUNT(*) AS mean
+         |  FROM embeddings CROSS JOIN range(0, 4) s(sub)
+         |                  CROSS JOIN range(1, 17) t(i)
+         |  GROUP BY sub, label, i),
+         |cents AS (
+         |  SELECT sub, cell, list(mean ORDER BY pos) AS centroid
+         |  FROM books GROUP BY sub, cell),
+         |sl AS (
+         |  SELECT vec_id, sub, embedding[sub * 16 + 1 : sub * 16 + 16] AS emb
+         |  FROM embeddings CROSS JOIN range(0, 4) s(sub)),
+         |enc AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT sl.vec_id, sl.sub, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.sub
+         |        ORDER BY ${l2sqSql("sl.emb", "c.centroid")} ASC, c.cell ASC) AS rn
+         |    FROM sl JOIN cents c ON c.sub = sl.sub) t
+         |  WHERE rn = 1),
+         |qd AS (
+         |  SELECT sl.vec_id AS query_id, sl.sub, c.cell,
+         |    CAST(floor(${l2sqSql("sl.emb", "c.centroid")} * 1e9) AS BIGINT) AS d2_fp
+         |  FROM sl JOIN cents c ON c.sub = sl.sub
+         |  WHERE sl.vec_id < 8),
+         |adc AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id, SUM(q.d2_fp) AS adc_fp
+         |  FROM enc e JOIN qd q
+         |    ON q.sub = e.sub AND q.cell = e.cell AND e.vec_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, neighbor_id, CAST(adc_fp AS DOUBLE) / 1e9 AS adc,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adc_fp ASC, neighbor_id ASC) AS rn
+         |  FROM adc)
+         |SELECT query_id, neighbor_id, adc, CAST(rn AS INTEGER) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "q38_cosine_hof" ->
       s"""SELECT a.vec_id AS ia, b.vec_id AS ib,
          |       ${cosSql("a.embedding", "b.embedding")} AS cosine

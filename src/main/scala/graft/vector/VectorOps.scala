@@ -314,4 +314,138 @@ object VectorOps {
       .select(col("query_id"), col("cell"), col("neighbor_id"),
         col("cosine"), col("rn"))
   }
+
+  /** Squared L2 distance (no final sqrt) — the PQ/ADC building block:
+    * sub-distances are summed ACROSS subspaces, and summing squared terms
+    * (instead of square roots) keeps the total a true squared distance. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") - y.cast("double")),
+      lit(0.0), (acc, dd) => acc + dd * dd)
+
+  /** Deterministic Lloyd k-means over `embedding: array<float>`: the k
+    * seed centroids are the vectors with the k SMALLEST vec_ids (no
+    * rand() — reproducible across runs, engines and task retries), then
+    * `iters` assign/update rounds, then the final assignment. Assignment
+    * is argmin L2 with (distance, cell) tie-break; the distance fold and
+    * per-dimension DECIMAL(28,12) centroid means follow the module's
+    * determinism discipline, so an unrolled SQL twin reproduces every
+    * round bit for bit. A cell that attracts no members simply disappears
+    * from the next round's codebook (standard Lloyd degeneracy; with
+    * min-id seeds it never occurs on non-degenerate data).
+    *
+    * Scale shape per round: the codebook is k·d doubles — BROADCAST — so
+    * assignment is one pass over the corpus with per-row expression work,
+    * and the update is one shuffle of k·d (cell, pos) partial sums. The
+    * corpus is never shuffled; total cost is `iters+1` corpus scans.
+    *
+    * @return (vec_id, cluster) — cluster ids are seed vec_ids */
+  def kmeansAssign(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding"))
+    // codebook as ONE broadcast row holding the (cell, centroid) array, so
+    // assignment is per-row expression work — argmin via array_min over
+    // (dist, cell) structs, the (distance, cell) tie-break encoded in the
+    // struct ordering — and the corpus is NEVER shuffled: the only
+    // exchange per round is the k·d partial-sum update in [[centroids]].
+    def book(cents: DataFrame): DataFrame =
+      cents.agg(collect_list(struct(col("cell"), col("centroid"))).as("book"))
+    def assign(bk: DataFrame): DataFrame =
+      v.crossJoin(broadcast(bk))
+        .withColumn("cell",
+          array_min(transform(col("book"), b =>
+            struct(l2Dist(col("embedding"), b.getField("centroid")).as("dist"),
+              b.getField("cell").as("cell")))).getField("cell"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+    var cents = v.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+    for (_ <- 1 to iters) cents = centroids(assign(book(cents)), "cell")
+    assign(book(cents)).select(col("vec_id"), col("cell").as("cluster"))
+  }
+
+  /** Product-quantization codebooks + asymmetric-distance (ADC) top-k —
+    * the third tier of the compressed-similarity family (int8 scalar
+    * quantization = q102, 1-bit sign codes = q103): the vector is split
+    * into `m` subspaces of dim/m, each subspace gets its own small
+    * codebook, and a corpus vector is stored as m small codes. Query
+    * distance is the classic ADC sum: per subspace, look up the exact
+    * distance from the query's sub-vector to the stored code's centroid.
+    * Codebooks here are per-subspace label-cell DECIMAL means — the same
+    * deterministic stand-in for a trained quantizer as [[centroids]]/IVF,
+    * which keeps the whole operator (codebooks, codes, distances, ranks)
+    * exactly reproducible in SQL.
+    *
+    * Determinism: sub-distances are squared-L2 sequential folds; the ADC
+    * total is summed FIXED-POINT (floor(d²·1e9) longs, magnitude ≤ m·|sub
+    * d²|·1e9 ≈ 1e12 for unit-scale embeddings — far from the int64 edge)
+    * so the cross-subspace sum is order-independent.
+    *
+    * Scale shape: codebooks are m·cells·(dim/m) doubles — broadcast both
+    * for encoding and for the query distance table. Encoding is one pass
+    * over the corpus (m argmins per row, expression work); the ADC probe
+    * joins the (corpus-sized) code table against the BROADCAST per-query
+    * lookup table on (sub, code) and sums — the corpus crosses the wire
+    * once as m-code rows, never as raw vectors. A 100 TB float corpus
+    * becomes a ~100·(m/dim)/4 TB code table — the point of PQ.
+    *
+    * @return (query_id, neighbor_id, adc, rn) — adc = Σ_sub d², rn by
+    *         (adc asc, neighbor asc), self-pairs excluded */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, m: Int, dim: Int,
+             k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val subLen = dim / m
+    def subSlice(j: Column) =
+      slice(col("embedding"), j * lit(subLen) + 1, lit(subLen))
+    val dec = DecimalType(28, 12)
+    val books = corpus
+      .select(col("label").as("cell"),
+        explode(transform(sequence(lit(0), lit(m - 1)),
+          j => struct(j.as("sub"), subSlice(j).as("emb")))).as("s"))
+      .select(col("cell"), col("s.sub").as("sub"), posexplode(col("s.emb")))
+      .groupBy(col("sub"), col("cell"), col("pos"))
+      .agg((sum(col("col").cast("double").cast(dec)).cast("double")
+        / count(lit(1))).as("mean"))
+      .groupBy(col("sub"), col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean")))),
+        e => e.getField("mean")).as("centroid"))
+    // ONE broadcast row holds the whole (sub, cell, centroid) codebook, so
+    // encoding is per-row argmin expression work — array_min over
+    // (d², cell) structs per subspace, the tie-break in the struct order —
+    // and the corpus is scanned, never shuffled or fanned out, to encode.
+    val bookRow = books.agg(
+      collect_list(struct(col("sub"), col("cell"), col("centroid"))).as("book"))
+    def subBook(j: Column) =
+      filter(col("book"), b => b.getField("sub") === j)
+    val codes = corpus.crossJoin(broadcast(bookRow))
+      .select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(m - 1)), j =>
+          struct(j.as("sub"),
+            array_min(transform(subBook(j), b =>
+              struct(l2Sq(subSlice(j), b.getField("centroid")).as("d2"),
+                b.getField("cell").as("cell")))).getField("cell").as("cell"))))
+          .as("c"))
+      .select(col("vec_id"), col("c.sub").as("sub"), col("c.cell").as("cell"))
+    // per-query ADC lookup table: exact d² from the query's sub-vector to
+    // EVERY codebook entry — Q·m·cells rows, broadcast onto the code scan
+    val qd = queries.crossJoin(broadcast(bookRow))
+      .select(col("vec_id").as("query_id"),
+        explode(transform(col("book"), b =>
+          struct(b.getField("sub").as("sub"), b.getField("cell").as("cell"),
+            floor(l2Sq(subSlice(b.getField("sub")), b.getField("centroid"))
+              * lit(1e9)).cast("long").as("d2_fp")))).as("q"))
+      .select(col("query_id"), col("q.sub").as("sub"),
+        col("q.cell").as("cell"), col("q.d2_fp").as("d2_fp"))
+    codes.join(broadcast(qd), Seq("sub", "cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2_fp")).as("adc_fp"))
+      .withColumn("adc", col("adc_fp").cast("double") / lit(1e9))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_fp").asc, col("neighbor_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rn"))
+  }
 }

@@ -277,6 +277,23 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("connectedComponentsDF == GraphX CC; long chain converges via jumping") {
+    val s = spark
+    import s.implicits._
+    // two components: a 12-node path (exercises pointer jumping past the
+    // per-round propagation radius) and a triangle, plus a lone pair
+    val path = (1L to 11L).map(i => (i, i + 1))
+    val tri = Seq((20L, 21L), (21L, 22L), (22L, 20L))
+    val pair = Seq((30L, 31L))
+    val e = (path ++ tri ++ pair).toDF("src", "dst")
+    val df = GraphOps.connectedComponentsDF(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = GraphOps.connectedComponents(s, GraphOps.symmetrize(e))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df == gx)
+    assert(df(12L) == 1L && df(22L) == 20L && df(31L) == 30L)
+  }
+
   test("flagship alias report: probabilities sum to 1, non-empty on sf0.001") {
     val rep = Erkg.suspiciousAliasReport(spark, sf0001).cache()
     assert(rep.count() > 0)

@@ -144,4 +144,38 @@ class VectorSpec extends SparkSuite {
     assert(out.length == 1)
     assert(out.head.getLong(2) == 1L)
   }
+
+  test("kmeansAssign separates two tight clusters and is reproducible") {
+    val rows = Seq(
+      Row(0L, Seq(0f, 0f), 0), Row(1L, Seq(0f, 0.1f), 0),
+      Row(2L, Seq(5f, 5f), 0), Row(3L, Seq(5f, 5.1f), 0))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        Row(r.get(0), r.getSeq[Float](1), r.get(2)))), schema)
+    def run() = VectorOps.kmeansAssign(d, 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run()
+    // seeds are v0/v1 (both in the origin cluster); after two Lloyd
+    // rounds the far pair has pulled cell 1's centroid to (5, 5.05)
+    assert(a(0L) == a(1L) && a(2L) == a(3L) && a(0L) != a(2L))
+    assert(a == run()) // pure function of the input
+  }
+
+  test("pqTopK: k ranked neighbors, ADC non-decreasing, no self, reproducible") {
+    val rows = Seq(
+      Row(0L, Seq(1f, 0f, 0f, 0f), 0), Row(1L, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      Row(2L, Seq(0f, 0f, 1f, 1f), 1), Row(3L, Seq(0f, 0f, 0.9f, 1.1f), 1),
+      Row(4L, Seq(-1f, 0f, 0f, 0f), 0), Row(5L, Seq(0f, 1f, 1f, 0f), 1))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        Row(r.get(0), r.getSeq[Float](1), r.get(2)))), schema)
+    def run() = VectorOps.pqTopK(d.filter(col("vec_id") === 0), d, 2, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val out = run()
+    assert(out.map(_._4).toSeq == Seq(1, 2, 3))
+    assert(!out.exists(_._2 == 0L))                    // self excluded
+    assert(out.map(_._3).toSeq.sliding(2).forall {     // ranked by ADC
+      case Seq(x, y) => x <= y; case _ => true })
+    assert(out.toSeq == run().toSeq)                   // deterministic
+  }
 }
