@@ -132,9 +132,12 @@ object GraphOps {
           col("comp") === col("pid"), "left")
         .select(col("id"), coalesce(col("pcomp"), col("comp")).as("comp"))
       lab = jumped.localCheckpoint()
-      val s = lab.agg(sum(col("comp"))).first().getLong(0)
-      done = last.contains(s)
-      last = Some(s)
+      // SUM over zero rows is NULL — an empty label table (no edges after
+      // upstream filtering) is already a fixpoint, not an error.
+      val s = Option(lab.agg(sum(col("comp"))).first().getAs[java.lang.Long](0))
+        .map(_.longValue())
+      done = s.isEmpty || (last == s)
+      last = s
       round += 1
     }
     lab.select(col("id"), col("comp").as("component"))

@@ -294,6 +294,17 @@ class GraphSpec extends SparkSuite {
     assert(df(12L) == 1L && df(22L) == 20L && df(31L) == 30L)
   }
 
+  test("connectedComponentsDF on an empty edge list returns empty, no crash") {
+    val s = spark
+    import s.implicits._
+    // a clean corpus produces an empty near-dup pair graph; SUM over zero
+    // rows is NULL and must read as an immediate fixpoint (round-8 crash)
+    val e = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val out = GraphOps.connectedComponentsDF(e)
+    assert(out.columns.toSeq == Seq("id", "component"))
+    assert(out.count() == 0L)
+  }
+
   test("flagship alias report: probabilities sum to 1, non-empty on sf0.001") {
     val rep = Erkg.suspiciousAliasReport(spark, sf0001).cache()
     assert(rep.count() > 0)
