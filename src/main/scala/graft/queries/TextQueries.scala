@@ -448,7 +448,96 @@ object TextQueries {
        |FROM documents d LEFT JOIN comp c USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Composite oracle for the corpus flagship: the four already-gated stage
+    * oracles (q20 quality formula, q52's MinHash→recursive-CTE closure,
+    * q105's 8-gram probe, q101's naive prefix-sum packing) chained in the
+    * flagship's order. Every intermediate (survivor sets s1/s2/s3) is
+    * implicit in the final packing manifest — one shifted bin boundary
+    * anywhere upstream breaks the hash. */
+  private val corpusFlagshipSql =
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, source, lang, text, $toksSql AS toks FROM documents),
+       |s1 AS MATERIALIZED (
+       |  SELECT doc_id, text, toks FROM (
+       |    SELECT doc_id, source, lang, text, toks,
+       |      0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+       |      + 0.3 * (CAST(${langScoreSql(TextOps.langStopwords.toMap.apply("en"))} AS DOUBLE) / greatest(len(toks), 1))
+       |      + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+       |      + 0.2 * (1.0 - least((CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / greatest(len(toks), 1)) / 10.0, 1.0))
+       |        AS quality
+       |    FROM t) q
+       |  WHERE lang = 'en' AND source <> 'src0' AND quality >= 0.55),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      unnest([array_to_string(toks[i:i+2], '|') for i in range(1, len(toks) - 1)]) AS shingle
+       |    FROM s1) x),
+       |hs AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 268435456 AS hs
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id, i,
+       |    MIN(((2 * i + 1) * hs + 7919 * i) % 268435456) AS minhash
+       |  FROM hs CROSS JOIN range(32) r(i) GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY i)) AS bucket
+       |  FROM mh GROUP BY doc_id, i // 4),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT da, db,
+       |    CAST(SUM(CASE WHEN ha.minhash = hb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
+       |  FROM cands
+       |  JOIN mh ha ON ha.doc_id = da
+       |  JOIN mh hb ON hb.doc_id = db AND hb.i = ha.i
+       |  GROUP BY da, db),
+       |pairs AS (SELECT da, db FROM est WHERE est_jaccard >= 0.5),
+       |edges AS (SELECT da AS src, db AS dst FROM pairs
+       |          UNION SELECT db, da FROM pairs),
+       |reach(root, node) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) e0
+       |  UNION
+       |  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node),
+       |comp AS (SELECT root AS doc_id, MIN(node) AS component
+       |         FROM reach GROUP BY root),
+       |s2 AS MATERIALIZED (
+       |  SELECT s1.doc_id, s1.toks FROM s1 LEFT JOIN comp c USING (doc_id)
+       |  WHERE c.component IS NULL OR c.component = s1.doc_id),
+       |bench AS (
+       |  SELECT DISTINCT gram FROM (
+       |    SELECT unnest([array_to_string(toks[i:i+7], '|')
+       |                   for i in range(1, len(toks) - 6)]) AS gram
+       |    FROM t WHERE source = 'src0') b0),
+       |contam AS (
+       |  SELECT DISTINCT g.doc_id FROM (
+       |    SELECT doc_id,
+       |      unnest([array_to_string(toks[i:i+7], '|')
+       |              for i in range(1, len(toks) - 6)]) AS gram
+       |    FROM s2) g JOIN bench USING (gram)),
+       |s3 AS (SELECT doc_id, toks FROM s2
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |counted AS (SELECT doc_id, len(toks) AS n_tok FROM s3 WHERE len(toks) > 0),
+       |placed AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+       |  FROM counted),
+       |spans AS (
+       |  SELECT doc_id, st, st + n_tok AS fin,
+       |    unnest(generate_series(st // 512, (st + n_tok - 1) // 512)) AS bin
+       |  FROM placed)
+       |SELECT doc_id, bin,
+       |  GREATEST(st, bin * 512) - bin * 512 AS off_in_bin,
+       |  LEAST(fin, (bin + 1) * 512) - GREATEST(st, bin * 512) AS len,
+       |  GREATEST(st, bin * 512) - st AS doc_from
+       |FROM spans ORDER BY bin, doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q116_corpus_flagship" -> corpusFlagshipSql,
     // Importance weights: identical integer-ratio ln quantization and
     // long accumulation on both engines; docs with zero tokens (or all
     // tokens unseen — impossible here since the vocab covers the corpus)
