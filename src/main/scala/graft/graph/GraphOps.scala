@@ -339,7 +339,12 @@ object GraphOps {
       // One 1-row aggregate action up front: the seed count is the teleport
       // denominator everywhere, and evaluating it eagerly both guards the
       // 0/0-NaN hole and replaces the broadcast crossJoin with a literal.
-      val ns = seedFlag.agg(sum(col("s")).as("ns")).first().getLong(0)
+      // sum() over ZERO rows is NULL, not 0 — read through java.lang.Long
+      // so an empty graph hits the require below instead of a null-deref
+      // (same hazard class as connectedComponentsDF's convergence probe)
+      val ns = Option(seedFlag.agg(sum(col("s")).as("ns"))
+          .first().getAs[java.lang.Long](0))
+        .map(_.longValue).getOrElse(0L)
       require(ns > 0,
         "personalizedPageRank: no seed id intersects the graph's vertex set")
       // loop-invariant edges⋈outdeg pre-join, same as pageRankDeterministic

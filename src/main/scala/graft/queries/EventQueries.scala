@@ -211,14 +211,18 @@ object EventQueries {
 
     // RETENTION COHORTS: users grouped by first-seen day, distinct actives
     // per (cohort, whole-week offset) — the product-analytics matrix. Two
-    // shuffles total: one min-per-user, one distinct-count; the cohort
-    // assignment rides a key-sized broadcast back onto the event stream.
+    // shuffles total: one min-per-user, one distinct-count. firstSeen is
+    // one row PER USER — cardinality grows with the data, so it gets NO
+    // broadcast hint: AQE sizes the join at runtime (same opt-in-broadcast
+    // discipline as GraphOps.bfsDistances; a forced BHJ here is a driver
+    // OOM at 100×). Both sides hash on user_id, so the sort-merge path
+    // co-partitions with the min() aggregate's shuffle and reuses it.
     "q108_retention_cohorts" -> ((s, d) => {
       val e = ev(s, d)
       val firstSeen = e.groupBy(col("user_id"))
         .agg(min(to_date(col("ts"))).as("cohort_day"))
       e.select(col("user_id"), to_date(col("ts")).as("day"))
-        .join(broadcast(firstSeen), Seq("user_id"))
+        .join(firstSeen, Seq("user_id"))
         .select(col("user_id"), col("cohort_day"),
           (datediff(col("day"), col("cohort_day"))
             .cast("long") / lit(7L)).cast("int").as("week_offset"))

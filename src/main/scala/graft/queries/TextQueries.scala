@@ -320,6 +320,13 @@ object TextQueries {
     // BROADCASTS onto the token stream; one per-doc sum shuffle. Magnitude
     // bound: |ln ratio| ≤ ln(N+V) ≈ 16 ⇒ ≤ 1.6e10 per token fixed-point,
     // ×10⁴ tokens/doc ≈ 1.6e14 per doc — far from the int64 edge.
+    // ULP caveat (shared with the BM25 idf quantization): JVM Math.log and
+    // DuckDB's libm ln each guarantee ≤1 ulp error, so floor(ln(x)·1e9)
+    // can disagree when the product lands within a ulp of an integer.
+    // ulp(1.6e10) ≈ 4e-6, so expected cross-engine flips ≈ 4e-6·|vocab| —
+    // ~0 at bench vocab (≤10⁴ distinct ratios), but a web-scale vocab
+    // (10⁸+) should swap in an integer-only ln (scaled CORDIC / lookup)
+    // if strict bit-equality across engines is still required there.
     "q114_importance_weights" -> ((s, d) => {
       val toks = docs(s, d).select(col("doc_id"), col("source"),
         explode(TextOps.tokens(col("text"))).as("token"))

@@ -191,10 +191,18 @@ object VectorQueries {
     // near-dedup the way q52 is shingle-space near-dedup. The pair scan is
     // cell-local (never corpus²), and the k-means assignment is computed
     // once (localCheckpoint: it feeds both pair sides and the report).
+    //
+    // k is a SCALE DIAL, not a constant: k = max(8, ceil(N/64)) keeps the
+    // expected cell population near 64, so the within-cell pair scan is
+    // O(N · cellSize) ≈ O(64·N) — linear in the corpus — instead of the
+    // (N/k)² blowup a fixed k gives at 100× (same dial discipline as
+    // Packing.bucketSize). The count() is one column-pruned metadata-cheap
+    // scan; the oracle derives k identically from COUNT(*) OVER ().
     "q112_semdedup" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val e = emb(s, d)
-      val cells = VectorOps.kmeansAssign(e, 8, 2).localCheckpoint()
+      val k = math.max(8L, math.ceil(e.count() / 64.0).toLong).toInt
+      val cells = VectorOps.kmeansAssign(e, k, 2).localCheckpoint()
       val member = e.join(cells, Seq("vec_id"))
         .select(col("cluster"), col("vec_id"), col("embedding"))
       val pairs = member.select(col("cluster"), col("vec_id").as("ia"),
@@ -284,8 +292,14 @@ object VectorQueries {
     * vectors, then per round an assignment (argmin L2, (dist, cell)
     * tie-break) and a DECIMAL(28,12) centroid update — mirroring
     * VectorOps.kmeansAssign round for round. Ends with `af(vec_id,
-    * cluster)`, the final assignment under the last codebook. */
-  private def kmeansCte(k: Int, iters: Int): String = {
+    * cluster)`, the final assignment under the last codebook.
+    *
+    * `kSql` is a SQL expression for the cell count; it may reference `n`
+    * (COUNT(*) OVER () on embeddings), so a caller can derive k from the
+    * corpus size exactly the way the Spark side does. */
+  private def kmeansCte(k: Int, iters: Int): String = kmeansCte(k.toString, iters)
+
+  private def kmeansCte(kSql: String, iters: Int): String = {
     def assignSql(name: String, cents: String) =
       s"""$name AS (
          |  SELECT vec_id, embedding, cell FROM (
@@ -298,7 +312,11 @@ object VectorQueries {
       s"""c0 AS (
          |  SELECT vec_id AS cell,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
-         |  FROM embeddings ORDER BY vec_id LIMIT $k)""".stripMargin
+         |  FROM (SELECT vec_id, embedding,
+         |          ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+         |          COUNT(*) OVER () AS n
+         |        FROM embeddings) seed
+         |  WHERE rn <= ($kSql))""".stripMargin
     val rounds = (1 to iters).flatMap { r =>
       Seq(assignSql(s"a$r", s"c${r - 1}"),
         s"""d$r AS (
@@ -336,8 +354,11 @@ object VectorQueries {
     // SemDeDup: the same unrolled k-means cells, exact cosine >= 0.4
     // within each cell, transitive closure (reach) to components,
     // min-id representative — q52's closure pattern in embedding space.
+    // k = max(8, ceil(n/64)) — the same corpus-derived dial as the Spark
+    // side (n = COUNT(*) OVER () in the seed subquery).
     "q112_semdedup" ->
-      s"""WITH RECURSIVE ${kmeansCte(8, 2)},
+      s"""WITH RECURSIVE ${kmeansCte(
+             "greatest(8, CAST(ceil(n / 64.0) AS BIGINT))", 2)},
          |mem AS (
          |  SELECT a.vec_id, a.cluster, e.embedding
          |  FROM af a JOIN embeddings e USING (vec_id)),

@@ -197,6 +197,14 @@ object RankedSearch {
     val weighted = postings.join(tokenIdf, Seq("token"))
       .select(col("doc_id"), col("token"),
         (col("tf").cast("double") * col("idf")).as("w"))
+    // int64 bound (same discipline as hitsDeterministic / q114's ln note):
+    // each term is floor(w²·1e9) with w = tf·idf, so the per-doc sum fits
+    // int64 while Σ_t (tf·idf)² ≤ 9.2e9 — i.e. the doc's tf-idf L2 norm is
+    // ≤ ~9.6e4. idf ≤ ln(nDocs) ≈ 21 even at 1e9 docs, so the bound only
+    // strains when a single doc repeats a RARE token ~10⁴+ times. Spark's
+    // LongType wraps silently past it while DuckDB promotes to HUGEINT —
+    // beyond the bound the engines diverge rather than error, which is why
+    // the bound is stated here rather than assumed.
     val norms = weighted.groupBy(col("doc_id"))
       .agg(sqrt(sum(floor(col("w") * col("w") * lit(1e9)).cast("long"))
         .cast("double") / lit(1e9)).as("norm"))

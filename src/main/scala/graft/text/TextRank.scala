@@ -101,10 +101,73 @@ object TextRank {
     }
   }
 
+  /** [[pageRank]]'s per-group LOCAL twin: identical fixed-point arithmetic,
+    * computed inside one `flatMapGroups` pass per document.
+    *
+    * The per-doc graph is tiny (vocab ≤ doc length, edges ≤ 2·window·len),
+    * so iterating it is genuine per-group imperative logic — the declarative
+    * loop pays `iterations` shuffle rounds over the whole corpus for graphs
+    * that never span a partition. Here the token stream shuffles ONCE (the
+    * groupByKey on doc_id) and all rounds run in-memory per group; on a
+    * billion-doc corpus that is 1 shuffle vs 3·iterations, and doc_id keys
+    * shard it perfectly. Memory bound: O(len·window) per task, the same
+    * transient the span generator already allocates; a pathological
+    * single-document skew is one task, not a plan change.
+    *
+    * Value-identical by construction (law-pinned in TextRankSpec): same
+    * edge set (±window, symmetrized, no loops, distinct), same
+    * floor((rank/odeg)·1e15) long contributions, same exact long sums, same
+    * teleport/n + damping·inflow recombination — every float op is the same
+    * IEEE op in the same order as the DataFrame plan, so q35/q47/q36/q49
+    * keep their DuckDB oracles untouched. */
+  def pageRankLocal(tokens: DataFrame, window: Int, iterations: Int): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens.select(col("doc_id").cast("long"), col("pos").cast("int"), col("token"))
+      .as[(Long, Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (docId: Long, rows: Iterator[(Long, Int, String)]) =>
+        import scala.collection.mutable
+        val toks = rows.map(r => (r._2, r._3)).toArray
+        val nodes = mutable.LinkedHashSet[String]()
+        toks.foreach(t => nodes += t._2)
+        val nD = nodes.size.toDouble
+        // adjacency: src@p ↔ dst@(p+o), o ∈ [1, window], loops excluded —
+        // the symmetrized distinct edge set coocEdges builds declaratively
+        val byPos = mutable.HashMap[Int, mutable.ArrayBuffer[String]]()
+        toks.foreach { case (p, t) =>
+          byPos.getOrElseUpdate(p, mutable.ArrayBuffer[String]()) += t
+        }
+        val nbrs = mutable.HashMap[String, mutable.HashSet[String]]()
+        for ((p, ts) <- byPos; o <- 1 to window; qs <- byPos.get(p + o);
+             a <- ts; b <- qs if a != b) {
+          nbrs.getOrElseUpdate(a, mutable.HashSet[String]()) += b
+          nbrs.getOrElseUpdate(b, mutable.HashSet[String]()) += a
+        }
+        val rank = mutable.HashMap[String, Double]()
+        nodes.foreach(t => rank(t) = 1.0 / nD)
+        for (_ <- 1 to iterations) {
+          val inflow = mutable.HashMap[String, Long]()
+          for ((src, ds) <- nbrs) {
+            // one floored contribution per src, fanned to its neighbors —
+            // floor(double)→long is exactly Spark's FLOOR(DOUBLE) semantics
+            val c = math.floor((rank(src) / ds.size.toDouble) * 1e15).toLong
+            ds.foreach(d => inflow(d) = inflow.getOrElse(d, 0L) + c)
+          }
+          nodes.foreach { t =>
+            rank(t) = teleport / nD +
+              damping * (inflow.getOrElse(t, 0L).toDouble / 1e15)
+          }
+        }
+        nodes.iterator.map(t => (docId, t, rank(t)))
+      }
+      .toDF("doc_id", "token", "rank")
+  }
+
   /** Per-doc top-k tokens by rank (W1 window top-k; ties → token asc).
     * Output: (doc_id, token, rank, rn). */
   def topPhrases(tokens: DataFrame, window: Int, iterations: Int, k: Int): DataFrame =
-    pageRank(tokens, window, iterations)
+    pageRankLocal(tokens, window, iterations)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("rank").desc, col("token").asc)))
@@ -130,7 +193,7 @@ object TextRank {
     * Output: (doc_id, surface, len, cnt, phrase_rank, rn). */
   def topPhraseSpans(tokens: DataFrame, maxN: Int,
                      window: Int, iterations: Int, k: Int): DataFrame = {
-    val ranks = pageRank(tokens, window, iterations)
+    val ranks = pageRankLocal(tokens, window, iterations)
     // Member ranks ride the TOKEN STREAM, not a per-doc vocabulary map: the
     // previous form joined a map_from_entries(all distinct tokens → rank)
     // row onto EVERY span row, so each span physically copied its doc's

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.text.{EntityLinking, TextRank}
 
 class NlpSpec extends SparkSuite {
+  import SparkSpec.sf0001
 
   private def docs = {
     val s = spark
@@ -55,6 +56,21 @@ class NlpSpec extends SparkSuite {
     assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-6))
     val d0 = pr.filter(col("doc_id") === 0).orderBy(col("rank").desc).collect()
     assert(Set("red", "widget").contains(d0.head.getString(1)))
+  }
+
+  test("equality law: pageRankLocal == pageRank, bit-for-bit, on sf0.001") {
+    // the mapGroups twin must reproduce the declarative loop's doubles
+    // EXACTLY (same IEEE ops in the same order) — any drift here breaks the
+    // q35/q47 oracle parity claim
+    val corpus = Tables.documents(spark, sf0001)
+    val toks = EntityLinking.tokenStream(corpus, "doc_id", "text")
+    val a = TextRank.pageRank(toks, 2, 4).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val b = TextRank.pageRankLocal(toks, 2, 4).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(a.keySet == b.keySet)
+    val diff = a.collect { case (k, v) if b(k) != v => (k, v, b(k)) }
+    assert(diff.isEmpty, s"ranks diverge: ${diff.take(5).mkString(", ")}")
   }
 
   test("global overlap pruning keeps dominant spans only (EntityRuler rule)") {

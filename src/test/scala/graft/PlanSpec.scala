@@ -167,4 +167,18 @@ class PlanSpec extends SparkSuite {
     assert(docWindow.contains("windowspecdefinition(bucket"),
       s"per-doc cumsum not bucket-partitioned:\n$docWindow")
   }
+
+  test("q108 cohort join is not a mandatory broadcast (firstSeen grows with data)") {
+    // firstSeen is one row PER USER — broadcasting it is a driver OOM at
+    // scale. With the auto-broadcast threshold forced to -1 the join must
+    // degrade to a shuffle join; a broadcast() hint would pin BHJ anyway.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("q108_retention_cohorts")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"cohort join still forces a broadcast:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
 }
