@@ -99,6 +99,40 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // LINK PREDICTION over the co-shopper projection: for every 2-hop pair
+    // (a, b) NOT already adjacent, the common-neighbor count and the
+    // neighborhood-Jaccard score cn / (deg a + deg b − cn) — the classic
+    // missing-edge ranking (ER: entities that SHOULD be linked). The
+    // wedge join fans out Σ_n deg(n)² like triangle counting (q76) — edge-
+    // proportional on a sparse projection, never vertex²; candidates with
+    // cn < 2 are dropped before the degree joins to bound the output.
+    "q119_link_prediction" -> ((s, d) => {
+      val e = Erkg.entityEdges(s, d)
+        .filter(col("src") < Erkg.supplierOffset)
+      val proj = e.as("a").join(e.as("b"),
+          col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+        .groupBy(col("a.src").as("src"), col("b.src").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("src"), col("dst"))
+      val sym = proj.unionByName(
+        proj.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val cn = sym.as("x").join(sym.as("y"),
+          col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+        .groupBy(col("x.src").as("ia"), col("y.src").as("ib"))
+        .agg(count(lit(1)).as("cn"))
+        .filter(col("cn") >= 2)
+      cn.join(proj.select(col("src").as("ia"), col("dst").as("ib")),
+          Seq("ia", "ib"), "left_anti")
+        .join(deg.select(col("id").as("ia"), col("deg").as("deg_a")), Seq("ia"))
+        .join(deg.select(col("id").as("ib"), col("deg").as("deg_b")), Seq("ib"))
+        .select(col("ia"), col("ib"), col("cn"), col("deg_a"), col("deg_b"),
+          (col("cn").cast("double") / (col("deg_a") + col("deg_b") - col("cn")))
+            .as("jaccard"))
+        .orderBy(col("ia"), col("ib"))
+    }),
+
     // BFS distance labeling (unweighted SSSP, ≤4 hops) from the smallest
     // customer in the co-shopper projection: kHop's reachability upgraded
     // to first-reach distances; the seed is a 1-row aggregate (no collect).
@@ -443,6 +477,24 @@ object GraphQueries {
 
   def oracles: Map[String, String] = Map(
     "q110_seeded_walks" -> walksSql,
+    // Link prediction: same wedge-count + anti-join + degree-join chain;
+    // cn / (deg_a + deg_b − cn) is BIGINT arithmetic under one double
+    // division, so it matches bit-for-bit.
+    "q119_link_prediction" ->
+      s"""$projSymCte,
+         |deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+         |cn AS (
+         |  SELECT x.src AS ia, y.src AS ib, COUNT(*) AS cn
+         |  FROM sym x JOIN sym y ON x.dst = y.dst AND x.src < y.src
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |ne AS (
+         |  SELECT cn.ia, cn.ib, cn.cn FROM cn
+         |  LEFT JOIN proj p ON p.src = cn.ia AND p.dst = cn.ib
+         |  WHERE p.src IS NULL)
+         |SELECT ia, ib, cn, da.deg AS deg_a, db.deg AS deg_b,
+         |  CAST(cn AS DOUBLE) / CAST(da.deg + db.deg - cn AS DOUBLE) AS jaccard
+         |FROM ne JOIN deg da ON da.id = ia JOIN deg db ON db.id = ib
+         |ORDER BY ia, ib""".stripMargin,
     "q92_clustering_coef" ->
       s"""$projSymCte,
          |deg AS (SELECT src AS id, COUNT(*) AS degree FROM sym GROUP BY src),

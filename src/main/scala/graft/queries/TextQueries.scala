@@ -351,6 +351,127 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BIGRAM-LM PERPLEXITY FILTER (the KenLM/CCNet stage, engine-internal):
+    // train an add-1-smoothed bigram LM on the 'src0' target slice, score
+    // every other doc by its average bigram log-prob, keep the fluent ones.
+    // logp(w2|w1) = ln((c2+1)/(c1+V)): c2 = target bigram count, c1 =
+    // target CONTEXT count (bigram starts with w1), V = target unigram
+    // vocab — unseen contexts fall back to ln(1/V) through the same
+    // formula (coalesce 0). Each ln is of an INTEGER ratio, quantized
+    // fixed-point (q114's discipline, same documented ULP caveat); per-doc
+    // totals are long sums, so the gate holds bit-for-bit. Scale shape:
+    // unlike q114's unigram ratio table, the BIGRAM table grows with the
+    // corpus (Heaps' law on pairs) — so the score join takes NO broadcast
+    // hint (q108's lesson); AQE sizes it, and both sides hash on the gram
+    // key. Docs with < 2 tokens have no bigrams and drop out, mirrored.
+    "q117_bigram_lm_ppl" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"), col("source"),
+        TextOps.tokens(col("text")).as("w"))
+      val bg = t.select(col("doc_id"), col("source"),
+          explode(TextOps.ngramsOf(col("w"), 2)).as("gram"))
+        .withColumn("w1", substring_index(col("gram"), "|", 1))
+      val tgt = bg.filter(col("source") === "src0")
+      val c2 = tgt.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+      val c1 = tgt.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = t.filter(col("source") === "src0")
+        .select(explode(col("w")).as("tok"))
+        .agg(count_distinct(col("tok")).as("v"))
+      bg.filter(col("source") =!= "src0")
+        .join(c2, Seq("gram"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(v)) // 1-row aggregate, not a growing table
+        .select(col("doc_id"),
+          floor(log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double")
+              / (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
+            * lit(1e9)).cast("long").as("lp_fp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_fp")).as("logprob_fp"))
+        .withColumn("avg_logprob",
+          (col("logprob_fp").cast("double") / lit(1e9))
+            / col("n_bigrams").cast("double"))
+        .withColumn("keep", col("avg_logprob") > lit(-6.0))
+        .orderBy(col("doc_id"))
+    }),
+
+    // GOPHER QUALITY RULES — the full repetition-independent rule set from
+    // the Gopher/MassiveText filter (word-count bounds, mean-word-length
+    // bounds, alpha-word fraction, stopword evidence, symbol-to-word
+    // ratio), complementing q20's composite score and q106's repetition
+    // rules. Every feature is a ratio of integers computed in ONE pass of
+    // per-row expression work (tokenize once, no shuffle at all before the
+    // final sort), so the whole rule set is oracle-exact and trivially
+    // 100 TB-safe: it's a map over documents.
+    "q118_gopher_rules" -> ((s, d) => {
+      val en = TextOps.langStopwords.toMap.apply("en")
+      val t = docs(s, d).select(col("doc_id"), col("text"),
+        TextOps.tokens(col("text")).as("toks"))
+      val nWords = size(col("toks"))
+      val sumLen = aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w))
+      val alphaWords = size(filter(col("toks"), w => w.rlike("[a-z]")))
+      val stopHits = TextOps.langScore(col("toks"), en)
+      val nHash = length(col("text")) - length(regexp_replace(col("text"), "#", ""))
+      val nEllipsis = floor((length(col("text"))
+        - length(regexp_replace(col("text"), "\\.\\.\\.", ""))).cast("double")
+        / lit(3.0)).cast("long")
+      val meanLen = sumLen.cast("double") / greatest(nWords, lit(1)).cast("double")
+      val alphaFrac = alphaWords.cast("double") / greatest(nWords, lit(1)).cast("double")
+      val symbolRatio = (nHash + nEllipsis).cast("double") /
+        greatest(nWords, lit(1)).cast("double")
+      t.select(col("doc_id"), nWords.as("n_words"),
+          meanLen.as("mean_word_len"), alphaFrac.as("alpha_word_frac"),
+          symbolRatio.as("symbol_word_ratio"), stopHits.as("stop_hits"),
+          (nWords.between(lit(50), lit(100000)) &&
+            meanLen.between(lit(3.0), lit(10.0)) &&
+            alphaFrac > lit(0.8) && stopHits >= lit(2) &&
+            symbolRatio <= lit(0.1)).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CONTAINMENT NEAR-DUP PAIRS — the asymmetric cousin of q22's Jaccard:
+    // C(A,B) = |A∩B| / |A| detects a document CONTAINED in a larger one
+    // (boilerplate wrapping, quote-expansion), which resemblance misses
+    // because the union washes it out. Blocking is by RARE shingles
+    // (df <= 5) and is PART OF THE CONTRACT, like banded LSH: a candidate
+    // pair must share at least one rare shingle. A contained doc shares
+    // ALL its shingles with its container, so any rare shingle it has
+    // witnesses the pair; a doc whose entire shingle set is corpus-common
+    // boilerplate is out of scope by design (it carries no identifying
+    // content). Candidates are Σ_rare df² ≤ 5·|rare| pairs, never
+    // corpus²; the exact intersection is then counted only over candidate
+    // docs' shingle sets (semi-join pushdown), and both containment
+    // directions are emitted. The oracle applies the identical blocking.
+    "q121_containment_pairs" -> ((s, d) => {
+      val sh = docs(s, d).select(col("doc_id"),
+          explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 5).select(col("shingle"))
+      val rsh = sh.join(rare, Seq("shingle"))
+      val cand = rsh.as("a").join(rsh.as("b"),
+          col("a.shingle") === col("b.shingle")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val candDocs = cand.select(col("da").as("doc_id"))
+        .union(cand.select(col("db"))).distinct()
+      val shc = sh.join(candDocs, Seq("doc_id"))
+      val inter = shc.as("x").join(shc.as("y"),
+          col("x.shingle") === col("y.shingle")
+            && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .agg(count(lit(1)).as("inter"))
+        .join(cand, Seq("da", "db"))
+      inter
+        .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("n_a")), Seq("da"))
+        .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("n_b")), Seq("db"))
+        .select(col("da"), col("db"), col("inter"), col("n_a"), col("n_b"),
+          (col("inter").cast("double") / col("n_a")).as("containment_a"),
+          (col("inter").cast("double") / col("n_b")).as("containment_b"))
+        .filter(greatest(col("containment_a"), col("containment_b")) >= 0.6)
+        .orderBy(col("da"), col("db"))
+    }),
+
     // CORPUS-PIPELINE FLAGSHIP — the training-data analog of q98's ERKG
     // flagship: ONE gated dataflow running the passes a real corpus build
     // chains, in order: (1) language + holdout slice (en, source<>src0),
@@ -545,6 +666,83 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "q116_corpus_flagship" -> corpusFlagshipSql,
+    // Bigram LM: same integer-ratio ln quantization as q114; the bigram
+    // stream, context counts, vocab, and per-doc long sums all mirror the
+    // Spark plan stage for stage.
+    "q117_bigram_lm_ppl" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id, source,
+         |    unnest([array_to_string(w[i:i+1], '|') for i in range(1, len(w))]) AS gram
+         |  FROM t),
+         |bgw AS (SELECT doc_id, source, gram, split_part(gram, '|', 1) AS w1 FROM bg),
+         |c2 AS (SELECT gram, COUNT(*) AS c2 FROM bgw WHERE source = 'src0' GROUP BY 1),
+         |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bgw WHERE source = 'src0' GROUP BY 1),
+         |v AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+         |  SELECT unnest(w) AS tok FROM t WHERE source = 'src0') u),
+         |sc AS (
+         |  SELECT b.doc_id,
+         |    CAST(floor(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+         |        / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)) * 1e9) AS BIGINT) AS lp_fp
+         |  FROM bgw b LEFT JOIN c2 USING (gram) LEFT JOIN c1 USING (w1) CROSS JOIN v
+         |  WHERE b.source <> 'src0')
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(lp_fp) AS BIGINT) AS logprob_fp,
+         |  (CAST(SUM(lp_fp) AS DOUBLE) / 1e9) / CAST(COUNT(*) AS DOUBLE) AS avg_logprob,
+         |  (CAST(SUM(lp_fp) AS DOUBLE) / 1e9) / CAST(COUNT(*) AS DOUBLE) > -6.0 AS keep
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Gopher rules: every feature is a ratio of integers; replace() is
+    // global on both engines and '...' removal scans left-to-right
+    // non-overlapping in both, so the counts match exactly.
+    "q118_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(toks) AS INTEGER) AS n_words,
+         |  CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(toks, w -> CAST(length(w) AS BIGINT)))) AS DOUBLE)
+         |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS mean_word_len,
+         |  CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+         |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS alpha_word_frac,
+         |  CAST((length(text) - length(replace(text, '#', '')))
+         |      + CAST(floor(CAST(length(text) - length(replace(text, '...', ''))
+         |                        AS DOUBLE) / 3.0) AS BIGINT) AS DOUBLE)
+         |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS symbol_word_ratio,
+         |  CAST(${langScoreSql(TextOps.langStopwords.toMap.apply("en"))} AS INTEGER) AS stop_hits
+         |  FROM t)
+         |SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+         |  symbol_word_ratio, stop_hits,
+         |  (n_words BETWEEN 50 AND 100000
+         |   AND mean_word_len BETWEEN 3.0 AND 10.0
+         |   AND alpha_word_frac > 0.8 AND stop_hits >= 2
+         |   AND symbol_word_ratio <= 0.1) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+    // Containment: the oracle computes the exact intersection for ALL
+    // co-shingled pairs and then keeps the rare-shingle candidates — the
+    // same rows the blocked Spark plan emits, since a candidate pair's
+    // intersection count is blocking-independent.
+    "q121_containment_pairs" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |rare AS (SELECT shingle FROM (
+         |  SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1) t WHERE df <= 5),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM sh a
+         |  JOIN rare r ON r.shingle = a.shingle
+         |  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT c.da, c.db, i.inter FROM cand c JOIN inter i USING (da, db))
+         |SELECT da, db, CAST(inter AS BIGINT) AS inter,
+         |  sa.n_sh AS n_a, sb.n_sh AS n_b,
+         |  CAST(inter AS DOUBLE) / sa.n_sh AS containment_a,
+         |  CAST(inter AS DOUBLE) / sb.n_sh AS containment_b
+         |FROM j JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+         |WHERE greatest(CAST(inter AS DOUBLE) / sa.n_sh,
+         |               CAST(inter AS DOUBLE) / sb.n_sh) >= 0.6
+         |ORDER BY da, db""".stripMargin,
     // Importance weights: identical integer-ratio ln quantization and
     // long accumulation on both engines; docs with zero tokens (or all
     // tokens unseen — impossible here since the vocab covers the corpus)

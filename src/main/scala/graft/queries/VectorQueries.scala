@@ -223,6 +223,47 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // EMBEDDING OUTLIER SCAN: cosine of every vector to its OWN label's
+    // centroid, bottom-3 per label — the corpus-QA pass that surfaces
+    // mislabeled / off-manifold embeddings before they poison ANN recall
+    // or SemDeDup cells. Centroid means are FIXED-POINT long sums
+    // (floor(x·1e9) per element), NOT the module's DECIMAL(28,12) means:
+    // this query exposes mean-derived doubles raw, and double→DECIMAL
+    // casting is NOT cross-engine exact — Spark rounds the double's
+    // shortest decimal repr HALF_UP while DuckDB rounds the exact binary
+    // value HALF_EVEN, so a 13th-decimal tie (hit once in this very
+    // corpus, label 1 dim 37) flips the last quantum. floor-of-double is
+    // the same IEEE op everywhere, so the long sums agree exactly
+    // (int64-safe to ~4·10⁹ unit-scale vectors per label). The rank form
+    // (not a threshold) keeps the gate off quantization boundaries.
+    // Scale shape: the centroid table is |labels|·dim doubles — genuinely
+    // key-sized (label is a closed enum), so the broadcast is safe where
+    // q108's was not; the corpus is scanned once and only (label, cos)
+    // pairs reach the top-k window.
+    "q120_embedding_outliers" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val cents = e.select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(floor(col("col").cast("double") * lit(1e9)).cast("long"))
+          .cast("double") / lit(1e9) / count(lit(1))).as("mean"))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mean")))),
+          el => el.getField("mean")).as("centroid"))
+        .withColumnRenamed("label", "cell")
+      e.join(broadcast(cents), col("label") === col("cell"))
+        .select(col("vec_id"), col("label"),
+          VectorOps.cosine(col("embedding"), col("centroid")).as("cos_centroid"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("label"))
+            .orderBy(col("cos_centroid").asc, col("vec_id").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("label"), col("vec_id"), col("cos_centroid"),
+          col("rn").cast("int").as("rn"))
+        .orderBy(col("label"), col("rn"))
+    }),
+
     // PRODUCT-QUANTIZED ADC top-5 — the m-subspace tier of the compressed
     // similarity family (scalar int8 = q102, 1-bit = q103): 4 subspaces
     // of 16 dims, label-cell codebooks, asymmetric-distance top-k. The
@@ -346,6 +387,29 @@ object VectorQueries {
       s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), (acc, x) -> acc + x)"
 
   def oracles: Map[String, String] = Map(
+    // Outliers: per-label fixed-point per-dim means (floor(x·1e9) long
+    // sums — double→DECIMAL casts round differently across engines, see
+    // the query comment), the same cosine fold, rank-form gate. The
+    // division chain (/1e9, then /COUNT) mirrors the Spark op order.
+    "q120_embedding_outliers" ->
+      s"""WITH cent AS (
+         |  SELECT label, i - 1 AS pos,
+         |    CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT))
+         |         AS DOUBLE) / 1e9 / COUNT(*) AS mean
+         |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+         |  GROUP BY 1, 2),
+         |cl AS (SELECT label, list(mean ORDER BY pos) AS centroid
+         |       FROM cent GROUP BY label),
+         |sc AS (
+         |  SELECT e.vec_id, e.label,
+         |    ${cosSql("e.embedding", "c.centroid")} AS cos_centroid
+         |  FROM embeddings e JOIN cl c USING (label)),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+         |    ORDER BY cos_centroid ASC, vec_id ASC) AS rn
+         |  FROM sc)
+         |SELECT label, vec_id, cos_centroid, CAST(rn AS INTEGER) AS rn
+         |FROM r WHERE rn <= 3 ORDER BY label, rn""".stripMargin,
     "q111_kmeans" ->
       s"""WITH ${kmeansCte(8, 2)}
          |SELECT vec_id, cluster,

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-9 corpus-quality queries (q117–q121).
+  * The DuckDB gate pins exact values at sf0.01; these pin the properties
+  * that must hold on ANY corpus, so a refactor that keeps hash parity on
+  * one dataset but breaks the math elsewhere still fails fast.
+  */
+class CorpusQueriesSpec extends SparkSuite {
+  import SparkSpec.sf0001
+
+  test("q117: bigram log-probs are ≤ 0 and every scored doc has a bigram") {
+    val r = SparkEntry.queries("q117_bigram_lm_ppl")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    // (c2+1)/(c1+V) ≤ 1 since c2 ≤ c1 and V ≥ 1 ⇒ ln ≤ 0 per bigram
+    assert(r.forall(_.getAs[Double]("avg_logprob") <= 0.0))
+    assert(r.forall(_.getAs[Long]("n_bigrams") >= 1L))
+  }
+
+  test("q118: the keep flag is exactly the conjunction of its rule bounds") {
+    val r = SparkEntry.queries("q118_gopher_rules")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val expect = row.getAs[Int]("n_words") >= 50 &&
+        row.getAs[Int]("n_words") <= 100000 &&
+        row.getAs[Double]("mean_word_len") >= 3.0 &&
+        row.getAs[Double]("mean_word_len") <= 10.0 &&
+        row.getAs[Double]("alpha_word_frac") > 0.8 &&
+        row.getAs[Int]("stop_hits") >= 2 &&
+        row.getAs[Double]("symbol_word_ratio") <= 0.1
+      assert(row.getAs[Boolean]("keep") === expect, s"row $row")
+    }
+  }
+
+  test("q120: at most 3 outliers per label, ranks contiguous, cosine in [-1,1]") {
+    val r = SparkEntry.queries("q120_embedding_outliers")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Int]("label")).foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq === (1 to rows.length))
+    }
+    assert(r.forall { row =>
+      val c = row.getAs[Double]("cos_centroid"); c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12
+    })
+  }
+
+  test("q121: containments are in (0,1], inter bounded by both set sizes, da < db") {
+    val r = SparkEntry.queries("q121_containment_pairs")(spark, sf0001).collect()
+    r.foreach { row =>
+      val inter = row.getAs[Long]("inter")
+      val na = row.getAs[Long]("n_a"); val nb = row.getAs[Long]("n_b")
+      assert(row.getAs[Long]("da") < row.getAs[Long]("db"))
+      assert(inter >= 1L && inter <= math.min(na, nb))
+      val ca = row.getAs[Double]("containment_a")
+      val cb = row.getAs[Double]("containment_b")
+      assert(ca > 0.0 && ca <= 1.0 && cb > 0.0 && cb <= 1.0)
+      assert(math.max(ca, cb) >= 0.6)
+    }
+  }
+
+  test("q119: link-prediction pairs are non-adjacent with plausible Jaccard") {
+    val r = SparkEntry.queries("q119_link_prediction")(spark, sf0001).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("ia") < row.getAs[Long]("ib"))
+      assert(row.getAs[Long]("cn") >= 2L)
+      val j = row.getAs[Double]("jaccard")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+}

@@ -168,6 +168,25 @@ class PlanSpec extends SparkSuite {
       s"per-doc cumsum not bucket-partitioned:\n$docWindow")
   }
 
+  test("q117 bigram-table joins are not mandatory broadcasts (Heaps-law growth)") {
+    // the c2/c1 count tables grow with the corpus; only the 1-row vocab
+    // aggregate may stay a pinned broadcast under threshold -1
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("q117_bigram_lm_ppl")
+      val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+      assert(bhj == 0, s"count-table join still forces a broadcast:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("q120 centroid join is a broadcast (label-enum-sized build side)") {
+    val p = plan("q120_embedding_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q108 cohort join is not a mandatory broadcast (firstSeen grows with data)") {
     // firstSeen is one row PER USER — broadcasting it is a driver OOM at
     // scale. With the auto-broadcast threshold forced to -1 the join must
