@@ -472,6 +472,62 @@ object TextQueries {
         .orderBy(col("da"), col("db"))
     }),
 
+    // BPE TOKENIZER INDUCTION (see [[graft.text.Bpe]]): 3 merge rounds on
+    // the corpus vocabulary; the gate pins the merge table itself —
+    // winner pair and its weighted count per round, under the total order
+    // (count DESC, lhs ASC, rhs ASC). Training runs on the word-frequency
+    // table, never rescanning documents.
+    "q122_bpe_merges" -> ((s, d) => {
+      val (_, merges) = graft.text.Bpe.learn(
+        graft.text.Bpe.wordTable(docs(s, d), "text"), 3)
+      merges.orderBy(col("merge_rank"))
+    }),
+
+    // The segmentation the learned merges induce: every vocabulary word
+    // re-tokenized under the 3 merges (greedy left-to-right per round).
+    // Gating every word's final symbol string pins the merge ORDER and
+    // the scan rule, not just the winner list.
+    "q123_bpe_segment" -> ((s, d) => {
+      val (vocab, _) = graft.text.Bpe.learn(
+        graft.text.Bpe.wordTable(docs(s, d), "text"), 3)
+      vocab.select(col("word"), col("freq"),
+          concat_ws(" ", col("syms")).as("segmentation"),
+          size(col("syms")).as("n_syms"))
+        .orderBy(col("word"))
+    }),
+
+    // TEMPERATURE-BASED MIX RESAMPLING (the UniMax / multilingual-sampling
+    // stage): per-source quotas ∝ n^α with α = 0.5, so small sources are
+    // up-weighted relative to their share; each source then keeps its
+    // quota's worth of docs by md5 rank (q93's resumable, rand()-free
+    // sampler). sqrt is IEEE-exact on both engines; the scaled weights are
+    // FIXED-POINT longs so the normalizing sum is order-independent, and
+    // the quota division is the same double op chain on both engines.
+    // Scale shape: the quota table is |sources|-sized (a dimension, not a
+    // per-key aggregate — cf. q108) and broadcasts; docs shuffle once for
+    // the per-source rank window.
+    "q124_temperature_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dd = docs(s, d)
+      val counts = dd.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val scaled = counts.withColumn("s_fp",
+        floor(sqrt(col("n").cast("double")) * lit(1e6)).cast("long"))
+      val tot = scaled.agg(sum(col("s_fp")).as("tot_fp"), sum(col("n")).as("n_total"))
+      val quota = scaled.crossJoin(broadcast(tot))
+        .withColumn("quota",
+          floor(col("n_total").cast("double") * col("s_fp").cast("double")
+            / col("tot_fp").cast("double")).cast("long"))
+        .select(col("source"), col("quota"))
+      dd.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+        .join(broadcast(quota), Seq("source"))
+        .filter(col("rk") <= col("quota"))
+        .select(col("source"), col("doc_id"), col("rk").cast("int").as("rk"),
+          col("quota"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
     // CORPUS-PIPELINE FLAGSHIP — the training-data analog of q98's ERKG
     // flagship: ONE gated dataflow running the passes a real corpus build
     // chains, in order: (1) language + holdout slice (en, source<>src0),
@@ -664,8 +720,84 @@ object TextQueries {
        |  GREATEST(st, bin * 512) - st AS doc_from
        |FROM spans ORDER BY bin, doc_id""".stripMargin
 
+  /** Unrolled BPE twin of [[graft.text.Bpe.learn]]: w0 word freqs → s0
+    * char symbols → per round r: p{r} weighted pair counts, t{r} the
+    * 1-row winner under (count DESC, lhs, rhs), s{r} the greedily merged
+    * vocabulary via the same replace-last left fold (acc[-1] on an empty
+    * list is NULL, collapsing the CASE to ELSE — mirroring Spark's
+    * null-safe `get` probe). */
+  private def bpeCte(rounds: Int): String = {
+    val head =
+      s"""w0 AS (
+         |  SELECT word, COUNT(*) AS freq FROM (
+         |    SELECT unnest($toksSql) AS word FROM documents) t
+         |  GROUP BY 1),
+         |s0 AS (
+         |  SELECT word, freq,
+         |    list_transform(range(1, length(word) + 1), i -> word[i:i]) AS syms
+         |  FROM w0)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pr['lhs'] AS lhs, pr['rhs'] AS rhs, SUM(freq) AS pair_freq
+         |  FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(range(1, len(syms)),
+         |        i -> {'lhs': syms[i], 'rhs': syms[i+1]})) AS pr
+         |    FROM s${r - 1}) t
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT lhs, rhs, pair_freq FROM p$r
+         |        ORDER BY pair_freq DESC, lhs, rhs LIMIT 1),
+         |s$r AS (
+         |  SELECT word, freq,
+         |    list_reduce(
+         |      list_prepend(CAST([] AS VARCHAR[]),
+         |        list_transform(syms, s -> [s])),
+         |      (acc, x) -> CASE
+         |        WHEN len(acc) > 0 AND acc[-1] = t.lhs AND x[1] = t.rhs
+         |        THEN list_append(acc[1:len(acc)-1], t.lhs || t.rhs)
+         |        ELSE list_append(acc, x[1]) END) AS syms
+         |  FROM s${r - 1} LEFT JOIN t$r t ON true)""".stripMargin
+    }
+    (head +: rs).mkString(",\n")
+  }
+
   def oracles: Map[String, String] = Map(
     "q116_corpus_flagship" -> corpusFlagshipSql,
+    "q122_bpe_merges" ->
+      s"""WITH ${bpeCte(3)}
+         |SELECT merge_rank, lhs, rhs, pair_freq FROM (
+         |  SELECT 1 AS merge_rank, lhs, rhs, CAST(pair_freq AS BIGINT) AS pair_freq FROM t1
+         |  UNION ALL
+         |  SELECT 2, lhs, rhs, CAST(pair_freq AS BIGINT) FROM t2
+         |  UNION ALL
+         |  SELECT 3, lhs, rhs, CAST(pair_freq AS BIGINT) FROM t3) u
+         |ORDER BY merge_rank""".stripMargin,
+    "q123_bpe_segment" ->
+      s"""WITH ${bpeCte(3)}
+         |SELECT word, CAST(freq AS BIGINT) AS freq,
+         |  array_to_string(syms, ' ') AS segmentation,
+         |  CAST(len(syms) AS INTEGER) AS n_syms
+         |FROM s3 ORDER BY word""".stripMargin,
+    // Temperature mix: fixed-point sqrt weights, one double quota chain,
+    // md5-rank selection — q93's sampler under corpus-derived quotas.
+    "q124_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        |sc AS (SELECT source, n,
+        |         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS s_fp
+        |       FROM c),
+        |t AS (SELECT CAST(SUM(s_fp) AS BIGINT) AS tot_fp,
+        |             CAST(SUM(n) AS BIGINT) AS n_total FROM sc),
+        |q AS (SELECT source,
+        |        CAST(floor(CAST(n_total AS DOUBLE) * CAST(s_fp AS DOUBLE)
+        |          / CAST(tot_fp AS DOUBLE)) AS BIGINT) AS quota
+        |      FROM sc CROSS JOIN t),
+        |r AS (SELECT doc_id, source,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY md5(text), doc_id) AS rk
+        |      FROM documents)
+        |SELECT r.source, r.doc_id, CAST(rk AS INTEGER) AS rk, q.quota
+        |FROM r JOIN q USING (source) WHERE rk <= q.quota
+        |ORDER BY source, rk""".stripMargin,
     // Bigram LM: same integer-ratio ln quantization as q114; the bigram
     // stream, context counts, vocab, and per-doc long sums all mirror the
     // Spark plan stage for stage.
