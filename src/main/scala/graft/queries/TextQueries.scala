@@ -472,6 +472,79 @@ object TextQueries {
         .orderBy(col("da"), col("db"))
     }),
 
+    // INCREMENTAL DEDUP — the PRODUCTION dedup shape q52/q115 are the
+    // batch form of: a NEW batch (source <> 'src0') arrives against an
+    // EXISTING deduplicated corpus ('src0'). The batch's MinHash bands
+    // probe the corpus index (batch×corpus bucket join — the existing
+    // corpus is NEVER self-joined, which is the whole point at 100 TB:
+    // per-increment cost scales with the batch, not the corpus); matched
+    // docs are dropped as dup_of_corpus (min matching corpus id). The
+    // remainder dedups WITHIN the batch (q115's pair→components→min-id),
+    // splitting kept / dup_in_batch. Statuses and canonicals are gated.
+    "q125_incremental_dedup" -> ((s, d) => {
+      val dd = docs(s, d)
+      val corpus = dd.filter(col("source") === "src0")
+        .select(col("doc_id"), col("text"))
+      val batch = dd.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text"))
+      val sigC = DedupOps.minhashSignatures(
+        DedupOps.shingleTable(corpus, "doc_id", "text", 3), 32)
+      val sigB = DedupOps.minhashSignatures(
+        DedupOps.shingleTable(batch, "doc_id", "text", 3), 32)
+      val candBC = DedupOps.lshBuckets(sigB, 4).as("a")
+        .join(DedupOps.lshBuckets(sigC, 4).as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .select(col("a.doc_id").as("bid"), col("b.doc_id").as("cid"))
+        .distinct()
+      val dupOfCorpus = candBC
+        .join(sigB.select(col("doc_id").as("bid"), col("i"),
+          col("minhash").as("hb")), Seq("bid"))
+        .join(sigC.select(col("doc_id").as("cid"), col("i"),
+          col("minhash").as("hc")), Seq("cid", "i"))
+        .groupBy(col("bid"), col("cid"))
+        .agg((sum(when(col("hb") === col("hc"), 1).otherwise(0))
+          .cast("double") / 32).as("est"))
+        .filter(col("est") >= 0.5)
+        .groupBy(col("bid").as("doc_id"))
+        .agg(min(col("cid")).as("canonical"))
+      val survivors = batch.join(dupOfCorpus, Seq("doc_id"), "left_anti")
+      val pairsS = DedupOps.minhashPairs(survivors, "doc_id", "text", 3, 32, 4, 0.5)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val comp = graft.graph.GraphOps.connectedComponentsDF(pairsS)
+      val batchSide = survivors.join(comp, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          when(coalesce(col("component"), col("doc_id")) === col("doc_id"),
+            lit("kept")).otherwise(lit("dup_in_batch")).as("status"),
+          coalesce(col("component"), col("doc_id")).as("canonical"))
+      dupOfCorpus
+        .select(col("doc_id"), lit("dup_of_corpus").as("status"), col("canonical"))
+        .unionByName(batchSide)
+        .orderBy(col("doc_id"))
+    }),
+
+    // CORPUS HEALTH REPORT: the q115 near-dup closure aggregated to the
+    // numbers a data-curation dashboard actually shows — per-source doc
+    // counts, near-dup counts (canonical ≠ self), and the dup rate. Runs
+    // the same pair graph + components; only source-grain aggregates
+    // leave the shuffle.
+    "q126_corpus_report" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = DedupOps.minhashPairs(dd, "doc_id", "text", 3, 32, 4, 0.5)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val comp = graft.graph.GraphOps.connectedComponentsDF(pairs)
+      dd.select(col("doc_id"), col("source"))
+        .join(comp, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("component"), col("doc_id")).as("canonical"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("canonical") =!= col("doc_id"), 1L).otherwise(0L))
+            .as("n_dups"))
+        .withColumn("dup_rate",
+          col("n_dups").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("source"))
+    }),
+
     // BPE TOKENIZER INDUCTION (see [[graft.text.Bpe]]): 3 merge rounds on
     // the corpus vocabulary; the gate pins the merge table itself —
     // winner pair and its weighted count per round, under the total order
@@ -593,7 +666,10 @@ object TextQueries {
   /** MinHash-LSH pairs → transitive closure → min-id canonical — shared by
     * q52 (GraphX components) and q115 (pure-DataFrame components): the two
     * engines must agree on the SAME closure. */
-  private val dedupCanonicalSql =
+  /** The MinHash→LSH→closure CTE chain (ends at `comp(doc_id, component)`)
+    * — shared by the canonical gates (q52/q115) and the q126 health
+    * report, which aggregates the same closure instead of listing it. */
+  private val dedupCompCte =
     s"""WITH RECURSIVE $shingleCte,
        |hs AS (
        |  SELECT doc_id,
@@ -626,7 +702,10 @@ object TextQueries {
        |  UNION
        |  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node),
        |comp AS (SELECT root AS doc_id, MIN(node) AS component
-       |         FROM reach GROUP BY root)
+       |         FROM reach GROUP BY root)""".stripMargin
+
+  private val dedupCanonicalSql =
+    s"""$dedupCompCte
        |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical,
        |  COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
        |FROM documents d LEFT JOIN comp c USING (doc_id)
@@ -720,6 +799,82 @@ object TextQueries {
        |  GREATEST(st, bin * 512) - st AS doc_from
        |FROM spans ORDER BY bin, doc_id""".stripMargin
 
+  /** One side of the incremental-dedup oracle: shingles → 15-hex md5 base
+    * hashes → 32 universal minhashes → 8 banded buckets, restricted by a
+    * WHERE clause — the per-slice twin of the shared `shingleCte`/`hs`/
+    * `mh`/`bands` chain in [[dedupCompCte]]. */
+  private def mhSide(sfx: String, where: String): String =
+    s"""sh$sfx AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      unnest([array_to_string(w[i:i+2], '|') for i in range(1, len(w) - 1)]) AS shingle
+       |    FROM (SELECT doc_id,
+       |            list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS w
+       |          FROM documents WHERE $where) t0) t1),
+       |hs$sfx AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 268435456 AS hs
+       |  FROM sh$sfx),
+       |mh$sfx AS (
+       |  SELECT doc_id, i,
+       |    MIN(((2 * i + 1) * hs + 7919 * i) % 268435456) AS minhash
+       |  FROM hs$sfx CROSS JOIN range(32) t(i) GROUP BY doc_id, i),
+       |bands$sfx AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY i)) AS bucket
+       |  FROM mh$sfx GROUP BY doc_id, i // 4)""".stripMargin
+
+  private val incrementalDedupSql =
+    s"""WITH RECURSIVE ${mhSide("b", "source <> 'src0'")},
+       |${mhSide("c", "source = 'src0'")},
+       |candbc AS (
+       |  SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+       |  FROM bandsb a JOIN bandsc b
+       |    ON a.band = b.band AND a.bucket = b.bucket),
+       |dupc AS (
+       |  SELECT bid AS doc_id, MIN(cid) AS canonical FROM (
+       |    SELECT bid, cid,
+       |      CAST(SUM(CASE WHEN hb.minhash = hc.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est
+       |    FROM candbc
+       |    JOIN mhb hb ON hb.doc_id = bid
+       |    JOIN mhc hc ON hc.doc_id = cid AND hc.i = hb.i
+       |    GROUP BY bid, cid) t
+       |  WHERE est >= 0.5 GROUP BY bid),
+       |surv AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE source <> 'src0'
+       |    AND doc_id NOT IN (SELECT doc_id FROM dupc)),
+       |bandss AS (SELECT * FROM bandsb WHERE doc_id IN (SELECT doc_id FROM surv)),
+       |candss AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bandss a JOIN bandss b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |ests AS (
+       |  SELECT da, db,
+       |    CAST(SUM(CASE WHEN ha.minhash = hb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est
+       |  FROM candss
+       |  JOIN mhb ha ON ha.doc_id = da
+       |  JOIN mhb hb ON hb.doc_id = db AND hb.i = ha.i
+       |  GROUP BY da, db),
+       |pairss AS (SELECT da, db FROM ests WHERE est >= 0.5),
+       |edges AS (SELECT da AS src, db AS dst FROM pairss
+       |          UNION SELECT db, da FROM pairss),
+       |reach(root, node) AS (
+       |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+       |  UNION
+       |  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node),
+       |comp AS (SELECT root AS doc_id, MIN(node) AS component
+       |         FROM reach GROUP BY root)
+       |SELECT doc_id, status, canonical FROM (
+       |  SELECT doc_id, 'dup_of_corpus' AS status, canonical FROM dupc
+       |  UNION ALL
+       |  SELECT s.doc_id,
+       |    CASE WHEN COALESCE(c.component, s.doc_id) = s.doc_id
+       |      THEN 'kept' ELSE 'dup_in_batch' END,
+       |    COALESCE(c.component, s.doc_id)
+       |  FROM surv s LEFT JOIN comp c USING (doc_id)) u
+       |ORDER BY doc_id""".stripMargin
+
   /** Unrolled BPE twin of [[graft.text.Bpe.learn]]: w0 word freqs → s0
     * char symbols → per round r: p{r} weighted pair counts, t{r} the
     * 1-row winner under (count DESC, lhs, rhs), s{r} the greedily merged
@@ -763,6 +918,17 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "q116_corpus_flagship" -> corpusFlagshipSql,
+    "q125_incremental_dedup" -> incrementalDedupSql,
+    // Health report: the q52/q115 closure aggregated per source.
+    "q126_corpus_report" ->
+      s"""$dedupCompCte
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN COALESCE(c.component, d.doc_id) <> d.doc_id
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |  CAST(SUM(CASE WHEN COALESCE(c.component, d.doc_id) <> d.doc_id
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+         |FROM documents d LEFT JOIN comp c USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q122_bpe_merges" ->
       s"""WITH ${bpeCte(3)}
          |SELECT merge_rank, lhs, rhs, pair_freq FROM (
