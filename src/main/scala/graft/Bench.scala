@@ -78,8 +78,29 @@ object Bench {
     val errors = med.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = med.collect { case (_, v) if v >= 0 => v }.sum
+    // Flagship stage-level timings: the two composites (q98/q116) hide
+    // stage regressions inside their whole-query medians, so time each
+    // CUMULATIVE stage prefix once in the warm JVM — a wrong-plan stage
+    // shows as a jump between consecutive entries, no bisect needed.
+    // Skipped under SPARK_GRAFT_ONLY (focused A/B runs) or
+    // SPARK_GRAFT_STAGES=0.
+    val stageFams: Seq[(String, Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])] = Seq(
+      "q98_erkg_flagship" -> graft.queries.SenzingQueries.flagshipStages,
+      "q116_corpus_flagship" -> graft.queries.TextQueries.flagshipStages)
+    val doStages = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_STAGES", "1") != "0"
+    val stageJson =
+      if (!doStages) "{}"
+      else stageFams.map { case (q, sts) =>
+        val ts = sts.map { case (sn, fn) =>
+          System.gc()
+          val t0 = System.nanoTime()
+          val ok = try { runFull(fn); true } catch { case _: Throwable => false }
+          sn -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
+        s"\"" + q + "\":" + js(ts)
+      }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"queries":${js(med)},"queries_min":${js(mn)},"queries_max":${js(mx)},"warmup_queries":${js(warmupTimes)},"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"queries":${js(med)},"queries_min":${js(mn)},"queries_max":${js(mx)},"warmup_queries":${js(warmupTimes)},"stages":$stageJson,"errors":$errors,"sf":"$sfDir"}"""
     Files.write(Paths.get(outPath), json.getBytes(StandardCharsets.UTF_8))
     println(json)
     spark.stop()

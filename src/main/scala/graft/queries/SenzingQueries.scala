@@ -55,24 +55,40 @@ object SenzingQueries {
     // report (:417-421). The 17-seed list mirrors suspicious.txt's shape:
     // KB names, ENTITY_DESC-derived vertex names, a uid-fallback vertex, a
     // bearer pseudo-name, and one deliberate no-match.
-    "q98_erkg_flagship" -> ((s, _) => {
-      import s.implicits._
-      val path = SenzingFixture.ensureWritten()
-      val raw = Senzing.readExport(s, path)
-      val verts = Senzing.graphVertices(raw)
-      val edges = Senzing.graphEdges(raw).select(col("src"), col("dst"))
-      val seedIds = verts
-        .join(broadcast(SenzingFixture.seedNames.toDF("name")), Seq("name"))
-        .select(col("id"))
-      val closure = graft.graph.GraphOps.kHop(edges, seedIds, 2)
-      val filtered = Senzing.aliasRecords(raw)
-        .join(broadcast(closure),
-          col("entity") === closure("id"), "left_semi")
-      graft.ops.Relational.aliasProbabilitiesLong(
-          filtered.withColumn("entity", col("entity").cast("string")),
-          "alias", "entity")
-        .orderBy(col("alias"), col("entity"))
-    }))
+    "q98_erkg_flagship" -> ((s, _) => erkgReport(s)))
+
+  // ---- q98 staged prefixes (Bench stage-level timing) ----------------------
+
+  private def erkgClosure(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val raw = Senzing.readExport(s, SenzingFixture.ensureWritten())
+    val edges = Senzing.graphEdges(raw).select(col("src"), col("dst"))
+    val seedIds = Senzing.graphVertices(raw)
+      .join(broadcast(SenzingFixture.seedNames.toDF("name")), Seq("name"))
+      .select(col("id"))
+    graft.graph.GraphOps.kHop(edges, seedIds, 2)
+  }
+
+  private def erkgReport(s: SparkSession): DataFrame = {
+    val closure = erkgClosure(s)
+    val filtered = Senzing.aliasRecords(
+        Senzing.readExport(s, SenzingFixture.ensureWritten()))
+      .join(broadcast(closure), col("entity") === closure("id"), "left_semi")
+    graft.ops.Relational.aliasProbabilitiesLong(
+        filtered.withColumn("entity", col("entity").cast("string")),
+        "alias", "entity")
+      .orderBy(col("alias"), col("entity"))
+  }
+
+  /** CUMULATIVE stage prefixes of the q98 flagship for Bench's per-stage
+    * timing (same contract as [[TextQueries.flagshipStages]]): scan → graph
+    * closure → alias report; the last entry is the exact q98 plan. */
+  def flagshipStages: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "s1_scan" -> ((s, _) =>
+      Senzing.entities(Senzing.readExport(s, SenzingFixture.ensureWritten()),
+        countriesDf(s))),
+    "s2_closure" -> ((s, _) => erkgClosure(s)),
+    "s3_report" -> ((s, _) => erkgReport(s)))
 
   // ---- DuckDB twins ---------------------------------------------------------
 

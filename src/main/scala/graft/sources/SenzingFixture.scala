@@ -79,15 +79,23 @@ object SenzingFixture {
     }
     val levels = Seq("RESOLVED", "POSSIBLY_SAME", "POSSIBLY_RELATED", "DISCLOSED")
     val rels = (0 until k % 5).map { r =>
-      s"""{"ENTITY_ID": ${100 + ((k * 7 + r * 13) % 300)}, "MATCH_LEVEL_CODE": "${levels((k + r) % 4)}"}"""
+      s"""{"ENTITY_ID": ${100 + ((k * 7 + r * 13) % genCount)}, "MATCH_LEVEL_CODE": "${levels((k + r) % 4)}"}"""
     }
     s"""{"RESOLVED_ENTITY": {"ENTITY_ID": $k, "ENTITY_NAME": "${js(name)}", "FEATURES": {$feats}, "RECORDS": [${recs.mkString(", ")}]}, "RELATED_ENTITIES": [${rels.mkString(", ")}]}"""
   }
 
-  /** One line per entity: 9 handcrafted branch exemplars (ids 1-9) plus 300
-    * generated rows (ids 100-399) so the q50/q51 gates exercise the source
-    * at a few-hundred-entity scale instead of 6/11 output rows. */
-  val lines: Seq[String] = handLines ++ (100 to 399).map(genLine)
+  /** Generated-entity count (ids 100 until 100+genCount). ~10k entities ≈
+    * 8 MB JSONL so q50/q51/q98 exercise a real-shape export volume — the
+    * closure's broadcast path and the alias aggregation run over thousands
+    * of vertices instead of a toy graph (VERDICT r8 item 8), and
+    * SenzingSpec's split-scan test reads it multi-partition under a lowered
+    * maxPartitionBytes. */
+  val genCount = 9900
+
+  /** One line per entity: 9 handcrafted branch exemplars (ids 1-9) plus
+    * `genCount` generated rows (ids 100-9999) so the q50/q51/q98 gates
+    * exercise the source at export scale instead of 6/11 output rows. */
+  val lines: Seq[String] = handLines ++ (100 until 100 + genCount).map(genLine)
 
   private def handLines: Seq[String] = Seq(
     // 1: full ORG — every description segment, country GB resolves

@@ -217,16 +217,20 @@ class SenzingSpec extends SparkSuite {
       ents.collect().toSet)
   }
 
-  test("flagship fixture golden: 17 seed names → 15 vertices → 68-entity closure") {
+  test("flagship fixture golden: 17 seed names → 33 vertices → 185-entity closure") {
     // The fixture-scale twin of the reference's pinned 17-seed → 29-id
     // closure (/root/reference/dev.ipynb cell 141): q98's seed match and
-    // 2-hop expansion land on exact golden counts. Two of the 17 names
+    // 2-hop expansion land on exact golden counts (independently re-derived
+    // by a Python/DuckDB walk over the same JSONL). Two of the 17 names
     // match nothing — "Nonexistent Company XYZ" by design, and
     // "Entity 102 Corp" because entity 102's NAME feature is a bearer
     // pseudo-name (102 % 17 == 0), exactly the high-precision/low-recall
     // exact-match miss the reference comments on (senzing_pipeline.py:381).
-    // The bearer-named vertex 119 DOES seed — the graph has no blacklist,
-    // only the KB does.
+    // At the 10k-entity fixture scale the "bearer warrant" seed name matches
+    // 19 distinct vertices (every k%17==0 entity whose first ENTITY_DESC is
+    // that pseudo-name) — the realistic exact-name multi-match the
+    // reference's precision comment warns about; the graph has no
+    // blacklist, only the KB does.
     val s = spark
     import s.implicits._
     val path = graft.sources.SenzingFixture.ensureWritten()
@@ -237,11 +241,30 @@ class SenzingSpec extends SparkSuite {
         Seq("name"))
       .select(col("id"))
     val seedIds = seeds.as[Long].collect().toSet
-    assert(seedIds.size == 15)
+    assert(seedIds.size == 33)
     assert(seedIds.contains(119L))  // bearer-named vertex seeds the graph
+    assert(seedIds.contains(765L))  // ...as do its 10k-scale name twins
     assert(!seedIds.contains(102L)) // bearer NAME broke the exact match
     val closure = graft.graph.GraphOps.kHop(
       Senzing.graphEdges(fraw).select(col("src"), col("dst")), seeds, 2)
-    assert(closure.count() == 68L)
+    assert(closure.count() == 185L)
+  }
+
+  test("10k fixture export scans multi-partition and splits losslessly") {
+    // The ~8 MB line-delimited export must SPLIT — at cluster scale a real
+    // export is hundreds of GB and a one-partition JSON scan serializes the
+    // whole pipeline behind a single task. Lowering maxPartitionBytes below
+    // the file size forces the split locally; the entity KB must come back
+    // identical, proving no record straddles a split boundary incorrectly.
+    val path = graft.sources.SenzingFixture.ensureWritten()
+    val whole = Senzing.entities(Senzing.readExport(spark, path), countries)
+      .collect().toSet
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", 1L << 20)
+      val raw = Senzing.readExport(spark, path)
+      assert(raw.rdd.getNumPartitions > 1)
+      assert(Senzing.entities(raw, countries).collect().toSet == whole)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 }
