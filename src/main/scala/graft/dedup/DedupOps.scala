@@ -186,6 +186,29 @@ object DedupOps {
         transform(sort_array(collect_list(struct(col("i"), col("minhash")))),
           e => e.getField("minhash").cast("string")), "|")).as("bucket"))
 
+  /** Candidate generation + verification over PRE-COMPUTED signatures
+    * (doc_id, i, minhash): band buckets → same-bucket candidates → exact
+    * per-position agreement estimate. LAZY — the caller owns caching and
+    * materialization of `sig` (it is referenced three times in the plan).
+    * Exists so incremental callers (q125) that already paid for the
+    * signatures never re-shingle the text. */
+  def minhashPairsFromSignatures(sig: DataFrame, k: Int, rowsPerBand: Int,
+                                 threshold: Double): DataFrame = {
+    val buckets = lshBuckets(sig, rowsPerBand)
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    cands
+      .join(sig.select(col("doc_id").as("da"), col("i"), col("minhash").as("ha")), Seq("da"))
+      .join(sig.select(col("doc_id").as("db"), col("i"), col("minhash").as("hb")),
+        Seq("db", "i"))
+      .groupBy(col("da"), col("db"))
+      .agg((sum(when(col("ha") === col("hb"), 1).otherwise(0)).cast("double") / k)
+        .as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Full MinHash+LSH near-dup pipeline: candidates from band buckets,
     * verified with the exact per-position signature agreement estimate.
     * Output: (da, db, est_jaccard) with est >= threshold. */
@@ -193,19 +216,8 @@ object DedupOps {
                    n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n)
     val sig = minhashSignatures(sh, k).cache()
-    val buckets = lshBuckets(sig, rowsPerBand)
-    val cands = buckets.as("a").join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
-    val est = cands
-      .join(sig.select(col("doc_id").as("da"), col("i"), col("minhash").as("ha")), Seq("da"))
-      .join(sig.select(col("doc_id").as("db"), col("i"), col("minhash").as("hb")),
-        Seq("db", "i"))
-      .groupBy(col("da"), col("db"))
-      .agg((sum(when(col("ha") === col("hb"), 1).otherwise(0)).cast("double") / k)
-        .as("est_jaccard"))
-    val out = est.filter(col("est_jaccard") >= threshold).localCheckpoint()
+    val out = minhashPairsFromSignatures(sig, k, rowsPerBand, threshold)
+      .localCheckpoint()
     sig.unpersist()
     out
   }
@@ -234,6 +246,57 @@ object DedupOps {
       zip_with(counts, bitIdx, (s, b) =>
         when(s > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
+  }
+
+  /** REPEATED-SPAN detection — the exact-substring dedup flavor of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2022), re-expressed relationally: suffix-array substring search
+    * does not distribute, but its OUTPUT contract (every ≥W-token run that
+    * occurs more than once in the corpus, at any alignment) is reachable
+    * with sliding-window hashes. Every W-token window (stride 1) is
+    * hashed; a window whose hash occurs ≥2 times corpus-wide (ACROSS docs
+    * or repeated WITHIN one doc) is a duplicated window; per doc,
+    * overlapping/adjacent duplicated windows merge into maximal spans.
+    * Unlike [[segmentDedup]] (fixed aligned segments) this catches repeats
+    * at ANY offset — the boilerplate case aligned segmentation misses.
+    *
+    * Scale shape: the window table is one map-side expression pass
+    * (O(tokens·W) transient per row — bounded by row size, never shuffled
+    * as text: only (doc_id, pos, 16-byte md5) rows leave the scan). One
+    * count shuffle on the hash (map-side combine), one join back on the
+    * hash (AQE-sized; the duplicated-hash side is corpus-dependent, NOT
+    * broadcast by hint — boilerplate-heavy corpora make it large), one
+    * per-doc window for the island merge (state = one doc's duplicated
+    * positions). No suffix array, no driver state.
+    *
+    * Output: (doc_id, span_start, span_end, n_wins) — token offsets,
+    * end exclusive, n_wins = duplicated windows merged into the span. */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("t")) - w),
+          i => md5(array_join(slice(col("t"), i + lit(1), lit(w)), " "))))
+          .as(Seq("pos", "h")))
+    val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    wins.join(dupH, Seq("h"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("prev_max_end", max(col("pos") + w)
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("prev_max_end").isNull || col("pos") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + w).as("span_end"),
+        count(lit(1)).as("n_wins"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_wins"))
   }
 
   /** SimHash (32-bit, md5-derived bit hashes) as a pure relational plan:

@@ -487,10 +487,15 @@ object TextQueries {
         .select(col("doc_id"), col("text"))
       val batch = dd.filter(col("source") =!= "src0")
         .select(col("doc_id"), col("text"))
+      // signatures are the increment's dominant cost — computed ONCE per
+      // side and reused (cached) across the corpus probe, the survivor
+      // bucketing, and the survivor verification; the naive form
+      // (minhashPairs on the survivor TEXT) re-shingles ~all of the batch
+      // a second time, which at 100 TB doubles the increment's scan work
       val sigC = DedupOps.minhashSignatures(
-        DedupOps.shingleTable(corpus, "doc_id", "text", 3), 32)
+        DedupOps.shingleTable(corpus, "doc_id", "text", 3), 32).cache()
       val sigB = DedupOps.minhashSignatures(
-        DedupOps.shingleTable(batch, "doc_id", "text", 3), 32)
+        DedupOps.shingleTable(batch, "doc_id", "text", 3), 32).cache()
       val candBC = DedupOps.lshBuckets(sigB, 4).as("a")
         .join(DedupOps.lshBuckets(sigC, 4).as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
@@ -507,11 +512,17 @@ object TextQueries {
         .filter(col("est") >= 0.5)
         .groupBy(col("bid").as("doc_id"))
         .agg(min(col("cid")).as("canonical"))
-      val survivors = batch.join(dupOfCorpus, Seq("doc_id"), "left_anti")
-      val pairsS = DedupOps.minhashPairs(survivors, "doc_id", "text", 3, 32, 4, 0.5)
+        .localCheckpoint()
+      val survivorSig = sigB.join(
+        dupOfCorpus.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      val pairsS = DedupOps
+        .minhashPairsFromSignatures(survivorSig, 32, 4, 0.5)
         .select(col("da").as("src"), col("db").as("dst"))
+        .localCheckpoint()
+      sigB.unpersist(); sigC.unpersist()
       val comp = graft.graph.GraphOps.connectedComponentsDF(pairsS)
-      val batchSide = survivors.join(comp, col("doc_id") === col("id"), "left")
+      val batchSide = batch.join(dupOfCorpus, Seq("doc_id"), "left_anti")
+        .join(comp, col("doc_id") === col("id"), "left")
         .select(col("doc_id"),
           when(coalesce(col("component"), col("doc_id")) === col("doc_id"),
             lit("kept")).otherwise(lit("dup_in_batch")).as("status"),
@@ -543,6 +554,168 @@ object TextQueries {
         .withColumn("dup_rate",
           col("n_dups").cast("double") / col("n_docs").cast("double"))
         .orderBy(col("source"))
+    }),
+
+    // REPEATED-SPAN DEDUP (Lee et al. 2022's exact-substring pass, see
+    // [[DedupOps.repeatedSpans]]): every merged ≥10-token run occurring
+    // more than once corpus-wide, at ANY alignment — the off-alignment
+    // boilerplate q104's fixed segments miss. Span offsets are token
+    // indices, end exclusive.
+    "q127_repeated_spans" -> ((s, d) =>
+      DedupOps.repeatedSpans(docs(s, d), "doc_id", "text", 10)
+        .select(col("doc_id"), col("span_start").cast("long"),
+          col("span_end").cast("long"), col("n_wins"))
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // IN-ENGINE QUALITY CLASSIFIER (see [[graft.ml.LogReg]]): logistic
+    // regression trained INSIDE the engine — 5 full-batch fixed-point GD
+    // iterations predicting reference-domain membership (y = source ==
+    // 'src0') from the q20 feature set (bias, length, stopword ratio,
+    // alpha ratio, word length). The gate pins the whole training loop:
+    // per-doc fixed-point probabilities are a function of the learned
+    // weights, which are a function of every row's gradient in every
+    // iteration. Fast-sigmoid link + integer gradient sums make the loop
+    // bit-portable (no exp(), no float accumulation order) — int64 holds
+    // the gradient sums exactly up to ~9.2e9 rows (|row contrib| ≤ 1e9).
+    "q128_quality_classifier" -> ((s, d) => {
+      import graft.ml.LogReg
+      val fCols = Seq("f0", "f1", "f2", "f3", "f4")
+      val feats = docs(s, d).select(col("doc_id"),
+          when(col("source") === "src0", 1.0).otherwise(0.0).as("y"),
+          lit(1.0).as("f0"),
+          least(TextOps.nTokens(col("text")).cast("double") / 100.0,
+            lit(1.0)).as("f1"),
+          TextOps.stopwordRatio(col("text")).as("f2"),
+          TextOps.alphaRatio(col("text")).as("f3"),
+          (lit(1.0) - least(TextOps.avgWordLen(col("text")) / 10.0,
+            lit(1.0))).as("f4"))
+        .cache()
+      val w = LogReg.train(feats, fCols, "y", 5, 0.5)
+      val sFin = LogReg.fastSigmoid(LogReg.margin(w, fCols.map(col)))
+      val out = feats.select(col("doc_id"),
+          col("y").cast("long").as("label"),
+          floor(sFin * lit(1e9)).cast("long").as("p_fp"),
+          (sFin >= 0.5).as("pred"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      feats.unpersist()
+      out
+    }),
+
+    // FUZZY DECONTAMINATION: the paraphrase-level contamination q105's
+    // exact 8-gram probe misses — MinHash estimated Jaccard ≥ 0.5 between
+    // a training doc and ANY benchmark ('src0') doc, via the batch×bench
+    // LSH bucket join (training side never self-joins; the benchmark side
+    // is the small probe set). Output: per contaminated training doc, the
+    // match count, the max similarity estimate, and the lowest matching
+    // benchmark id.
+    "q129_fuzzy_decontam" -> ((s, d) => {
+      val dd = docs(s, d)
+      val bench = dd.filter(col("source") === "src0")
+        .select(col("doc_id"), col("text"))
+      val train = dd.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text"))
+      val sigBn = DedupOps.minhashSignatures(
+        DedupOps.shingleTable(bench, "doc_id", "text", 3), 32).cache()
+      val sigT = DedupOps.minhashSignatures(
+        DedupOps.shingleTable(train, "doc_id", "text", 3), 32).cache()
+      val cand = DedupOps.lshBuckets(sigT, 4).as("a")
+        .join(DedupOps.lshBuckets(sigBn, 4).as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .select(col("a.doc_id").as("tid"), col("b.doc_id").as("bid"))
+        .distinct()
+      val est = cand
+        .join(sigT.select(col("doc_id").as("tid"), col("i"),
+          col("minhash").as("ht")), Seq("tid"))
+        .join(sigBn.select(col("doc_id").as("bid"), col("i"),
+          col("minhash").as("hb")), Seq("bid", "i"))
+        .groupBy(col("tid"), col("bid"))
+        .agg((sum(when(col("ht") === col("hb"), 1).otherwise(0))
+          .cast("double") / 32).as("est"))
+        .filter(col("est") >= 0.5)
+      val out = est.groupBy(col("tid").as("doc_id"))
+        .agg(count(lit(1)).as("n_bench_matches"), max(col("est")).as("max_est"),
+          min(col("bid")).as("first_bench"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      sigBn.unpersist(); sigT.unpersist()
+      out
+    }),
+
+    // CROSS-SOURCE LEAKAGE REPORT: the q23 near-dup pair graph joined back
+    // to source labels and rolled up per unordered source pair — how much
+    // content leaks BETWEEN sources (the report that catches one crawl
+    // slice duplicated across two dumps, or a benchmark mirrored inside a
+    // web source). Pairs come from the LSH bucket probe (never all-pairs);
+    // the doc_id→source join is AQE-sized; only (source-pair grain) rows
+    // leave the rollup.
+    "q130_cross_source_leakage" -> ((s, d) => {
+      val dd = docs(s, d)
+      val src = dd.select(col("doc_id"), col("source"))
+      val lab = DedupOps.minhashPairs(dd, "doc_id", "text", 3, 32, 4, 0.5)
+        .join(src.select(col("doc_id").as("da"), col("source").as("sa")),
+          Seq("da"))
+        .join(src.select(col("doc_id").as("db"), col("source").as("sb")),
+          Seq("db"))
+        .filter(col("sa") =!= col("sb"))
+      lab.select(
+          least(col("sa"), col("sb")).as("src_lo"),
+          greatest(col("sa"), col("sb")).as("src_hi"),
+          when(col("sa") < col("sb"), col("da")).otherwise(col("db"))
+            .as("doc_lo"),
+          when(col("sa") < col("sb"), col("db")).otherwise(col("da"))
+            .as("doc_hi"),
+          col("est_jaccard"))
+        .groupBy(col("src_lo"), col("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_lo")).as("n_docs_lo"),
+          countDistinct(col("doc_hi")).as("n_docs_hi"),
+          max(col("est_jaccard")).as("max_est"))
+        .orderBy(col("src_lo"), col("src_hi"))
+    }),
+
+    // TOKEN-BUDGET SELECTION: greedy highest-quality-first corpus
+    // selection under a global token budget (B = total/4) — "pick the best
+    // B tokens", the data-selection shape behind quality-pruned pretrain
+    // mixes. The global ordered prefix sum distributes via the
+    // [[graft.text.Packing]] two-phase shape: quality-quantile buckets
+    // (qb = floor((1-q)·64), monotone in quality DESC — q1 > q2 ⟹
+    // qb1 ≤ qb2, so bucket-major order IS the global order), cumulative
+    // bucket offsets over the ≤65-row bucket table (the one intentionally
+    // tiny single-partition window), within-bucket cumsum in parallel.
+    // The budget itself is a 1-row broadcast aggregate. Only the crossing
+    // doc is truncated (take_tokens < n_tok).
+    "q131_token_budget" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = docs(s, d).select(col("doc_id"),
+          TextOps.nTokens(col("text")).cast("long").as("n_tok"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .filter(col("n_tok") > 0)
+        .cache()
+      val bud = f.agg(expr("sum(n_tok) div 4").as("budget"))
+      val bucketed = f.withColumn("qb",
+        floor((lit(1.0) - col("quality")) * 64).cast("long"))
+      val wOff = Window.orderBy(col("qb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = bucketed.groupBy(col("qb"))
+        .agg(sum(col("n_tok")).as("btot"))
+        .withColumn("boff", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+        .select(col("qb"), col("boff"))
+      val wIn = Window.partitionBy(col("qb"))
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val out = bucketed.join(broadcast(off), Seq("qb"))
+        .withColumn("cum_tok",
+          col("boff") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+        .crossJoin(broadcast(bud))
+        .filter(col("cum_tok") < col("budget"))
+        .select(col("doc_id"), col("n_tok"), col("quality"), col("cum_tok"),
+          least(col("n_tok"), col("budget") - col("cum_tok"))
+            .as("take_tokens"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      f.unpersist()
+      out
     }),
 
     // BPE TOKENIZER INDUCTION (see [[graft.text.Bpe]]): 3 merge rounds on
@@ -940,7 +1113,178 @@ object TextQueries {
     (head +: rs).mkString(",\n")
   }
 
+  /** q127 twin: struct-comprehension windows → duplicated hashes →
+    * gaps-and-islands merge (running max of span end, explicit frames). */
+  private val repeatedSpansSql =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |x AS (
+       |  SELECT doc_id,
+       |    unnest([struct_pack(pos := i - 1,
+       |                        h := md5(array_to_string(w[i:i+9], ' ')))
+       |            for i in range(1, len(w) - 10 + 2)]) AS u
+       |  FROM t WHERE len(w) >= 10),
+       |wins AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM x),
+       |dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+       |dw AS (SELECT doc_id, pos FROM wins JOIN dup USING (h)),
+       |i1 AS (
+       |  SELECT doc_id, pos,
+       |    max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+       |  FROM dw),
+       |i2 AS (SELECT doc_id, pos,
+       |         CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END AS ni
+       |       FROM i1),
+       |i3 AS (SELECT doc_id, pos,
+       |         SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |       FROM i2)
+       |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 10 AS span_end,
+       |  COUNT(*) AS n_wins
+       |FROM i3 GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  /** q128 twin: the GD loop UNROLLED as chained CTEs (w0 → s1/g1 → w1 →
+    * …), the q111 kmeansCte pattern. Every double op mirrors the Spark
+    * expression tree literally — fast-sigmoid link, left-associated
+    * margin, fixed-point gradient sums — so the loop is bit-identical. */
+  private def logregCte(iters: Int): String = {
+    val d = 5
+    def zExpr(w: String, f: String) =
+      (0 until d).foldLeft("0.0")((acc, j) => s"$acc + $w.w$j * $f.f$j")
+    val feats =
+      s"""t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         |ft AS (
+         |  SELECT doc_id,
+         |    CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y,
+         |    1.0 AS f0,
+         |    least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS f1,
+         |    CAST(${langScoreSql(TextOps.langStopwords.toMap.apply("en"))} AS DOUBLE) / greatest(len(toks), 1) AS f2,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) AS f3,
+         |    1.0 - least(CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / greatest(len(toks), 1) / 10.0, 1.0) AS f4
+         |  FROM t),
+         |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      val gs = (0 until d).map(j =>
+        s"SUM(CAST(floor(((s - y) * f$j) * 1e9) AS BIGINT)) AS g$j").mkString(", ")
+      val ws = (0 until d).map(j =>
+        s"w.w$j - 0.5 * ((CAST(g.g$j AS DOUBLE) / 1e9) / CAST(g.n AS DOUBLE)) AS w$j").mkString(", ")
+      s"""s$r AS (
+         |  SELECT f.*, 0.5 + z / (2.0 * (1.0 + abs(z))) AS s FROM (
+         |    SELECT f.*, ${zExpr("w", "f")} AS z
+         |    FROM ft f, w${r - 1} w) f),
+         |g$r AS (SELECT $gs, COUNT(*) AS n FROM s$r),
+         |w$r AS (SELECT $ws FROM w${r - 1} w, g$r g)""".stripMargin
+    }
+    (feats +: rounds).mkString(",\n")
+  }
+
+  private val qualityClassifierSql =
+    s"""WITH ${logregCte(5)},
+       |sf AS (
+       |  SELECT f.doc_id, f.y, 0.5 + z / (2.0 * (1.0 + abs(z))) AS s FROM (
+       |    SELECT f.*, ${(0 until 5).foldLeft("0.0")((acc, j) => s"$acc + w.w$j * f.f$j")} AS z
+       |    FROM ft f, w5 w) f)
+       |SELECT doc_id, CAST(y AS BIGINT) AS label,
+       |  CAST(floor(s * 1e9) AS BIGINT) AS p_fp, s >= 0.5 AS pred
+       |FROM sf ORDER BY doc_id""".stripMargin
+
+  /** q129 twin: the q125 cross-side probe aggregated as a contamination
+    * report (per training doc: matches, max estimate, first bench id). */
+  private val fuzzyDecontamSql =
+    s"""WITH ${mhSide("t", "source <> 'src0'")},
+       |${mhSide("n", "source = 'src0'")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS tid, b.doc_id AS bid
+       |  FROM bandst a JOIN bandsn b
+       |    ON a.band = b.band AND a.bucket = b.bucket),
+       |est AS (
+       |  SELECT tid, bid,
+       |    CAST(SUM(CASE WHEN ht.minhash = hb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est
+       |  FROM cand
+       |  JOIN mht ht ON ht.doc_id = tid
+       |  JOIN mhn hb ON hb.doc_id = bid AND hb.i = ht.i
+       |  GROUP BY tid, bid)
+       |SELECT tid AS doc_id, COUNT(*) AS n_bench_matches, MAX(est) AS max_est,
+       |  MIN(bid) AS first_bench
+       |FROM est WHERE est >= 0.5
+       |GROUP BY tid ORDER BY doc_id""".stripMargin
+
+  /** q130 twin: the q23 pair chain + source labels + unordered-pair rollup. */
+  private val crossSourceLeakageSql =
+    s"""WITH $shingleCte,
+       |hs AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 268435456 AS hs
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id, i,
+       |    MIN(((2 * i + 1) * hs + 7919 * i) % 268435456) AS minhash
+       |  FROM hs CROSS JOIN range(32) t(i) GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY i)) AS bucket
+       |  FROM mh GROUP BY doc_id, i // 4),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT da, db,
+       |    CAST(SUM(CASE WHEN ha.minhash = hb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
+       |  FROM cands
+       |  JOIN mh ha ON ha.doc_id = da
+       |  JOIN mh hb ON hb.doc_id = db AND hb.i = ha.i
+       |  GROUP BY da, db),
+       |lab AS (
+       |  SELECT p.da, p.db, p.est_jaccard, a.source AS sa, b.source AS sb
+       |  FROM (SELECT * FROM est WHERE est_jaccard >= 0.5) p
+       |  JOIN documents a ON a.doc_id = p.da
+       |  JOIN documents b ON b.doc_id = p.db
+       |  WHERE a.source <> b.source),
+       |x AS (
+       |  SELECT least(sa, sb) AS src_lo, greatest(sa, sb) AS src_hi,
+       |    CASE WHEN sa < sb THEN da ELSE db END AS doc_lo,
+       |    CASE WHEN sa < sb THEN db ELSE da END AS doc_hi,
+       |    est_jaccard
+       |  FROM lab)
+       |SELECT src_lo, src_hi, COUNT(*) AS n_pairs,
+       |  COUNT(DISTINCT doc_lo) AS n_docs_lo,
+       |  COUNT(DISTINCT doc_hi) AS n_docs_hi,
+       |  MAX(est_jaccard) AS max_est
+       |FROM x GROUP BY src_lo, src_hi ORDER BY src_lo, src_hi""".stripMargin
+
+  /** q131 twin: the NAIVE global ordered-prefix-sum window (the two-phase
+    * bucket split in the Spark plan is order-consistent, so the values are
+    * identical — same contract Packing's oracle pins). */
+  private val tokenBudgetSql =
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |f0 AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tok,
+       |  CAST(len(toks) AS INTEGER) AS n_tokens,
+       |  CAST(${langScoreSql(TextOps.langStopwords.toMap.apply("en"))} AS DOUBLE) / greatest(len(toks), 1) AS stopword_ratio,
+       |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) AS alpha_ratio,
+       |  CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / greatest(len(toks), 1) AS avg_word_len
+       |  FROM t WHERE len(toks) > 0),
+       |f AS (SELECT doc_id, n_tok,
+       |  0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+       |  + 0.3 * stopword_ratio + 0.2 * alpha_ratio
+       |  + 0.2 * (1.0 - least(avg_word_len / 10.0, 1.0)) AS quality
+       |  FROM f0),
+       |b AS (SELECT CAST(SUM(n_tok) AS BIGINT) // 4 AS budget FROM f),
+       |c AS (SELECT doc_id, n_tok, quality,
+       |  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY quality DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_tok
+       |  FROM f)
+       |SELECT doc_id, n_tok, quality, cum_tok,
+       |  CAST(least(n_tok, b.budget - cum_tok) AS BIGINT) AS take_tokens
+       |FROM c, b WHERE cum_tok < b.budget ORDER BY doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q130_cross_source_leakage" -> crossSourceLeakageSql,
+    "q131_token_budget" -> tokenBudgetSql,
+    "q127_repeated_spans" -> repeatedSpansSql,
+    "q128_quality_classifier" -> qualityClassifierSql,
+    "q129_fuzzy_decontam" -> fuzzyDecontamSql,
     "q116_corpus_flagship" -> corpusFlagshipSql,
     "q125_incremental_dedup" -> incrementalDedupSql,
     // Health report: the q52/q115 closure aggregated per source.

@@ -82,4 +82,35 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(out == Map(0L -> "a b c d e", 1L -> "f g h i j"))
   }
+
+  test("repeatedSpans: off-alignment repeats merge into maximal spans") {
+    val s = spark
+    import s.implicits._
+    // doc 1 repeats doc 0's run "c d e f" at a DIFFERENT offset (1 vs 2) —
+    // the case aligned segment dedup cannot see; doc 2 is clean filler.
+    val d = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "z c d e f q r s"),
+      (2L, "m n o p q t u v")).toDF("doc_id", "text")
+    val out = DedupOps.repeatedSpans(d, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    // the only duplicated 4-window is "c d e f": doc 0 pos 2, doc 1 pos 1
+    assert(out == Set((0L, 2, 6, 1L), (1L, 1, 5, 1L)))
+  }
+
+  test("repeatedSpans: overlapping duplicated windows merge; within-doc repeats count") {
+    val s = spark
+    import s.implicits._
+    // doc 0 contains "x y x y x y": windows "x y x" (pos 0, 2) and
+    // "y x y" (pos 1, 3) each repeat WITHIN the doc → one merged span
+    // covering tokens [0, 6); doc 1 shares nothing.
+    val d = Seq(
+      (0L, "x y x y x y"),
+      (1L, "a b c d e f")).toDF("doc_id", "text")
+    val out = DedupOps.repeatedSpans(d, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(out == Set((0L, 0, 6, 4L)))
+  }
 }

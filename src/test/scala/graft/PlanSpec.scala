@@ -181,6 +181,20 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q127 duplicated-hash join is not a mandatory broadcast (boilerplate growth)") {
+    // the duplicated-window hash set grows with corpus boilerplate — a
+    // broadcast() hint on it would OOM on repetitive corpora; with the
+    // auto threshold at -1 the join must degrade to a shuffle join
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("q127_repeated_spans")
+      val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+      assert(bhj == 0, s"duplicated-hash join still forces a broadcast:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q120 centroid join is a broadcast (label-enum-sized build side)") {
     val p = plan("q120_embedding_outliers")
     assert(p.contains("BroadcastHashJoin"), p)
