@@ -23,15 +23,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.parquet` stores `ts` as TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to a µs timestamp —
-    * identical to DuckDB's TIMESTAMP_NS → TIMESTAMP cast, keeping oracle
-    * parity. */
+  /** `events.parquet` has shipped `ts` in two physical forms across driver
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * read nanos as long and truncate to µs, identical to DuckDB's
+    * TIMESTAMP_NS → TIMESTAMP cast) and plain TIMESTAMP(MICROS) without UTC
+    * adjustment (inferred as TIMESTAMP_NTZ; cast to session-TZ timestamp —
+    * an exact micros identity because every entry point pins
+    * `spark.sql.session.timeZone=UTC`). Branch on the footer schema so both
+    * generations load to the same µs TimestampType column. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    eventsTsIsLong(raw) match {
+      case true  => raw.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case false => raw.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
+
+  /** True when the events `ts` column decodes as raw nanos (legacy layout). */
+  def eventsTsIsLong(raw: DataFrame): Boolean =
+    raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -87,16 +87,20 @@ object StreamingQueries {
   }
 
   /** Streaming twin of [[graft.Tables.events]]: file source over the events
-    * parquet. `ts` is stored as TIMESTAMP(NANOS); read nanos as long and
-    * truncate to µs exactly like the batch loader (oracle parity). */
+    * parquet. Mirrors the batch loader's two-generation `ts` handling
+    * (TIMESTAMP(NANOS) read as long vs TIMESTAMP_NTZ micros) — the declared
+    * stream schema must match the footer, so probe it with a batch read. */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+    val tsIsLong = Tables.eventsTsIsLong(s.read.parquet(s"$d/events.parquet"))
+    val tsDecl = if (tsIsLong) "ts LONG" else "ts TIMESTAMP_NTZ"
+    val raw = s.readStream
+      .schema(s"event_id LONG, $tsDecl, user_id LONG, event_type STRING, " +
         "value DOUBLE, props STRING")
       .parquet(s"$d/{events}.parquet") // brace-glob: FileStreamSource needs a
       // directory/glob basePath, and the glob selects exactly this table
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (tsIsLong) raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Streaming documents source. The documents table has no event-time
