@@ -43,6 +43,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Tables.events relies on NTZ→timestamp being an exact micros
+      // identity; pin UTC here so the invariant holds under bare
+      // java/spark-submit launches, not only sbt-forked ones.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -86,7 +90,8 @@ object Bench {
     // SPARK_GRAFT_STAGES=0.
     val stageFams: Seq[(String, Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])] = Seq(
       "q98_erkg_flagship" -> graft.queries.SenzingQueries.flagshipStages,
-      "q116_corpus_flagship" -> graft.queries.TextQueries.flagshipStages)
+      "q116_corpus_flagship" -> graft.queries.TextQueries.flagshipStages,
+      "q79_hybrid_linking" -> graft.queries.NlpQueries.hybridStages)
     val doStages = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_STAGES", "1") != "0"
     val stageJson =
       if (!doStages) "{}"

@@ -34,12 +34,12 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    eventsTsIsLong(raw) match {
-      case true  => raw.withColumn("ts",
+    if (eventsTsIsLong(raw))
+      raw.withColumn("ts",
         org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      case false => raw.withColumn("ts",
+    else
+      raw.withColumn("ts",
         org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-    }
   }
 
   /** True when the events `ts` column decodes as raw nanos (legacy layout). */

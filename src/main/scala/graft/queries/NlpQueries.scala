@@ -79,6 +79,94 @@ object NlpQueries {
     out
   }
 
+  /** q79's three-engine hybrid linker, parameterized by how many of its
+    * ranked signals participate in the RRF fusion: A = prior × context
+    * cosine, B = fuzzy edit-distance, C = BM25 over the entity-name corpus.
+    * `nSignals = 3` is the exact q79 plan; the 1- and 2-signal prefixes
+    * exist only for Bench's cumulative stage timing ([[hybridStages]]), so
+    * a regression inside one engine shows as a jump between consecutive
+    * stage entries instead of hiding in the whole-query median. */
+  def hybridLinking(s: SparkSession, d: String, nSignals: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // cached: the mention set is referenced by all three signal builders
+    // plus both token-level expansions; released via `releasing` below
+    val toks = docTokens(s, d).select(col("doc_id"), col("token"))
+      .distinct().cache()
+    // signal A: prior × cosine, top-5 per (doc_id, token)
+    val candA = toks.join(broadcast(gaz(s, d)), col("token") === col("alias"))
+      .select(col("doc_id"), col("token"), col("entity"), col("prior"))
+    val (docVecs, entVecs) = contextVecs(s, d)
+    val sigA = EntityLinking.rankedCandidates(candA, docVecs, entVecs,
+        Seq("doc_id", "token"), topK = 5,
+        (a, b) => call_function("cosine_sim", a, b))
+      .select(col("doc_id"), col("token"), col("entity"), col("rn"))
+    // signal B: fuzzy candidates (alias-level top-5 per q46), alias →
+    // entity, entity ranked per token by (min dist asc, entity asc)
+    lazy val aliasEnt = Tables.part(s, d)
+      .select(explode(TextOps.tokens(col("p_name"))).as("alias"),
+        col("p_partkey").as("entity")).distinct()
+    lazy val sigB = broadcast(
+      FuzzyMatch.fuzzyCandidates(toks.select(col("token")),
+          aliasEnt.select(col("alias")), maxDist = 2, blockK = 2, topK = 5)
+        .join(aliasEnt, Seq("alias"))
+        .groupBy(col("token"), col("entity")).agg(min(col("dist")).as("dist"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
+            .orderBy(col("dist").asc, col("entity").asc)))
+        .filter(col("rn") <= 5)
+        .select(col("token"), col("entity"), col("rn")))
+    // signal C: BM25 against the part-name corpus (entity = part key)
+    lazy val sigC = broadcast(
+      graft.text.RankedSearch.bm25TopK(Tables.part(s, d), "p_partkey", "p_name",
+          toks.select(col("token").as("surface")),
+          k1 = 1.2, b = 0.75, blockK = 1, topK = 5)
+        .select(col("surface").as("token"), col("doc_id").as("entity"), col("rn")))
+    // expand the token-level signals to the (doc_id, token) mention set
+    lazy val sigBdoc = toks.join(sigB, Seq("token"))
+      .select(col("doc_id"), col("token"), col("entity"), col("rn"))
+    lazy val sigCdoc = toks.join(sigC, Seq("token"))
+      .select(col("doc_id"), col("token"), col("entity"), col("rn"))
+    val sigs = Seq(sigA) ++
+      (if (nSignals >= 2) Seq(sigBdoc) else Nil) ++
+      (if (nSignals >= 3) Seq(sigCdoc) else Nil)
+    releasing(toks)(
+      graft.text.HybridRetrieval.rrfFuse(sigs,
+          Seq("doc_id", "token"), "entity", k = 60, topK = 3)
+        .orderBy(col("doc_id"), col("token"), col("rn")))
+  }
+
+  /** q66's exact shape: every distinct adjacent bigram of the whole corpus
+    * retrieves its top-5 documents by BM25. Because the mention set is
+    * corpus-scale — exactly the probe shape RankedSearch's docstring says
+    * must NOT broadcast (at 100 TB it would not fit the driver) — the block
+    * keys shuffle-join the postings (`broadcastQueries = false`); the
+    * oracle is plan-agnostic. `checkpoint = false` is PlanSpec's window
+    * into the pre-checkpoint plan (the eager localCheckpoint in bm25TopK
+    * otherwise hides it behind an RDD scan). */
+  private[graft] def bm25Candidates(s: SparkSession, d: String,
+                                    checkpoint: Boolean = true): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val mentions = docs
+      .select(TextOps.tokens(col("text")).as("w"))
+      .select(explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ", slice(col("w"), i, lit(2)))))
+        .otherwise(array().cast("array<string>"))).as("surface"))
+      .distinct()
+    graft.text.RankedSearch.bm25TopK(docs, "doc_id", "text", mentions,
+        k1 = 1.2, b = 0.75, blockK = 1, topK = 5,
+        broadcastQueries = false, checkpoint = checkpoint)
+      .orderBy(col("surface"), col("rn"))
+  }
+
+  /** CUMULATIVE stage prefixes of q79 for Bench's per-stage timing (same
+    * contract as [[SenzingQueries.flagshipStages]]): prior×cosine → +fuzzy
+    * → +BM25; the last entry is the exact q79 plan. */
+  def hybridStages: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "sA_prior_cosine" -> ((s, d) => hybridLinking(s, d, 1)),
+    "sAB_plus_fuzzy" -> ((s, d) => hybridLinking(s, d, 2)),
+    "sABC_plus_bm25" -> ((s, d) => hybridLinking(s, d, 3)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // V5 — gazetteer mention candidates (broadcast alias join, top-8 priors).
@@ -153,19 +241,7 @@ object NlpQueries {
     // retrieves its top-5 documents by exact BM25 (k1=1.2, b=0.75,
     // quantized idf), candidates generated through the mention's rarest
     // token (champion-list blocking), never all-pairs.
-    "q66_bm25_candidates" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val mentions = docs
-        .select(TextOps.tokens(col("text")).as("w"))
-        .select(explode(when(size(col("w")) >= 2,
-          transform(sequence(lit(1), size(col("w")) - 1),
-            i => concat_ws(" ", slice(col("w"), i, lit(2)))))
-          .otherwise(array().cast("array<string>"))).as("surface"))
-        .distinct()
-      graft.text.RankedSearch.bm25TopK(docs, "doc_id", "text", mentions,
-          k1 = 1.2, b = 0.75, blockK = 1, topK = 5)
-        .orderBy(col("surface"), col("rn"))
-    }),
+    "q66_bm25_candidates" -> ((s, d) => bm25Candidates(s, d)),
 
     // V4 (phrase form) — doc._.phrases semantics: spans of 1..3 tokens
     // ranked by aggregated member-token TextRank, with occurrence counts,
@@ -216,51 +292,7 @@ object NlpQueries {
     // A misspelled token has no exact-gazetteer candidates (A and C empty)
     // but still links through B; an ambiguous exact token is ranked by all
     // three. Token-level signals (B, C) broadcast into the doc expansion.
-    "q79_hybrid_linking" -> ((s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      // cached: the mention set is referenced by all three signal builders
-      // plus both token-level expansions; released via `releasing` below
-      val toks = docTokens(s, d).select(col("doc_id"), col("token"))
-        .distinct().cache()
-      // signal A: prior × cosine, top-5 per (doc_id, token)
-      val candA = toks.join(broadcast(gaz(s, d)), col("token") === col("alias"))
-        .select(col("doc_id"), col("token"), col("entity"), col("prior"))
-      val (docVecs, entVecs) = contextVecs(s, d)
-      val sigA = EntityLinking.rankedCandidates(candA, docVecs, entVecs,
-          Seq("doc_id", "token"), topK = 5,
-          (a, b) => call_function("cosine_sim", a, b))
-        .select(col("doc_id"), col("token"), col("entity"), col("rn"))
-      // signal B: fuzzy candidates (alias-level top-5 per q46), alias →
-      // entity, entity ranked per token by (min dist asc, entity asc)
-      val aliasEnt = Tables.part(s, d)
-        .select(explode(TextOps.tokens(col("p_name"))).as("alias"),
-          col("p_partkey").as("entity")).distinct()
-      val sigB = broadcast(
-        FuzzyMatch.fuzzyCandidates(toks.select(col("token")),
-            aliasEnt.select(col("alias")), maxDist = 2, blockK = 2, topK = 5)
-          .join(aliasEnt, Seq("alias"))
-          .groupBy(col("token"), col("entity")).agg(min(col("dist")).as("dist"))
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
-              .orderBy(col("dist").asc, col("entity").asc)))
-          .filter(col("rn") <= 5)
-          .select(col("token"), col("entity"), col("rn")))
-      // signal C: BM25 against the part-name corpus (entity = part key)
-      val sigC = broadcast(
-        graft.text.RankedSearch.bm25TopK(Tables.part(s, d), "p_partkey", "p_name",
-            toks.select(col("token").as("surface")),
-            k1 = 1.2, b = 0.75, blockK = 1, topK = 5)
-          .select(col("surface").as("token"), col("doc_id").as("entity"), col("rn")))
-      // expand the token-level signals to the (doc_id, token) mention set
-      val sigBdoc = toks.join(sigB, Seq("token"))
-        .select(col("doc_id"), col("token"), col("entity"), col("rn"))
-      val sigCdoc = toks.join(sigC, Seq("token"))
-        .select(col("doc_id"), col("token"), col("entity"), col("rn"))
-      releasing(toks)(
-        graft.text.HybridRetrieval.rrfFuse(Seq(sigA, sigBdoc, sigCdoc),
-            Seq("doc_id", "token"), "entity", k = 60, topK = 3)
-          .orderBy(col("doc_id"), col("token"), col("rn")))
-    }),
+    "q79_hybrid_linking" -> ((s, d) => hybridLinking(s, d, nSignals = 3)),
 
     // F5 (literal form) — the reference's review report: phrases that did
     // NOT link (text.notnull() & kb_id == "", analysis.py:35), per-doc

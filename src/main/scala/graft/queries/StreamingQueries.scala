@@ -92,8 +92,13 @@ object StreamingQueries {
     * stream schema must match the footer, so probe it with a batch read. */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsIsLong = Tables.eventsTsIsLong(s.read.parquet(s"$d/events.parquet"))
-    val tsDecl = if (tsIsLong) "ts LONG" else "ts TIMESTAMP_NTZ"
+    val probed = s.read.parquet(s"$d/events.parquet").schema("ts").dataType
+    val tsIsLong = probed == org.apache.spark.sql.types.LongType
+    // Declare exactly what the batch probe inferred — hardcoding NTZ for
+    // the non-long case would diverge if a driver generation ships
+    // isAdjustedToUTC=true micros (TimestampType) or inferTimestampNTZ is
+    // off; `.sql` renders LONG/TIMESTAMP/TIMESTAMP_NTZ correctly.
+    val tsDecl = s"ts ${probed.sql}"
     val raw = s.readStream
       .schema(s"event_id LONG, $tsDecl, user_id LONG, event_type STRING, " +
         "value DOUBLE, props STRING")

@@ -50,20 +50,38 @@ object RankedSearch {
                mentions: DataFrame,
                k1: Double = 1.2, b: Double = 0.75,
                blockK: Int = 1, topK: Int = 5,
-               broadcastQueries: Boolean = true): DataFrame = {
+               broadcastQueries: Boolean = true,
+               checkpoint: Boolean = true): DataFrame = {
     // Postings: (doc, token) → tf, plus per-doc length dl. One shuffle —
     // and CACHED for the call: the postings list is referenced four times
     // (doc lengths, df stats, candidate generation, scoring) and an
     // uncached reference re-scans and re-aggregates the corpus each time.
     // This is the inverted-index BUILD — released before returning via the
     // materialize-then-unpersist tail (cache-leak-free, CacheHygieneSpec).
-    val postings = docs
+    // `checkpoint = false` skips both the cache and the eager checkpoint
+    // and returns the raw logical plan — for PlanSpec only (the eager
+    // localCheckpoint otherwise hides the plan behind an RDD scan).
+    val postingsPlan = docs
       .select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .cache()
+    if (!checkpoint)
+      return ranked(postingsPlan, mentions, k1, b, blockK, topK, broadcastQueries)
+    val postings = postingsPlan.cache()
     try {
+      ranked(postings, mentions, k1, b, blockK, topK, broadcastQueries)
+        .localCheckpoint()
+    // finally: a failed checkpoint (lost executor, cancelled job) must still
+    // release the postings cache, or every failed call leaks an entry
+    } finally postings.unpersist()
+  }
+
+  /** The BM25 scoring plan over a prebuilt postings list — the body shared
+    * by [[bm25TopK]]'s materializing and plan-only modes. */
+  private def ranked(postings: DataFrame, mentions: DataFrame,
+                     k1: Double, b: Double, blockK: Int, topK: Int,
+                     broadcastQueries: Boolean): DataFrame = {
     val docLen = postings.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("dl"))
     // Corpus constants as a 1-row broadcast scalar (same pattern as nvec).
@@ -91,7 +109,15 @@ object RankedSearch {
         Window.partitionBy(col("surface")).orderBy(col("df").asc, col("token").asc)))
       .filter(col("krn") <= blockK)
       .select(col("surface"), col("token"))
-    val keyedProbe = if (broadcastQueries) broadcast(blockKeys) else blockKeys
+    // Non-broadcast path: SHUFFLE_HASH, not sort-merge — both sides
+    // co-partition on token either way, but hashing the per-partition
+    // probe shard skips the sort of the (much larger) postings side.
+    // Memory is bounded by ONE partition of block keys, which shrinks as
+    // shuffle partitions grow — scale-safe where the driver-sized
+    // broadcast is not.
+    val keyedProbe =
+      if (broadcastQueries) broadcast(blockKeys)
+      else blockKeys.hint("shuffle_hash")
     val candidates = keyedProbe.join(postings, Seq("token"))
       .select(col("surface"), col("doc_id")).distinct()
 
@@ -113,17 +139,13 @@ object RankedSearch {
       .groupBy(col("surface"), col("doc_id"))
       .agg(sum(floor(col("contrib") * lit(1e9)).cast("long")).as("score_fp"))
 
-    val ranked = scored
+    scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("surface"))
           .orderBy(col("score_fp").desc, col("doc_id").asc)))
       .filter(col("rn") <= topK)
       .select(col("surface"), col("doc_id"),
         (col("score_fp").cast("double") / lit(1e9)).as("score"), col("rn"))
-    ranked.localCheckpoint()
-    // finally: a failed checkpoint (lost executor, cancelled job) must still
-    // release the postings cache, or every failed call leaks an entry
-    } finally postings.unpersist()
   }
 
   /** TF-IDF sparse-vector COSINE similarity join over a document corpus:

@@ -201,6 +201,42 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q66 probe-side block keys are never broadcast (corpus-scale probe set)") {
+    // q66's mention set is every distinct adjacent bigram of the whole
+    // corpus — a broadcast() hint on the blockKeys side would OOM the
+    // driver at 100 TB (RankedSearch's docstring contract). tokenIdf and
+    // the 1-row stats aggregate stay legitimately hinted (vocabulary- /
+    // scalar-sized), so assert specifically that no broadcast build side
+    // carries the `surface` column rather than counting all BHJs.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      // checkpoint=false: the production entry eagerly localCheckpoints,
+      // which hides the retrieval plan behind an RDD scan
+      val phys = graft.queries.NlpQueries.bm25Candidates(spark, sf, checkpoint = false)
+        .queryExecution.sparkPlan
+      val offenders = phys.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if {
+              val build = j.buildSide match {
+                case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+                case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+              }
+              build.output.exists(_.name == "surface")
+            } => j
+      }
+      assert(offenders.isEmpty,
+        s"blockKeys probe still forces a broadcast:\n${offenders.mkString("\n")}")
+      // and the probe join must still exist — degraded to a shuffle join
+      val probeSmj = phys.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.output.exists(_.name == "surface") => j
+      }
+      assert(probeSmj.nonEmpty, s"expected a shuffle probe join:\n$phys")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q108 cohort join is not a mandatory broadcast (firstSeen grows with data)") {
     // firstSeen is one row PER USER — broadcasting it is a driver OOM at
     // scale. With the auto-broadcast threshold forced to -1 the join must

@@ -17,6 +17,7 @@ object PlanDump {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
       .appName("plandump")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
