@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * 100 TB training-data pipeline carries them — the engine never interprets
   * media bytes except inside an explicit decode stage.
   *
-  * IMAGE decode is REAL: [[decodeImageFeatures]] runs the JDK's own
-  * `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF readers ship with Java — zero
-  * external dependencies) and emits true pixel dimensions + channel
-  * statistics. Payloads in formats the runtime has no reader for fall back
-  * to DETERMINISTIC byte-stat pseudo-features flagged `decoded = false` —
-  * that fallback is the only remaining stub, and the Spark-side plumbing —
+  * IMAGE and AUDIO decode are REAL: [[decodeImageFeatures]] runs the JDK's
+  * own `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF readers ship with Java —
+  * zero external dependencies) and emits true pixel dimensions + channel
+  * statistics; [[decodeAudioFeatures]] runs `javax.sound.sampled` (WAV/
+  * AIFF/AU readers likewise ship with the JDK) and emits the true sample
+  * rate, channel count, and exact-integer RMS. VIDEO remains the one
+  * stubbed modality (no JDK codec). Payloads in formats the runtime has no
+  * reader for fall back to DETERMINISTIC byte-stat pseudo-features flagged
+  * `decoded = false`, and the Spark-side plumbing —
   * schema, encoders, batched `mapPartitions` (the JVM analog of
   * `mapInPandas`: one iterator per partition, processed in fixed-size
   * batches as a vectorized codec would), partition sizing, frame explosion
@@ -114,6 +117,84 @@ object MultimodalOps {
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.iterator.map(decodeImageFeatures))
     }
+  }
+
+  /** Real audio decode output: container-reported format + exact sample
+    * statistics when the JDK carries a reader (`decoded = true`), byte-stat
+    * fallback otherwise (sample_rate/channels = -1, rms = mean byte). */
+  case class AudioFeatures(doc_id: Long, decoded: Boolean, sample_rate: Int,
+                           channels: Int, n_samples: Long, rms: Double)
+
+  /** REAL decode via `javax.sound.sampled.AudioSystem` — WAV/AIFF/AU
+    * readers ship with the JDK (zero external dependencies), mirroring the
+    * ImageIO image path. 16-bit PCM samples are squared and summed as exact
+    * BIGINTs, so a deterministic fixture's RMS is oracle-derivable
+    * arithmetically: the integer sum is order-free and exact (< 2^53), and
+    * `sqrt` of the same double is correctly rounded on both engines.
+    * Undecodable payloads (absent codec, truncated header, non-16-bit
+    * encodings) keep the deterministic stub path with `decoded = false`. */
+  def decodeAudioFeatures(row: MediaRow): AudioFeatures = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val in =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(row.payload))
+      catch { case _: Exception => null }
+    def fallback = {
+      val f = decodeStub(row)
+      AudioFeatures(row.doc_id, decoded = false, -1, -1, f.n_bytes.toLong, f.mean_byte)
+    }
+    if (in == null) fallback
+    else try {
+      val fmt = in.getFormat
+      if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) fallback
+      else {
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        var ss = 0L
+        var i = 0
+        while (i < n) {
+          val s =
+            if (fmt.isBigEndian) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+            else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+          ss += s.toLong * s
+          i += 1
+        }
+        AudioFeatures(row.doc_id, decoded = true,
+          fmt.getSampleRate.toInt, fmt.getChannels,
+          if (fmt.getChannels == 0) 0L else n.toLong / fmt.getChannels,
+          if (n == 0) 0.0 else math.sqrt(ss.toDouble / n))
+      }
+    } finally in.close()
+  }
+
+  /** Batched per-partition REAL audio decode — same batch shape as
+    * [[extractFeatures]], kernel swapped for the sampled-audio reader. */
+  def decodeAudio(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.iterator.map(decodeAudioFeatures))
+    }
+  }
+
+  /** Deterministic WAV fixture encoder: mono 16-bit little-endian PCM.
+    * WAV is lossless, so decode recovers every sample exactly — letting a
+    * DuckDB oracle predict real-decode RMS arithmetically (the audio twin
+    * of [[encodePng]]). */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** Deterministic PNG fixture encoder: a solid-color `w`×`h` RGB image.

@@ -49,6 +49,30 @@ object MediaQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL audio decode through the JDK's sampled-audio reader: each
+    // document becomes a deterministic mono 16-bit PCM WAV (n = 8 + id%16
+    // samples at 8 kHz, sample i = (id + 7i) % 2048 - 1024), the batched
+    // mapPartitions decode recovers the container format and the exact
+    // sample stream, and the oracle predicts the RMS arithmetically (WAV is
+    // lossless; the sum of squares is an exact BIGINT on both engines and
+    // sqrt of the same double is correctly rounded). The audio twin of q67.
+    "q132_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (8 + id % 16).toInt
+          val samples = Array.tabulate[Short](n)(i =>
+            (((id + 7L * i) % 2048) - 1024).toShort)
+          MultimodalOps.MediaRow(id, "audio",
+            MultimodalOps.encodeWav(8000, samples), "wav", 0, 0, 0L)
+        }
+      MultimodalOps.decodeAudio(media).toDF()
+        .select(col("doc_id"), col("decoded"), col("sample_rate"),
+          col("channels"), col("n_samples"), col("rms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame-sampling MANIFEST (relational twin of MultimodalOps.sampleFrames'
     // schedule): one row per sampled frame of each video every 1000 ms —
     // the generate runs map-side off metadata; the byte-slicing stub decode
@@ -89,6 +113,18 @@ object MediaQueries {
         |  CAST(1 + doc_id % 5 AS INTEGER) AS img_height,
         |  CAST(doc_id % 256 AS DOUBLE) AS mean_luma
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q132_audio_decode" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 16 AS n FROM documents),
+        |s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM d),
+        |q AS (SELECT doc_id, n, (doc_id + 7 * i) % 2048 - 1024 AS v FROM s),
+        |a AS (SELECT doc_id, any_value(n) AS n, sum(v * v) AS ss
+        |      FROM q GROUP BY doc_id)
+        |SELECT doc_id, true AS decoded,
+        |  CAST(8000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  sqrt(CAST(ss AS DOUBLE) / n) AS rms
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q57_frame_manifest" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(n_chars * 10 AS BIGINT) AS duration_ms

@@ -87,4 +87,31 @@ class MultimodalSpec extends SparkSuite {
     // garbage bytes: deterministic stub fallback, flagged undecoded
     assert(!f(3L).decoded && f(3L).img_width == -1 && f(3L).n_bytes == 4)
   }
+
+  test("decodeAudio: REAL WAV decode recovers format + exact RMS, stub fallback for garbage") {
+    val s = spark
+    import s.implicits._
+    // constant-amplitude signal: RMS is exactly the amplitude (sqrt of a
+    // perfect square — both exactly representable doubles)
+    val const = Array.fill[Short](32)(300)
+    // ramp 0..7: sum of squares 140, RMS = sqrt(140/8) exactly as IEEE ops
+    val ramp = Array.tabulate[Short](8)(_.toShort)
+    val rows = Seq(
+      MediaRow(0L, "audio", MultimodalOps.encodeWav(8000, const), "wav", 0, 0, 0L),
+      MediaRow(1L, "audio", MultimodalOps.encodeWav(44100, ramp), "wav", 0, 0, 0L),
+      MediaRow(2L, "audio", Array[Byte](1, 2, 3, 4), "not-audio", 0, 0, 0L)).toDS()
+    val f = MultimodalOps.decodeAudio(rows, batchSize = 2).collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(f(0L).decoded && f(0L).sample_rate == 8000 && f(0L).channels == 1)
+    assert(f(0L).n_samples == 32 && f(0L).rms == 300.0)
+    assert(f(1L).decoded && f(1L).sample_rate == 44100)
+    assert(f(1L).n_samples == 8 && f(1L).rms == math.sqrt(140.0 / 8))
+    // garbage bytes: deterministic stub fallback, flagged undecoded
+    assert(!f(2L).decoded && f(2L).sample_rate == -1 && f(2L).n_samples == 4)
+    // negative samples square correctly (sign-extension path)
+    val neg = Array[Short](-300, -300)
+    val g = MultimodalOps.decodeAudioFeatures(
+      MediaRow(9L, "audio", MultimodalOps.encodeWav(8000, neg), "wav", 0, 0, 0L))
+    assert(g.decoded && g.rms == 300.0)
+  }
 }
