@@ -58,13 +58,18 @@ object GraphOps {
     */
   def kHopGraphX(spark: SparkSession, edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
-    val seedSet = spark.sparkContext.broadcast(
-      seeds.select(col("id").cast("long")).as[Long].collect().toSet)
+    // seeds stay DISTRIBUTED: outerJoinVertices ships them through a
+    // shuffle keyed like the vertex RDD — no driver collect, so a
+    // graph-scale seed set (e.g. "all flagged entities") cannot OOM the
+    // driver the way a collected broadcast set would
+    val seedRdd = seeds.select(col("id").cast("long")).as[Long]
+      .rdd.map(id => (id, ()))
     val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
     val graph = Graph.fromEdges[Int, Unit](edgeRdd, Int.MaxValue,
       StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
-      .mapVertices((id, _) => if (seedSet.value.contains(id)) 0 else Int.MaxValue)
+      .outerJoinVertices(seedRdd)((_, _, s) =>
+        if (s.isDefined) 0 else Int.MaxValue)
     val bfs = graph.pregel(Int.MaxValue, maxIterations = k)(
       (_, dist, msg) => math.min(dist, msg),
       t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
@@ -211,14 +216,17 @@ object GraphOps {
   def ssspWeightedGraphX(spark: SparkSession, edges: DataFrame,
                          seeds: DataFrame, maxRounds: Int): DataFrame = {
     import spark.implicits._
-    val seedSet = spark.sparkContext.broadcast(
-      seeds.select(col("id").cast("long")).as[Long].collect().toSet)
+    // distributed seed labeling — same no-driver-collect rationale as
+    // kHopGraphX
+    val seedRdd = seeds.select(col("id").cast("long")).as[Long]
+      .rdd.map(id => (id, ()))
     val edgeRdd = edges
       .select(col("src").cast("long"), col("dst").cast("long"), col("cost").cast("long"))
       .as[(Long, Long, Long)].rdd.map { case (s, d, c) => Edge(s, d, c) }
     val graph = Graph.fromEdges[Long, Long](edgeRdd, Long.MaxValue,
       StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
-      .mapVertices((id, _) => if (seedSet.value.contains(id)) 0L else Long.MaxValue)
+      .outerJoinVertices(seedRdd)((_, _, s) =>
+        if (s.isDefined) 0L else Long.MaxValue)
     val sssp = graph.pregel(Long.MaxValue, maxIterations = maxRounds)(
       (_, d, msg) => math.min(d, msg),
       t => if (t.srcAttr != Long.MaxValue && t.srcAttr + t.attr < t.dstAttr)
