@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-step validation for the dedup/ANN family: replays the production
+  * query plans (by name, the exact `SparkEntry.queries` lambdas) against a
+  * corpus REPLICATED ×M from the largest driver testdata, so the documented
+  * scale dials (banded-LSH candidate rate, prefix-filter selectivity, AQE
+  * plan shapes, fixed-k growth rules) are observed off the toy scale
+  * instead of argued from the plan shape.
+  *
+  * Replication is similarity-PRESERVING within a replica and
+  * similarity-BREAKING across replicas: replica k > 0 suffixes every token
+  * with `_k` (so no cross-replica shingle overlap inflates LSH buckets —
+  * the corpus is M independent copies, the honest "more data" shape, not a
+  * pathological M× duplicate cluster) and shifts every embedding component
+  * by k·0.0011 (distinct sign-LSH buckets, preserved within-replica
+  * geometry). Replica 0 is byte-identical to the source, so ×1 numbers are
+  * the production corpus.
+  *
+  * Emits `SCALE_r{N}.json`-shaped output: per-mult, per-query wall seconds
+  * (noop-sink, same contract as Bench) and output row counts — for the
+  * dedup queries rows = surviving clusters/matches, for q100 rows = the
+  * candidate pairs that survived the cosine verify, i.e. the quantity whose
+  * growth must stay ~linear in M if the blocking holds.
+  */
+object ScaleBench {
+
+  private val names = Seq(
+    "q52_dedup_canonical", "q100_lsh_banded_pairs", "q115_dedup_canonical_df",
+    "q125_incremental_dedup", "q129_fuzzy_decontam")
+
+  /** doc_id/vec_id namespace stride between replicas — far above any
+    * driver-generated id at the scales this tool reads. */
+  private val IdStride = 10000000L
+
+  private def replicate(spark: SparkSession, base: String, m: Int, out: String): Unit = {
+    val reps = spark.range(m).select(col("id").cast("int").as("k"))
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val suffixed = array_join(
+      transform(split(col("text"), "\\s+"), t => concat(t, lit("_"), col("k"))),
+      " ")
+    docs.crossJoin(reps)
+      .select(
+        (col("doc_id") + col("k") * IdStride).as("doc_id"),
+        when(col("k") === 0, col("text")).otherwise(suffixed).as("text"),
+        col("lang"), col("source"),
+        when(col("k") === 0, col("n_chars"))
+          .otherwise(length(array_join(
+            transform(split(col("text"), "\\s+"), t => concat(t, lit("_"), col("k"))),
+            " ")).cast("long")).as("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    // Per-replica SIGN-FLIP mask, not an additive shift: flipping a fixed
+    // per-replica subset of dimensions leaves every within-replica cosine
+    // bit-identical (both sides flip the same dims) while cross-replica
+    // cosines decorrelate to ~0 (half the products change sign) — an
+    // additive constant barely moves sign-LSH projections, so replicas of
+    // the same vector would collide into the same buckets and inflate the
+    // pair count ~M² instead of the honest ~M (observed 112× at M=10).
+    // Knuth multiplicative hash spreads the mask bits; k = 0 keeps the
+    // source vectors byte-identical.
+    emb.crossJoin(reps)
+      .select(
+        (col("vec_id") + col("k") * IdStride).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          // bit (i%31) of k*knuth, via exact double div (k·knuth < 2^35)
+          when(pmod(floor((col("k") * lit(2654435761L)).cast("double")
+                 / pow(lit(2.0), (i % 31).cast("double"))).cast("long"),
+                 lit(2L)) === 1L, -x)
+            .otherwise(x)).as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = args.headOption.getOrElse("SCALE_r10.json")
+    val mults = sys.env.get("SPARK_GRAFT_SCALE_MULTS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 10))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // by-name: plan CONSTRUCTION must run inside the timer — most of these
+    // queries end in an eager localCheckpoint, so the work happens at
+    // construction and a strict parameter would time only the noop drain
+    def timeNoop(df: => DataFrame): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val perMult = mults.map { m =>
+      val dir =
+        if (m == 1) base
+        else {
+          val d = s"/tmp/graft_scale_x$m"
+          replicate(spark, base, m, d)
+          d
+        }
+      val perQuery = names.map { name =>
+        val fn = SparkEntry.queries(name)
+        val warm = timeNoop(fn(spark, dir))
+        val steady = timeNoop(fn(spark, dir))
+        val rows = fn(spark, dir).count()
+        spark.sqlContext.clearCache()
+        name -> (warm, steady, rows)
+      }
+      m -> perQuery
+    }
+
+    val json = perMult.map { case (m, qs) =>
+      val inner = qs.map { case (n, (w, s, r)) =>
+        s""""$n":{"warm_sec":$w,"steady_sec":$s,"rows":$r}"""
+      }.mkString(",")
+      s""""x$m":{$inner}"""
+    }.mkString("{\"base\":\"" + base + "\",", ",", "}")
+    Files.write(Paths.get(outPath), json.getBytes(StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}
