@@ -515,11 +515,11 @@ object NlpQueries {
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY token
          |        ORDER BY dist ASC, alias ASC) AS rn FROM ver) t
          |WHERE rn <= 5 ORDER BY token, rn""".stripMargin,
-    // BM25 mirror: idf quantized via floor(ln·1e9)/1e9 (raw ln differs from
-    // Spark by 1 ulp on ~0.1% of df arguments; the quantized value is
-    // bit-identical for every df ≤ 50000 — verified exhaustively), literal
-    // arithmetic unfolded to match Spark's IEEE op order, contributions
-    // summed fixed-point.
+    // BM25 mirror: idf = iln(2N+2) − iln(2df+1) via the integer-only
+    // fixed-point ln (IntLn — identical across engines by construction,
+    // replacing the former floor(libm ln·1e9) whose parity rested on a
+    // ≤1-ulp argument), literal arithmetic unfolded to match Spark's IEEE
+    // op order, contributions summed fixed-point.
     "q66_bm25_candidates" ->
       s"""WITH w0 AS (SELECT doc_id, ${toksSql("text")} AS w FROM documents),
          |m AS (SELECT DISTINCT array_to_string(w[i:i+1], ' ') AS surface
@@ -529,7 +529,7 @@ object NlpQueries {
          |dlen AS (SELECT doc_id, SUM(tf) AS dl FROM p GROUP BY 1),
          |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dlen),
          |ti AS (SELECT token, df,
-         |        CAST(floor(ln(CAST(1 AS DOUBLE) + ((n_docs - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) * 1e9) AS DOUBLE) / 1e9 AS idf
+         |        CAST(${graft.functions.IntLn.iln1e9Sql("n_docs * 2 + 2")} - ${graft.functions.IntLn.iln1e9Sql("df * 2 + 1")} AS DOUBLE) / 1e9 AS idf
          |       FROM (SELECT token, COUNT(*) AS df FROM p GROUP BY token) d0 CROSS JOIN st),
          |mt AS (SELECT DISTINCT surface, unnest(${toksSql("surface")}) AS token FROM m),
          |bk AS (SELECT surface, token FROM (
@@ -649,7 +649,7 @@ object NlpQueries {
          |cdlen AS (SELECT doc_id, SUM(tf) AS dl FROM cp GROUP BY 1),
          |cst AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM cdlen),
          |cti AS (SELECT token, df,
-         |         CAST(floor(ln(CAST(1 AS DOUBLE) + ((n_docs - df) + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))) * 1e9) AS DOUBLE) / 1e9 AS idf
+         |         CAST(${graft.functions.IntLn.iln1e9Sql("n_docs * 2 + 2")} - ${graft.functions.IntLn.iln1e9Sql("df * 2 + 1")} AS DOUBLE) / 1e9 AS idf
          |        FROM (SELECT token, COUNT(*) AS df FROM cp GROUP BY token) d0 CROSS JOIN cst),
          |cbk AS (SELECT t.token FROM dt t JOIN cti USING (token)),
          |ccand AS (SELECT DISTINCT b.token, p.doc_id AS entity

@@ -144,8 +144,10 @@ object TextQueries {
       val idf = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
         .crossJoin(nDocs)
         .select(col("token"),
-          (floor(log(col("n_docs").cast("double") / col("df").cast("double"))
-            * lit(1e9)).cast("double") / lit(1e9)).as("idf"))
+          // ln(N/df) via the integer-only fixed-point ln (IntLn, see q114)
+          ((graft.functions.IntLn.iln1e9(col("n_docs"))
+            - graft.functions.IntLn.iln1e9(col("df")))
+            .cast("double") / lit(1e9)).as("idf"))
       postings.join(idf, Seq("token"))
         .select(col("doc_id"), col("token"),
           (col("tf").cast("double") * col("idf")).as("tfidf"))
@@ -313,20 +315,22 @@ object TextQueries {
     // training doc (source <> 'src0') by how target-like it is, where the
     // target distribution is the 'src0' slice — avg log p_target(w) −
     // log p_raw(w) over the doc's tokens under add-1-smoothed unigram LMs.
-    // The per-token log-ratio is ln of an INTEGER ratio, quantized
-    // fixed-point (the BM25 idf discipline), and per-doc totals are long
-    // sums — order-independent, so the gate holds bit-for-bit. Scale
-    // shape: one vocab count shuffle; the (vocab-sized) ratio table
+    // The per-token log-ratio is ln of an INTEGER ratio, computed with the
+    // INTEGER-ONLY fixed-point ln (functions.IntLn — no libm on either
+    // engine, so the 1e9-quantized value is cross-engine identical BY
+    // CONSTRUCTION; this replaced the round-≤9 floor(ln·1e9) form whose
+    // ≤1-ulp libm argument left an expected ~4e-6·|vocab| cross-engine
+    // flips at web-scale vocabularies). ln((ct+1)(nr+v)/((cr+1)(nt+v)))
+    // is split into FOUR single-argument terms so every iln input is one
+    // count < 2^62 (a product form would overflow the iln domain at
+    // ~2e9-token corpora); the two corpus-constant terms are computed ONCE
+    // on the 1-row totals aggregate, and the per-token fold runs on the
+    // VOCAB-sized count table only, never per occurrence. Per-doc totals
+    // are long sums — order-independent, so the gate holds bit-for-bit.
+    // Scale shape: one vocab count shuffle; the (vocab-sized) ratio table
     // BROADCASTS onto the token stream; one per-doc sum shuffle. Magnitude
     // bound: |ln ratio| ≤ ln(N+V) ≈ 16 ⇒ ≤ 1.6e10 per token fixed-point,
     // ×10⁴ tokens/doc ≈ 1.6e14 per doc — far from the int64 edge.
-    // ULP caveat (shared with the BM25 idf quantization): JVM Math.log and
-    // DuckDB's libm ln each guarantee ≤1 ulp error, so floor(ln(x)·1e9)
-    // can disagree when the product lands within a ulp of an integer.
-    // ulp(1.6e10) ≈ 4e-6, so expected cross-engine flips ≈ 4e-6·|vocab| —
-    // ~0 at bench vocab (≤10⁴ distinct ratios), but a web-scale vocab
-    // (10⁸+) should swap in an integer-only ln (scaled CORDIC / lookup)
-    // if strict bit-equality across engines is still required there.
     "q114_importance_weights" -> ((s, d) => {
       val toks = docs(s, d).select(col("doc_id"), col("source"),
         explode(TextOps.tokens(col("text"))).as("token"))
@@ -334,12 +338,14 @@ object TextQueries {
         sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"),
         sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("cr"))
       val totals = counts.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
-        count(lit(1)).as("v"))
+          count(lit(1)).as("v"))
+        .withColumn("iln_nr", graft.functions.IntLn.iln1e9(col("nr") + col("v")))
+        .withColumn("iln_nt", graft.functions.IntLn.iln1e9(col("nt") + col("v")))
       val ratios = counts.crossJoin(broadcast(totals))
         .select(col("token"),
-          floor(log(((col("ct") + 1) * (col("nr") + col("v"))).cast("double")
-              / ((col("cr") + 1) * (col("nt") + col("v"))).cast("double"))
-            * lit(1e9)).cast("long").as("lr_fp"))
+          (graft.functions.IntLn.iln1e9(col("ct") + 1)
+            - graft.functions.IntLn.iln1e9(col("cr") + 1)
+            + col("iln_nr") - col("iln_nt")).as("lr_fp"))
       toks.filter(col("source") =!= "src0")
         .join(broadcast(ratios), Seq("token"))
         .groupBy(col("doc_id"))
@@ -357,13 +363,17 @@ object TextQueries {
     // logp(w2|w1) = ln((c2+1)/(c1+V)): c2 = target bigram count, c1 =
     // target CONTEXT count (bigram starts with w1), V = target unigram
     // vocab — unseen contexts fall back to ln(1/V) through the same
-    // formula (coalesce 0). Each ln is of an INTEGER ratio, quantized
-    // fixed-point (q114's discipline, same documented ULP caveat); per-doc
-    // totals are long sums, so the gate holds bit-for-bit. Scale shape:
-    // unlike q114's unigram ratio table, the BIGRAM table grows with the
-    // corpus (Heaps' law on pairs) — so the score join takes NO broadcast
-    // hint (q108's lesson); AQE sizes it, and both sides hash on the gram
-    // key. Docs with < 2 tokens have no bigrams and drop out, mirrored.
+    // formula (coalesce 0). Each ln is of an INTEGER ratio, computed with
+    // the integer-only fixed-point ln (functions.IntLn — cross-engine
+    // identical by construction, see q114); lp_fp = iln(c2+1) − iln(c1+V),
+    // with the iln folds evaluated on the VOCAB-sized c2/c1 count tables
+    // (and the 1-row V aggregate for the unseen-context fallback), never
+    // per bigram occurrence. Per-doc totals are long sums, so the gate
+    // holds bit-for-bit. Scale shape: unlike q114's unigram ratio table,
+    // the BIGRAM table grows with the corpus (Heaps' law on pairs) — so
+    // the score join takes NO broadcast hint (q108's lesson); AQE sizes
+    // it, and both sides hash on the gram key. Docs with < 2 tokens have
+    // no bigrams and drop out, mirrored.
     "q117_bigram_lm_ppl" -> ((s, d) => {
       val t = docs(s, d).select(col("doc_id"), col("source"),
         TextOps.tokens(col("text")).as("w"))
@@ -372,18 +382,25 @@ object TextQueries {
         .withColumn("w1", substring_index(col("gram"), "|", 1))
       val tgt = bg.filter(col("source") === "src0")
       val c2 = tgt.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+        .withColumn("iln_a", graft.functions.IntLn.iln1e9(col("c2") + 1))
       val c1 = tgt.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
       val v = t.filter(col("source") === "src0")
         .select(explode(col("w")).as("tok"))
         .agg(count_distinct(col("tok")).as("v"))
+      // iln(c1+V) needs V on every vocab row; iln(V) alone covers the
+      // unseen-context fallback (c1 absent ⇒ ratio denominator = V)
+      val c1v = c1.crossJoin(broadcast(v))
+        .withColumn("iln_b", graft.functions.IntLn.iln1e9(col("c1") + col("v")))
+        .select(col("w1"), col("iln_b"))
+      val vIln = v.withColumn("iln_v", graft.functions.IntLn.iln1e9(col("v")))
+        .select(col("iln_v"))
       bg.filter(col("source") =!= "src0")
-        .join(c2, Seq("gram"), "left")
-        .join(c1, Seq("w1"), "left")
-        .crossJoin(broadcast(v)) // 1-row aggregate, not a growing table
+        .join(c2.select(col("gram"), col("iln_a")), Seq("gram"), "left")
+        .join(c1v, Seq("w1"), "left")
+        .crossJoin(broadcast(vIln)) // 1-row aggregate, not a growing table
         .select(col("doc_id"),
-          floor(log((coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double")
-              / (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))
-            * lit(1e9)).cast("long").as("lp_fp"))
+          (coalesce(col("iln_a"), lit(0L))
+            - coalesce(col("iln_b"), col("iln_v"))).as("lp_fp"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_fp")).as("logprob_fp"))
         .withColumn("avg_logprob",
@@ -1346,11 +1363,14 @@ object TextQueries {
          |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bgw WHERE source = 'src0' GROUP BY 1),
          |v AS (SELECT COUNT(DISTINCT tok) AS v FROM (
          |  SELECT unnest(w) AS tok FROM t WHERE source = 'src0') u),
+         |c2i AS (SELECT gram, ${graft.functions.IntLn.iln1e9Sql("c2 + 1")} AS iln_a FROM c2),
+         |c1i AS (SELECT w1, ${graft.functions.IntLn.iln1e9Sql("c1 + v.v")} AS iln_b
+         |        FROM c1 CROSS JOIN v),
+         |vi AS (SELECT ${graft.functions.IntLn.iln1e9Sql("v")} AS iln_v FROM v),
          |sc AS (
          |  SELECT b.doc_id,
-         |    CAST(floor(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
-         |        / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)) * 1e9) AS BIGINT) AS lp_fp
-         |  FROM bgw b LEFT JOIN c2 USING (gram) LEFT JOIN c1 USING (w1) CROSS JOIN v
+         |    COALESCE(c2i.iln_a, 0) - COALESCE(c1i.iln_b, vi.iln_v) AS lp_fp
+         |  FROM bgw b LEFT JOIN c2i USING (gram) LEFT JOIN c1i USING (w1) CROSS JOIN vi
          |  WHERE b.source <> 'src0')
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
          |  CAST(SUM(lp_fp) AS BIGINT) AS logprob_fp,
@@ -1424,12 +1444,17 @@ object TextQueries {
          |  FROM tk GROUP BY 1),
          |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr, COUNT(*) AS v
          |        FROM counts),
+         |toti AS (
+         |  SELECT nt, nr, v,
+         |    ${graft.functions.IntLn.iln1e9Sql("nr + v")} AS iln_nr,
+         |    ${graft.functions.IntLn.iln1e9Sql("nt + v")} AS iln_nt
+         |  FROM tot),
          |ratios AS (
          |  SELECT token,
-         |    CAST(floor(ln(CAST((ct + 1) * (nr + v) AS DOUBLE)
-         |                / CAST((cr + 1) * (nt + v) AS DOUBLE)) * 1e9)
-         |      AS BIGINT) AS lr_fp
-         |  FROM counts CROSS JOIN tot),
+         |    ${graft.functions.IntLn.iln1e9Sql("ct + 1")}
+         |      - ${graft.functions.IntLn.iln1e9Sql("cr + 1")}
+         |      + iln_nr - iln_nt AS lr_fp
+         |  FROM counts CROSS JOIN toti),
          |agg AS (
          |  SELECT t.doc_id, COUNT(*) AS n_tokens,
          |    CAST(SUM(r.lr_fp) AS BIGINT) AS logratio_fp
@@ -1534,8 +1559,8 @@ object TextQueries {
          |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM post),
          |idf AS MATERIALIZED (
          |  SELECT token,
-         |    CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e9)
-         |      AS DOUBLE) / 1e9 AS idf
+         |    CAST(${graft.functions.IntLn.iln1e9Sql("n_docs")}
+         |      - ${graft.functions.IntLn.iln1e9Sql("df")} AS DOUBLE) / 1e9 AS idf
          |  FROM (SELECT token, COUNT(*) AS df FROM post GROUP BY 1) d
          |  CROSS JOIN nd)
          |SELECT doc_id, token, tfidf, CAST(rn AS INTEGER) AS rn FROM (
@@ -1555,8 +1580,8 @@ object TextQueries {
          |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM post),
          |idf AS MATERIALIZED (
          |  SELECT token,
-         |    CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e9)
-         |      AS DOUBLE) / 1e9 AS idf
+         |    CAST(${graft.functions.IntLn.iln1e9Sql("n_docs")}
+         |      - ${graft.functions.IntLn.iln1e9Sql("df")} AS DOUBLE) / 1e9 AS idf
          |  FROM (SELECT token, COUNT(*) AS df FROM post GROUP BY 1) d
          |  CROSS JOIN nd
          |  WHERE CAST(df AS DOUBLE) <= CAST(n_docs AS DOUBLE) * 0.1),

@@ -23,10 +23,12 @@ import org.apache.spark.sql.functions._
   *     is exact for every emitted candidate — blocking only bounds recall
   *     (a candidate must share one of the mention's rare tokens).
   *
-  * Cross-engine determinism (the DuckDB hash gate): `ln` differs from
-  * DuckDB's by 1 ulp on ~0.1% of arguments, so the IDF is quantized —
-  * `floor(ln(x)·1e9)/1e9` — which is bit-identical across engines for every
-  * df ≤ 50000 (verified exhaustively); all remaining arithmetic is IEEE
+  * Cross-engine determinism (the DuckDB hash gate): the BM25+ idf is the
+  * ln of the INTEGER ratio (2N+2)/(2df+1), quantized with the integer-only
+  * fixed-point ln ([[graft.functions.IntLn]]) — no libm on either engine,
+  * so the idf is identical by construction at ANY vocabulary scale (the
+  * former floor(libm ln·1e9) form rested on a ≤1-ulp faithful-rounding
+  * argument); all remaining arithmetic is IEEE
   * mul/div on identical operands in identical order. Per-(mention, doc)
   * term contributions are summed FIXED-POINT (floor(c·1e9) as BIGINT) so
   * the sum is shuffle-order-independent, and ranking sorts the exact
@@ -88,13 +90,17 @@ object RankedSearch {
     val stats = docLen.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     // Token stats with quantized BM25+ idf: vocabulary-sized → broadcast.
+    // 1 + (N−df+0.5)/(df+0.5) = (2N+2)/(2df+1), so the idf is the ln of an
+    // INTEGER ratio and the quantization runs on the integer-only fixed-
+    // point ln (functions.IntLn) — no libm on either engine, closing the
+    // former ≤1-ulp cross-engine caveat at any vocabulary scale.
     val tokenIdf = broadcast(
       postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(stats))
         .withColumn("idf",
-          floor(log(lit(1.0) +
-            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-            * lit(1e9)).cast("double") / lit(1e9))
+          (graft.functions.IntLn.iln1e9(col("n_docs") * 2 + 2)
+            - graft.functions.IntLn.iln1e9(col("df") * 2 + 1))
+            .cast("double") / lit(1e9))
         .select(col("token"), col("df"), col("idf")))
 
     // Distinct (mention, term) pairs; qtf is ignored (standard for short
@@ -174,8 +180,8 @@ object RankedSearch {
     *     wrap, so an overflow here shows up as a hash mismatch, not silent
     *     agreement.
     *
-    * Cross-engine determinism: same quantized-ln idf as [[bm25TopK]]
-    * (floor(ln·1e9)/1e9), IEEE mul/div in pinned order, sqrt is correctly
+    * Cross-engine determinism: integer-only fixed-point idf as in
+    * [[bm25TopK]] (here iln(N) − iln(df)), IEEE mul/div in pinned order, sqrt is correctly
     * rounded everywhere — the result hash-compares against DuckDB.
     *
     * @return (da, db, cosine) with da < db
@@ -213,8 +219,10 @@ object RankedSearch {
         .filter(col("df").cast("double") <=
           col("n_docs").cast("double") * lit(maxDfFrac))
         .withColumn("idf",
-          floor(log(col("n_docs").cast("double") / col("df").cast("double"))
-            * lit(1e9)).cast("double") / lit(1e9))
+          // ln(N/df) via the integer-only fixed-point ln (see bm25TopK)
+          (graft.functions.IntLn.iln1e9(col("n_docs"))
+            - graft.functions.IntLn.iln1e9(col("df")))
+            .cast("double") / lit(1e9))
         .select(col("token"), col("idf")))
     val weighted = postings.join(tokenIdf, Seq("token"))
       .select(col("doc_id"), col("token"),
