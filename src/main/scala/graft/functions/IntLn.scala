@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
   * expects exactly zero, at any scale, on any libm.
   *
   * Algorithm (both engines run the very same integer recurrence):
-  *   1. normalize: 63 conditional double/halve steps bring `m` into
-  *      [2^60, 2^61), tracking the power-of-two exponent `e`
-  *      (n = m·2^e exactly, up to the one documented truncation bit for
-  *      n ≥ 2^61).
+  *   1. normalize: one conditional halve (n ≥ 2^61 — at most one in the
+  *      domain), then a 6-step CLZ-style doubling cascade (shift by
+  *      32/16/8/4/2/1 while m < 2^(61−s)) brings `m` into [2^60, 2^61),
+  *      tracking the power-of-two exponent `e` (n = m·2^e exactly, up to
+  *      the one documented truncation bit for n ≥ 2^61). The cascade
+  *      reaches the same unique fixed point as a naive 63-step
+  *      double/halve loop (equivalence pinned in IntLnSpec's values) at
+  *      a ninth of the per-row fold cost.
   *   2. 30 bit-extraction steps of log2's fraction: square `m` (the int128
   *      product is decomposed into int64 halves via
   *      m = a·2^31 + b ⇒ ⌊m²/2^60⌋ = 4a² + ⌊(ab + ⌊b²/2^32⌋)/2^28⌋,
@@ -46,17 +50,29 @@ object IntLn {
   private val Chi = 693147180L           // ⌊ln2·1e9⌋   = C div 2^30
   private val Clo = 601236697L           // C − Chi·2^30, C = ⌊ln2·1e9·2^30⌋
 
+  /** Per-shift doubling constants for the CLZ cascade: 2^s and the
+    * threshold 2^(61−s), selected by the fold element. */
+  private def shiftConst(s: Column, f: Int => Long): Column =
+    Seq(32, 16, 8, 4, 2).foldLeft(lit(f(1))) { (acc, k) =>
+      when(s === lit(k.toLong), lit(f(k))).otherwise(acc)
+    }
+
   /** `≈ ln(n)·1e9` as BIGINT; `n` must be integral in [1, 2^62). */
   def iln1e9(n: Column): Column = {
+    val n0 = n.cast("long")
+    val init = when(n0 >= lit(Q61),
+        struct(shiftright(n0, 1).as("m"), lit(1L).as("e")))
+      .otherwise(struct(n0.as("m"), lit(0L).as("e")))
     val norm = aggregate(
-      sequence(lit(1), lit(63)),
-      struct(n.cast("long").as("m"), lit(0L).as("e")),
-      (acc, _) => {
+      array(lit(32L), lit(16L), lit(8L), lit(4L), lit(2L), lit(1L)),
+      init,
+      (acc, s) => {
         val m = acc.getField("m")
         val e = acc.getField("e")
-        when(m >= lit(Q61), struct(shiftright(m, 1).as("m"), (e + lit(1L)).as("e")))
-          .when(m < lit(Q60), struct((m * lit(2L)).as("m"), (e - lit(1L)).as("e")))
-          .otherwise(struct(m.as("m"), e.as("e")))
+        val lo = m < shiftConst(s, k => 1L << (61 - k))
+        struct(
+          when(lo, m * shiftConst(s, k => 1L << k)).otherwise(m).as("m"),
+          when(lo, e - s).otherwise(e).as("e"))
       })
     val frac = aggregate(
       sequence(lit(1), lit(30)),
@@ -86,14 +102,24 @@ object IntLn {
     * Spark decomposition exactly by the nested-floor identity). `n` is a
     * SQL expression producing the same integral value. */
   def iln1e9Sql(n: String): String = {
-    // norm state: acc = m·256 + (e+64);  e ∈ [-60, 2] ⇒ e+64 ∈ [4, 66]
+    // norm state: acc = m·256 + (e+64);  e ∈ [-60, 1] ⇒ e+64 ∈ [4, 65].
+    // One pre-halve (n ≥ 2^61) in the init, then the 6-step CLZ doubling
+    // cascade over shift list [32,16,8,4,2,1] — thresholds are 2^(61−s),
+    // multipliers 2^s, mirroring the Spark shiftConst cascade exactly.
     val norm =
       s"""list_reduce(
-         |  list_prepend(CAST(($n) AS HUGEINT)*256 + 64,
-         |    list_transform(range(63), x -> CAST(0 AS HUGEINT))),
-         |  (acc, x) -> CASE
-         |    WHEN acc // 256 >= $Q61 THEN ((acc // 256) // 2)*256 + acc % 256 + 1
-         |    WHEN acc // 256 < $Q60 THEN ((acc // 256) * 2)*256 + acc % 256 - 1
+         |  list_prepend(
+         |    CASE WHEN CAST(($n) AS HUGEINT) >= $Q61
+         |      THEN (CAST(($n) AS HUGEINT) // 2)*256 + 65
+         |      ELSE CAST(($n) AS HUGEINT)*256 + 64 END,
+         |    [CAST(32 AS HUGEINT), 16, 8, 4, 2, 1]),
+         |  (acc, x) -> CASE WHEN acc // 256 <
+         |      CASE x WHEN 32 THEN 536870912 WHEN 16 THEN 35184372088832
+         |        WHEN 8 THEN 9007199254740992 WHEN 4 THEN 144115188075855872
+         |        WHEN 2 THEN 576460752303423488 ELSE $Q60 END
+         |    THEN ((acc // 256) * CASE x WHEN 32 THEN 4294967296
+         |        WHEN 16 THEN 65536 WHEN 8 THEN 256 WHEN 4 THEN 16
+         |        WHEN 2 THEN 4 ELSE 2 END)*256 + acc % 256 - x
          |    ELSE acc END)""".stripMargin
     // frac state: acc = m·2^31 + f;  m ∈ [2^60, 2^61), f < 2^30
     def frac(normExpr: String) =
