@@ -735,6 +735,30 @@ object TextQueries {
       out
     }),
 
+    // EXPORT SHARDING — the training-export "last mile" after selection
+    // (q124/q131) and packing (q101): a deterministic global pseudo-shuffle
+    // assigns every doc a shard (60-bit md5 hash mod N — the q124 md5-rank
+    // discipline) and an intra-shard position, so N downstream writers
+    // each consume one shard in reproducible pseudo-random document order.
+    // Scale shape: NO global sort — the hash key is data-independent so
+    // shards are balanced by construction, and the only window is
+    // PARTITIONED BY SHARD (N parallel sorts of corpus/N rows each; at
+    // 100 TB, N is the writer count and each shard sort is a spillable
+    // per-partition task, never a single-partition bottleneck).
+    "q133_export_shards" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val nShards = 8
+      docs(s, d)
+        .select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens"),
+          TextOps.tokenHash60(concat(lit("shard:"),
+            col("doc_id").cast("string"))).as("h"))
+        .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
+        .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     // BPE TOKENIZER INDUCTION (see [[graft.text.Bpe]]): 3 merge rounds on
     // the corpus vocabulary; the gate pins the merge table itself —
     // winner pair and its weighted count per round, under the total order
@@ -1299,6 +1323,18 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "q130_cross_source_leakage" -> crossSourceLeakageSql,
     "q131_token_budget" -> tokenBudgetSql,
+    // Export sharding: same 60-bit md5 hash (tokenHash60's documented
+    // DuckDB twin), same hash-mod shard and per-shard (h, doc_id) order.
+    "q133_export_shards" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens,
+         |    CAST('0x' || substr(md5('shard:' || doc_id), 1, 15) AS BIGINT) AS h
+         |  FROM documents)
+         |SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+         |    AS INTEGER) AS pos,
+         |  n_tokens
+         |FROM t ORDER BY shard, pos""".stripMargin,
     "q127_repeated_spans" -> repeatedSpansSql,
     "q128_quality_classifier" -> qualityClassifierSql,
     "q129_fuzzy_decontam" -> fuzzyDecontamSql,

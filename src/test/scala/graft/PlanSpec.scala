@@ -201,6 +201,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q133 export-shard window is partitioned by shard, never global") {
+    // a global (unpartitioned) row_number would pull the whole corpus into
+    // one partition at 100 TB; the shard key must partition the window
+    val p = plan("q133_export_shards")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    assert(windows.forall(_.contains("windowspecdefinition(shard")),
+      s"unpartitioned window found:\n${windows.mkString("\n")}")
+  }
+
   test("q66 probe-side block keys are never broadcast (corpus-scale probe set)") {
     // q66's mention set is every distinct adjacent bigram of the whole
     // corpus — a broadcast() hint on the blockKeys side would OOM the
