@@ -759,6 +759,50 @@ object TextQueries {
         .orderBy(col("shard"), col("pos"))
     }),
 
+    // LINEAR-COUNTING DISTINCT SKETCH — the first ORACLE-GATED member of
+    // the sketch family (the engine-private HLL/percentile sketches are
+    // spec-locked only, since no cross-engine oracle can exist for them):
+    // per-source distinct-token estimates from a 2^16-bucket occupancy
+    // bitmap over the portable 60-bit md5 hash, with the classic
+    // estimator est = m·ln(m/empty) computed via the integer-only
+    // fixed-point ln — every quantity (bucket sets, occupancy counts,
+    // milli-token estimate) is integer-identical across engines. The
+    // '__all' row is the MERGED sketch (union of the per-source bucket
+    // sets), proving the sketch's merge distributivity under the oracle,
+    // not just under SketchSpec. Scale shape: the (source, bucket) grid is
+    // the only shuffled state — ≤ |sources|·2^16 rows regardless of corpus
+    // size, the whole point of a cardinality sketch. Domain: occupancy
+    // must stay below m (empty ≥ 1) — at m = 65536 that fails only past
+    // ~60 (ln m) vocabulary saturation, far beyond any per-source slice
+    // here; a production corpus sizes m to the expected cardinality.
+    "q134_linear_counting" -> ((s, d) => {
+      val m = 65536L
+      val tok = docs(s, d).select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("token"))
+      val occ = tok.select(col("source"),
+          pmod(TextOps.tokenHash60(col("token")), lit(m)).as("bucket"))
+        .distinct().cache()
+      val bySrc = occ.groupBy(col("source")).agg(count(lit(1)).as("occupied"))
+      val overall = occ.select(col("bucket")).distinct()
+        .agg(count(lit(1)).as("occupied"))
+        .select(lit("__all").as("source"), col("occupied"))
+      val exact = tok.groupBy(col("source"))
+        .agg(count_distinct(col("token")).as("n_exact"))
+        .unionByName(tok.agg(count_distinct(col("token")).as("n_exact"))
+          .select(lit("__all").as("source"), col("n_exact")))
+      val out = bySrc.unionByName(overall)
+        .withColumn("num", lit(m) *
+          (graft.functions.IntLn.iln1e9(lit(m))
+            - graft.functions.IntLn.iln1e9(lit(m) - col("occupied"))))
+        .withColumn("est_milli", expr("num div 1000000"))
+        .join(exact, Seq("source"))
+        .select(col("source"), col("occupied"), col("est_milli"), col("n_exact"))
+        .orderBy(col("source"))
+        .localCheckpoint()
+      occ.unpersist()
+      out
+    }),
+
     // BPE TOKENIZER INDUCTION (see [[graft.text.Bpe]]): 3 merge rounds on
     // the corpus vocabulary; the gate pins the merge table itself —
     // winner pair and its weighted count per round, under the total order
@@ -1323,6 +1367,27 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "q130_cross_source_leakage" -> crossSourceLeakageSql,
     "q131_token_budget" -> tokenBudgetSql,
+    // Linear counting: same 60-bit hash → bucket grid, same IntLn
+    // estimator; '__all' merges the per-source bucket sets.
+    "q134_linear_counting" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest($toksSql) AS token FROM documents),
+         |occ AS (
+         |  SELECT DISTINCT source,
+         |    CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 65536 AS bucket
+         |  FROM tok),
+         |bys AS (SELECT source, COUNT(*) AS occupied FROM occ GROUP BY 1
+         |        UNION ALL
+         |        SELECT '__all', COUNT(DISTINCT bucket) FROM occ),
+         |ex AS (SELECT source, COUNT(DISTINCT token) AS n_exact FROM tok GROUP BY 1
+         |       UNION ALL
+         |       SELECT '__all', COUNT(DISTINCT token) FROM tok)
+         |SELECT b.source, CAST(occupied AS BIGINT) AS occupied,
+         |  CAST((65536*(${graft.functions.IntLn.iln1e9Sql("65536")}
+         |    - ${graft.functions.IntLn.iln1e9Sql("65536 - occupied")})) // 1000000
+         |    AS BIGINT) AS est_milli,
+         |  CAST(n_exact AS BIGINT) AS n_exact
+         |FROM bys b JOIN ex USING (source) ORDER BY source""".stripMargin,
     // Export sharding: same 60-bit md5 hash (tokenHash60's documented
     // DuckDB twin), same hash-mod shard and per-shard (h, doc_id) order.
     "q133_export_shards" ->
