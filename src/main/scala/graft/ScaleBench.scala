@@ -32,7 +32,12 @@ object ScaleBench {
 
   private val names = Seq(
     "q52_dedup_canonical", "q100_lsh_banded_pairs", "q115_dedup_canonical_df",
-    "q125_incremental_dedup", "q129_fuzzy_decontam")
+    "q125_incremental_dedup", "q129_fuzzy_decontam",
+    // the round-10 q66 rework: corpus-scale probe set through the
+    // shuffle-hash join — included to observe the probe path's growth off
+    // the toy scale (the broadcast it replaced would hide its cost in
+    // driver memory instead)
+    "q66_bm25_candidates")
 
   /** doc_id/vec_id namespace stride between replicas — far above any
     * driver-generated id at the scales this tool reads. */
