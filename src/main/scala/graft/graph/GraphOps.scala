@@ -575,4 +575,37 @@ object GraphOps {
     }
     out
   }
+
+  /** Degree assortativity (Newman's r): Pearson correlation of endpoint
+    * degrees over a SYMMETRIC edge list, returned as one row
+    * `(m, sum_jk, sum_j, sum_j2, assortativity)`. Every moment is an exact
+    * int64 sum (degrees are counts; for the symmetric list Σj = Σk and
+    * Σj² = Σk², so four moments suffice), and only the final scalar ratio
+    * is floating — one deterministic IEEE expression over identical int64
+    * inputs, so the value is bit-identical across engines. Degenerate on
+    * regular graphs (zero degree variance → null), as the statistic is.
+    *
+    * Scale shape: one degree aggregate + two shuffle joins on vertex id
+    * (AQE-planned — the degree table is vertex-sized, never hinted
+    * broadcast) + a global aggregate with map-side partials.
+    */
+  def assortativity(symEdges: DataFrame): DataFrame = {
+    val sym = symEdges.select(col("src"), col("dst"))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    sym
+      .join(deg.select(col("id").as("src"), col("deg").as("dj")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("dk")), Seq("dst"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("dj") * col("dk")).as("sum_jk"),
+        sum(col("dj")).as("sum_j"),
+        sum(col("dj") * col("dj")).as("sum_j2"))
+      .select(col("m"), col("sum_jk"), col("sum_j"), col("sum_j2"),
+        try_divide(
+          col("m").cast("double") * col("sum_jk").cast("double") -
+            col("sum_j").cast("double") * col("sum_j").cast("double"),
+          col("m").cast("double") * col("sum_j2").cast("double") -
+            col("sum_j").cast("double") * col("sum_j").cast("double"))
+          .as("assortativity"))
+  }
 }

@@ -265,7 +265,18 @@ object GraphQueries {
     // possible only because the randomness is content-derived.
     "q110_seeded_walks" -> ((s, d) =>
       GraphOps.hashGuidedWalks(Erkg.entityEdges(s, d), Erkg.seeds(s, d), 4)
-        .orderBy(col("seed"), col("step"))))
+        .orderBy(col("seed"), col("step"))),
+
+    // DEGREE ASSORTATIVITY of the entity graph (Newman r): Pearson
+    // correlation of endpoint degrees over the symmetric edge list. All
+    // moments are EXACT int64 sums (degrees are counts), so the one-row
+    // double formula at the end is bit-identical cross-engine — no
+    // float-aggregation-order hazard. Scale shape: two vertex-sized joins
+    // (degree onto each endpoint — shuffle joins on id, AQE-planned; never
+    // a broadcast of a vertex table) + one global aggregate with map-side
+    // partials. At 100 TB the full formula stays a 4-scalar reduce.
+    "q135_assortativity" -> ((s, d) =>
+      GraphOps.assortativity(GraphOps.symmetrize(Erkg.entityEdges(s, d)))))
 
   /** Unrolled 4-step hash-guided-walk oracle: each step is one frontier
     * join + per-seed argmin on the SAME md5("k|cur|next") rule the Spark
@@ -620,6 +631,34 @@ object GraphQueries {
          |SELECT alias, entity, CAST(cnt AS BIGINT) AS cnt,
          |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY alias) AS BIGINT) AS probability,
          |  CAST(SUM(cnt) OVER (PARTITION BY alias) AS BIGINT) AS n_obs
-         |FROM obs ORDER BY alias, entity""".stripMargin
+         |FROM obs ORDER BY alias, entity""".stripMargin,
+
+    // Assortativity: COUNT/SUM moments are exact BIGINT on both engines
+    // (SUM over BIGINT is HUGEINT in DuckDB → cast back); the final Pearson
+    // ratio is one deterministic double expression over those scalars.
+    "q135_assortativity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE l_quantity >= 48),
+        |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY src),
+        |j AS (
+        |  SELECT dj.deg AS dj, dk.deg AS dk
+        |  FROM sym
+        |  JOIN deg dj ON dj.id = sym.src
+        |  JOIN deg dk ON dk.id = sym.dst),
+        |mom AS (
+        |  SELECT COUNT(*) AS m,
+        |    CAST(SUM(dj * dk) AS BIGINT) AS sum_jk,
+        |    CAST(SUM(dj) AS BIGINT) AS sum_j,
+        |    CAST(SUM(dj * dj) AS BIGINT) AS sum_j2
+        |  FROM j)
+        |SELECT m, sum_jk, sum_j, sum_j2,
+        |  (CAST(m AS DOUBLE) * CAST(sum_jk AS DOUBLE)
+        |     - CAST(sum_j AS DOUBLE) * CAST(sum_j AS DOUBLE))
+        |  / (CAST(m AS DOUBLE) * CAST(sum_j2 AS DOUBLE)
+        |     - CAST(sum_j AS DOUBLE) * CAST(sum_j AS DOUBLE)) AS assortativity
+        |FROM mom""".stripMargin
   )
 }

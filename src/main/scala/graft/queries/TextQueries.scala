@@ -884,7 +884,59 @@ object TextQueries {
     // distributed prefix sum against its sequential definition.
     "q101_pack_sequences" -> ((s, d) =>
       graft.text.Packing.packSequences(docs(s, d), "doc_id", "text", 512L)
-        .orderBy(col("bin"), col("doc_id"))))
+        .orderBy(col("bin"), col("doc_id"))),
+
+    // LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT: the split key is the NEAR-DUP
+    // CLUSTER id (q52's MinHash-LSH -> connected components), not the doc
+    // id, so near-duplicate documents can never straddle a split boundary
+    // — the train/test-leakage failure mode of naive per-doc splits. The
+    // assignment is the portable md5 bucket (tokenHash60 % 100 -> 80/10/10),
+    // so it is deterministic, resumable, and rand()-free — re-running on a
+    // grown corpus never reassigns an existing cluster. Scale shape: the
+    // pair graph + CC is q52's (blocked, never all-pairs); the bucket is a
+    // per-row expression.
+    "q136_split_assign" -> ((s, d) => {
+      val pairs = DedupOps.minhashPairs(docs(s, d), "doc_id", "text", 3, 32, 4, 0.5)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val comps = graft.graph.GraphOps.connectedComponentsDF(pairs)
+        .withColumnRenamed("id", "doc_id")
+      docs(s, d).select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("canonical", coalesce(col("component"), col("doc_id")))
+        .withColumn("bucket",
+          pmod(TextOps.tokenHash60(col("canonical").cast("string")), lit(100L)))
+        .select(col("doc_id"), col("canonical"), col("bucket"),
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // QUALITY-AWARE CANONICAL SELECTION: within each near-dup cluster keep
+    // the HIGHEST-QUALITY member (q20's score; doc_id breaks ties), not the
+    // min-id one — the selection rule a production dedup pass actually
+    // wants (min-id keeps whichever copy happened to be crawled first).
+    // The quality score is a per-row double expression whose bit-identity
+    // across engines q20's gate already establishes, so the argmax order
+    // is portable. Scale shape: q52's pair graph + one window partitioned
+    // by cluster (clusters are near-dup groups — small by construction).
+    "q137_quality_canonical" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dd = docs(s, d)
+      val pairs = DedupOps.minhashPairs(dd, "doc_id", "text", 3, 32, 4, 0.5)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val comps = graft.graph.GraphOps.connectedComponentsDF(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      dd.select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("cluster"), col("quality"),
+          (col("rn") === 1).as("keep"))
+        .orderBy(col("doc_id"))
+    }))
 
   // ---- q116 staged prefixes (Bench stage-level timing) ---------------------
 
@@ -1883,6 +1935,43 @@ object TextQueries {
          |  GREATEST(st, bin * 512) - bin * 512 AS off_in_bin,
          |  LEAST(fin, (bin + 1) * 512) - GREATEST(st, bin * 512) AS len,
          |  GREATEST(st, bin * 512) - st AS doc_from
-         |FROM spans ORDER BY bin, doc_id""".stripMargin
+         |FROM spans ORDER BY bin, doc_id""".stripMargin,
+
+    // Cluster-level split: q52's closure + the portable md5 bucket — the
+    // same 60-bit hash tokenHash60 computes Spark-side.
+    "q136_split_assign" ->
+      s"""$dedupCompCte,
+         |asg AS (
+         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |b AS (
+         |  SELECT doc_id, canonical,
+         |    CAST('0x' || substr(md5(CAST(canonical AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+         |  FROM asg)
+         |SELECT doc_id, canonical, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Quality-argmax canonical: q52's closure + q20's quality formula +
+    // one ROW_NUMBER under (quality DESC, doc_id).
+    "q137_quality_canonical" ->
+      s"""$dedupCompCte,
+         |q AS (
+         |  SELECT doc_id,
+         |    0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+         |    + 0.3 * (CAST(${langScoreSql(TextOps.langStopwords.toMap.apply("en"))} AS DOUBLE) / greatest(len(toks), 1))
+         |    + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+         |    + 0.2 * (1.0 - least((CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / greatest(len(toks), 1)) / 10.0, 1.0))
+         |      AS quality
+         |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t),
+         |cl AS (
+         |  SELECT q.doc_id, q.quality, COALESCE(c.component, q.doc_id) AS cluster
+         |  FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id)
+         |SELECT doc_id, cluster, quality,
+         |  ROW_NUMBER() OVER (PARTITION BY cluster
+         |                     ORDER BY quality DESC, doc_id) = 1 AS keep
+         |FROM cl ORDER BY doc_id""".stripMargin
   )
 }

@@ -68,4 +68,37 @@ class CorpusQueriesSpec extends SparkSuite {
       assert(j > 0.0 && j <= 1.0)
     }
   }
+
+  test("q136: leakage-safety — no near-dup pair straddles a split boundary") {
+    val split = SparkEntry.queries("q136_split_assign")(spark, sf0001)
+      .select(col("doc_id"), col("split"), col("bucket")).cache()
+    val rows = split.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("bucket"); b >= 0L && b < 100L
+    })
+    // The law the split exists for: both members of every LSH near-dup
+    // pair land in the SAME split (checked against the pair list itself,
+    // not the canonical ids the assignment was derived from).
+    val pairs = graft.dedup.DedupOps.minhashPairs(
+      graft.Tables.documents(spark, sf0001), "doc_id", "text", 3, 32, 4, 0.5)
+    val straddlers = pairs
+      .join(split.select(col("doc_id").as("da"), col("split").as("sa")), Seq("da"))
+      .join(split.select(col("doc_id").as("db"), col("split").as("sb")), Seq("db"))
+      .filter(col("sa") =!= col("sb"))
+      .count()
+    assert(straddlers === 0L)
+    split.unpersist()
+  }
+
+  test("q137: exactly one keep per cluster, and it attains the cluster max quality") {
+    val r = SparkEntry.queries("q137_quality_canonical")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Long]("cluster")).foreach { case (_, rows) =>
+      val kept = rows.filter(_.getAs[Boolean]("keep"))
+      assert(kept.length === 1)
+      val maxQ = rows.map(_.getAs[Double]("quality")).max
+      assert(kept.head.getAs[Double]("quality") === maxQ)
+    }
+  }
 }

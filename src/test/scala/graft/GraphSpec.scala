@@ -305,6 +305,31 @@ class GraphSpec extends SparkSuite {
     assert(out.count() == 0L)
   }
 
+  test("assortativity: stars are perfectly disassortative (r = -1)") {
+    import spark.implicits._
+    // K1,3: every edge joins the hub (deg 3) to a leaf (deg 1).
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val r = GraphOps.assortativity(GraphOps.symmetrize(star)).collect()(0)
+    assert(r.getAs[Double]("assortativity") === -1.0)
+    assert(r.getAs[Long]("m") === 6L) // symmetric directed count
+  }
+
+  test("assortativity: degree-homogeneous components are perfectly assortative") {
+    import spark.implicits._
+    // K3 ∪ K2: every edge joins equal degrees (2-2 or 1-1) but degrees
+    // VARY across the graph, so the correlation is defined and equals +1.
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L)).toDF("src", "dst")
+    val r = GraphOps.assortativity(GraphOps.symmetrize(g)).collect()(0)
+    assert(r.getAs[Double]("assortativity") === 1.0)
+  }
+
+  test("assortativity: regular graphs are degenerate (zero variance → null)") {
+    import spark.implicits._
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r = GraphOps.assortativity(GraphOps.symmetrize(square)).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("assortativity")))
+  }
+
   test("flagship alias report: probabilities sum to 1, non-empty on sf0.001") {
     val rep = Erkg.suspiciousAliasReport(spark, sf0001).cache()
     assert(rep.count() > 0)
