@@ -3,7 +3,7 @@ package graft
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-step validation for the dedup/ANN family: replays the production
@@ -30,14 +30,33 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  private val names = Seq(
-    "q52_dedup_canonical", "q100_lsh_banded_pairs", "q115_dedup_canonical_df",
-    "q125_incremental_dedup", "q129_fuzzy_decontam",
-    // the round-10 q66 rework: corpus-scale probe set through the
-    // shuffle-hash join — included to observe the probe path's growth off
-    // the toy scale (the broadcast it replaced would hide its cost in
-    // driver memory instead)
-    "q66_bm25_candidates")
+  /** Queries observed per family (SPARK_GRAFT_SCALE_FAMILIES filters, default
+    * all). dedup = the original round-10 set. graph replays the ERKG surface
+    * against the ×M entity graph — customer NAMES are suffixed per replica,
+    * so the J2 seed list keeps matching ONLY replica 0: the honest
+    * "bigger haystack, same needles" shape an investigation query must
+    * survive (q13/q17/q86 should grow with the SCAN, not the frontier),
+    * while q15 is global and must grow ~M. text adds the blocking-dial
+    * observations (prefix-filter selectivity q22, rare-shingle q121,
+    * per-doc-local q35, broadcast-probe q105, N-growing-k q112, closure
+    * report q126). event checks the window/as-of shapes on ×M users. */
+  private val families: Seq[(String, Seq[String])] = Seq(
+    "dedup" -> Seq(
+      "q52_dedup_canonical", "q100_lsh_banded_pairs", "q115_dedup_canonical_df",
+      "q125_incremental_dedup", "q129_fuzzy_decontam",
+      // the round-10 q66 rework: corpus-scale probe set through the
+      // shuffle-hash join — included to observe the probe path's growth off
+      // the toy scale (the broadcast it replaced would hide its cost in
+      // driver memory instead)
+      "q66_bm25_candidates"),
+    "graph" -> Seq(
+      "q13_two_hop_network", "q17_suspicious_aliases",
+      "q15_pagerank", "q86_ppr_seeds"),
+    "text" -> Seq(
+      "q22_jaccard_pairs", "q35_textrank", "q105_decontam",
+      "q112_semdedup", "q121_containment_pairs", "q126_corpus_report"),
+    "event" -> Seq(
+      "q32_asof_join", "q87_rolling_actives"))
 
   /** doc_id/vec_id namespace stride between replicas — far above any
     * driver-generated id at the scales this tool reads. */
@@ -82,6 +101,35 @@ object ScaleBench {
         col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // Relational + event tables, for the graph/event families: every KEY is
+    // strided into the replica's id namespace (so the ×M entity graph is M
+    // disconnected copies — "more data", not a denser graph), and customer
+    // NAMES are suffixed for k > 0 so the literal J2 seed list still matches
+    // only replica 0. l_partkey is NOT strided: part is a shared dimension
+    // (only replica-0 suppliers reach the alias aggregation anyway).
+    def strided(table: String, keys: Seq[String],
+                rename: Map[String, Column => Column] = Map.empty): Unit = {
+      val t = spark.read.parquet(s"$base/$table.parquet")
+      val cols = t.columns.toSeq.map { c =>
+        if (keys.contains(c)) (col(c) + col("k") * IdStride).as(c)
+        else rename.get(c).map(f => f(col(c)).as(c)).getOrElse(col(c))
+      }
+      t.crossJoin(reps).select(cols: _*)
+        .repartition(32).write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+    val suffixNonZero: Column => Column = c =>
+      when(col("k") === 0, c).otherwise(concat(c, lit("_"), col("k")))
+    strided("customer", Seq("c_custkey"), Map("c_name" -> suffixNonZero))
+    strided("orders", Seq("o_orderkey", "o_custkey"))
+    strided("lineitem", Seq("l_orderkey", "l_suppkey"))
+    strided("supplier", Seq("s_suppkey"))
+    strided("events", Seq("event_id", "user_id"))
+    // shared dimensions: copied verbatim
+    Seq("part", "nation", "region").foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -89,6 +137,11 @@ object ScaleBench {
     val outPath = args.headOption.getOrElse("SCALE_r10.json")
     val mults = sys.env.get("SPARK_GRAFT_SCALE_MULTS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 10))
+    val famFilter = sys.env.get("SPARK_GRAFT_SCALE_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = families
+      .filter { case (f, _) => famFilter.forall(_.contains(f)) }
+      .flatMap(_._2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -113,7 +166,11 @@ object ScaleBench {
         if (m == 1) base
         else {
           val d = s"/tmp/graft_scale_x$m"
-          replicate(spark, base, m, d)
+          // builder-side iteration aid: reuse an existing replica dir across
+          // family-filtered runs instead of rewriting ×M parquet each time
+          val reuse = sys.env.contains("SPARK_GRAFT_SCALE_REUSE") &&
+            Files.exists(Paths.get(s"$d/region.parquet"))
+          if (!reuse) replicate(spark, base, m, d)
           d
         }
       val perQuery = names.map { name =>
