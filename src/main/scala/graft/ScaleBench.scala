@@ -54,7 +54,8 @@ object ScaleBench {
       "q15_pagerank", "q86_ppr_seeds"),
     "text" -> Seq(
       "q22_jaccard_pairs", "q35_textrank", "q105_decontam",
-      "q112_semdedup", "q121_containment_pairs", "q126_corpus_report"),
+      "q112_semdedup", "q138_semdedup_ivf2",
+      "q121_containment_pairs", "q126_corpus_report"),
     "event" -> Seq(
       "q32_asof_join", "q87_rolling_actives"))
 

@@ -223,6 +223,40 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // SemDeDup through the TWO-LEVEL (IVF-flat) assign — the ×100 scale
+    // dial ScaleBench's q112 measurement demanded: same k ∝ N cell count,
+    // but assignment routes through c ≈ √k coarse cells (O(N·√k) instead
+    // of O(N²/64); see [[graft.vector.VectorOps.ivf2Assign]]). The rule
+    // is approximate vs q112's flat argmin, and the oracle gates THE RULE
+    // exactly (both argmin levels, both tie-breaks) — the house pattern
+    // for approximate operators (q27/q100): exact gate on the approximate
+    // algorithm, recall observed separately.
+    "q138_semdedup_ivf2" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = emb(s, d)
+      val k = math.max(8L, math.ceil(e.count() / 64.0).toLong).toInt
+      val c = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
+      val cells = VectorOps.ivf2Assign(e, k, c).localCheckpoint()
+      val member = e.join(cells, Seq("vec_id"))
+        .select(col("cluster"), col("vec_id"), col("embedding"))
+      val pairs = member.select(col("cluster"), col("vec_id").as("ia"),
+          col("embedding").as("ea"))
+        .join(member.select(col("cluster"), col("vec_id").as("ib"),
+          col("embedding").as("eb")), Seq("cluster"))
+        .filter(col("ia") < col("ib"))
+        .filter(call_function("cosine_sim", col("ea"), col("eb")) >= 0.4)
+        .select(col("ia").as("src"), col("ib").as("dst"))
+      val comps = graft.graph.GraphOps
+        .connectedComponents(s, graft.graph.GraphOps.symmetrize(pairs))
+        .withColumnRenamed("id", "vec_id")
+      cells.join(comps, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(col("component"), col("vec_id")).as("canonical"),
+          (coalesce(col("component"), col("vec_id")) === col("vec_id"))
+            .as("is_canonical"))
+        .orderBy(col("vec_id"))
+    }),
+
     // EMBEDDING OUTLIER SCAN: cosine of every vector to its OWN label's
     // centroid, bottom-3 per label — the corpus-QA pass that surfaces
     // mislabeled / off-manifold embeddings before they poison ANN recall
@@ -423,6 +457,73 @@ object VectorQueries {
     "q112_semdedup" ->
       s"""WITH RECURSIVE ${kmeansCte(
              "greatest(8, CAST(ceil(n / 64.0) AS BIGINT))", 2)},
+         |mem AS (
+         |  SELECT a.vec_id, a.cluster, e.embedding
+         |  FROM af a JOIN embeddings e USING (vec_id)),
+         |p0 AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |  FROM mem a JOIN mem b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT ia, ib FROM p0 WHERE cosine >= 0.4),
+         |edges AS (SELECT ia AS src, ib AS dst FROM pairs
+         |          UNION SELECT ib, ia FROM pairs),
+         |reach(root, node) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+         |  UNION
+         |  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT root AS vec_id, MIN(node) AS component
+         |         FROM reach GROUP BY root)
+         |SELECT a.vec_id, a.cluster,
+         |  COALESCE(c.component, a.vec_id) AS canonical,
+         |  COALESCE(c.component, a.vec_id) = a.vec_id AS is_canonical
+         |FROM af a LEFT JOIN comp c USING (vec_id)
+         |ORDER BY a.vec_id""".stripMargin,
+    // Two-level SemDeDup: the ivf2Assign rule unrolled — min-id fine
+    // seeds, c ≈ √k coarse prefix, fine→coarse argmin, vector→effective-
+    // coarse argmin, vector→fine argmin within the cell (all (L2 asc,
+    // cell asc) tie-breaks), then q112's closure verbatim.
+    "q138_semdedup_ivf2" ->
+      s"""WITH RECURSIVE
+         |fine AS (
+         |  SELECT vec_id AS cell,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+         |  FROM (SELECT vec_id, embedding,
+         |          ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+         |          COUNT(*) OVER () AS n
+         |        FROM embeddings) seed
+         |  WHERE rn <= greatest(8, CAST(ceil(n / 64.0) AS BIGINT))),
+         |coarse AS (
+         |  SELECT cell AS ccell, centroid AS ccentroid FROM (
+         |    SELECT cell, centroid,
+         |      ROW_NUMBER() OVER (ORDER BY cell) AS rnf,
+         |      COUNT(*) OVER () AS k
+         |    FROM fine) t
+         |  WHERE rnf <= greatest(2, CAST(ceil(sqrt(k)) AS BIGINT))),
+         |f2c AS (
+         |  SELECT ccell, cell, centroid FROM (
+         |    SELECT c.ccell, f.cell, f.centroid,
+         |      ROW_NUMBER() OVER (PARTITION BY f.cell
+         |        ORDER BY ${l2Sql("f.centroid", "c.ccentroid")} ASC, c.ccell ASC) AS rn
+         |    FROM fine f CROSS JOIN coarse c) t
+         |  WHERE rn = 1),
+         |ecoarse AS (
+         |  SELECT DISTINCT f.ccell, fi.centroid AS ccentroid
+         |  FROM f2c f JOIN fine fi ON fi.cell = f.ccell),
+         |vc AS (
+         |  SELECT vec_id, embedding, ccell FROM (
+         |    SELECT e.vec_id, e.embedding, c.ccell,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2Sql("e.embedding", "c.ccentroid")} ASC, c.ccell ASC) AS rn
+         |    FROM embeddings e CROSS JOIN ecoarse c) t
+         |  WHERE rn = 1),
+         |af AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT v.vec_id, f.cell AS cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${l2Sql("v.embedding", "f.centroid")} ASC, f.cell ASC) AS rn
+         |    FROM vc v JOIN f2c f ON f.ccell = v.ccell) t
+         |  WHERE rn = 1),
          |mem AS (
          |  SELECT a.vec_id, a.cluster, e.embedding
          |  FROM af a JOIN embeddings e USING (vec_id)),

@@ -362,6 +362,68 @@ object VectorOps {
     assign(book(cents)).select(col("vec_id"), col("cell").as("cluster"))
   }
 
+  /** TWO-LEVEL (IVF-flat) centroid assignment — the ×100 scale dial for
+    * [[kmeansAssign]]'s flat argmin, which ScaleBench measured as the one
+    * superlinear term in the suite (SemDeDup's k ∝ N makes flat assignment
+    * O(N²/64)): route each vector through a COARSE codebook of
+    * c ≈ √k cells first, then argmin only over the fine centroids owned by
+    * that coarse cell — O(N·(c + k/c)·d) = O(N·√k·d) expression work.
+    * Approximate by construction (the nearest fine centroid can live in a
+    * neighboring coarse cell — classic IVF behavior at nprobe=1); the
+    * DETERMINISTIC RULE itself is exact and oracle-gated: min-vec_id seed
+    * centroids (no Lloyd, no rand()), argmin = (L2 dist asc, cell asc)
+    * struct ordering at both levels.
+    *
+    * Scale shape: the coarse book (c·d doubles) broadcasts; the fine book
+    * rides a GROUPED (ccell → fines) table joined on ccell with NO
+    * broadcast hint — at toy scale AQE broadcasts it, at corpus scale
+    * (k ∝ N makes the fine book corpus-sized/64) it becomes a shuffle
+    * join on ccell, which is the point: the full fine codebook never has
+    * to fit on the driver.
+    *
+    * Degenerate-duplicate safety: a coarse cell whose seed vector is
+    * byte-identical to a smaller coarse seed wins no fines (the f2c
+    * tie-break sends its own fine elsewhere); vectors therefore assign
+    * over the EFFECTIVE coarse set (cells that own ≥ 1 fine) so no row
+    * can drop through an empty cell.
+    *
+    * @return (vec_id, cluster) — cluster ids are fine-seed vec_ids */
+  def ivf2Assign(vecs: DataFrame, k: Int, c: Int): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding"))
+    val seeds = v.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("centroid"))
+      .localCheckpoint()
+    val coarse = seeds.orderBy(col("cell")).limit(c)
+      .select(col("cell").as("ccell"), col("centroid").as("ccentroid"))
+    def argminOver(book: Column, vec: Column, cellField: String,
+                   centField: String): Column =
+      array_min(transform(book, b =>
+        struct(l2Dist(vec, b.getField(centField)).as("dist"),
+          b.getField(cellField).as("cell")))).getField("cell")
+    val cbookRow = coarse
+      .agg(collect_list(struct(col("ccell"), col("ccentroid"))).as("cbook"))
+    // fine → owning coarse cell (k·c argmin work — codebook-sized, tiny)
+    val f2c = seeds.crossJoin(broadcast(cbookRow))
+      .withColumn("ccell",
+        argminOver(col("cbook"), col("centroid"), "ccell", "ccentroid"))
+      .select(col("ccell"), col("cell"), col("centroid"))
+    // grouped fine book + the EFFECTIVE coarse book (cells owning fines)
+    val gbook = f2c.groupBy(col("ccell"))
+      .agg(collect_list(struct(col("cell"), col("centroid"))).as("fines"))
+    val ebookRow = f2c.select(col("ccell")).distinct()
+      .join(seeds, col("ccell") === col("cell"))
+      .agg(collect_list(struct(col("ccell"), col("centroid"))).as("ebook"))
+    val withCoarse = v.crossJoin(broadcast(ebookRow))
+      .withColumn("ccell",
+        argminOver(col("ebook"), col("embedding"), "ccell", "centroid"))
+      .select(col("vec_id"), col("embedding"), col("ccell"))
+    withCoarse.join(gbook, Seq("ccell")) // no broadcast hint — see Scaladoc
+      .withColumn("cluster",
+        argminOver(col("fines"), col("embedding"), "cell", "centroid"))
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** Product-quantization codebooks + asymmetric-distance (ADC) top-k —
     * the third tier of the compressed-similarity family (int8 scalar
     * quantization = q102, 1-bit sign codes = q103): the vector is split

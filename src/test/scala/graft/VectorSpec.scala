@@ -161,6 +161,29 @@ class VectorSpec extends SparkSuite {
     assert(a == run()) // pure function of the input
   }
 
+  test("ivf2Assign: exhaustive coarse level (c = k) equals the flat argmin") {
+    val rows = Seq(
+      Row(0L, Seq(0f, 0f), 0), Row(1L, Seq(0f, 0.1f), 0),
+      Row(2L, Seq(5f, 5f), 0), Row(3L, Seq(5f, 5.1f), 0),
+      Row(4L, Seq(2.4f, 2.4f), 0), Row(5L, Seq(9f, 0f), 0))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r =>
+        Row(r.get(0), r.getSeq[Float](1), r.get(2)))), schema)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // with every fine cell its own coarse cell, the two-level route
+    // degenerates to the flat argmin — iters=0 kmeansAssign over the
+    // same min-id seeds
+    val twoLevel = m(VectorOps.ivf2Assign(d, 3, 3))
+    val flat = m(VectorOps.kmeansAssign(d, 3, 0))
+    assert(twoLevel == flat)
+    // and with a real hierarchy (c=2 of k=3) every vector still lands in
+    // a fine cell OWNED by its coarse cell, deterministically
+    val h = m(VectorOps.ivf2Assign(d, 3, 2))
+    assert(h.values.forall(Set(0L, 1L, 2L).contains))
+    assert(h == m(VectorOps.ivf2Assign(d, 3, 2))) // pure function
+  }
+
   test("pqTopK: k ranked neighbors, ADC non-decreasing, no self, reproducible") {
     val rows = Seq(
       Row(0L, Seq(1f, 0f, 0f, 0f), 0), Row(1L, Seq(0.9f, 0.1f, 0f, 0f), 0),
