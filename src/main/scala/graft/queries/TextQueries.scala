@@ -912,6 +912,29 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Espirakis A-ES,
+    // derandomized): keep the top-200 docs by priority ln(u)/w where
+    // u = (contentHash+1)/2^60 and w = the fixed-point quality score — a
+    // sample ∝ quality with no rand() anywhere: resumable, task-retry-safe,
+    // engine-portable. ln(u) is EXACT int64 (IntLn difference form:
+    // iln(h+1) − iln(2^60)); the only float op is the final one-division
+    // priority, identical IEEE on both engines. Scale shape: per-row
+    // expression work + a global top-k (TakeOrdered — map-side partial
+    // top-k per partition, never a full sort).
+    "q139_weighted_sample" -> ((s, d) => {
+      val q60 = 1152921504606846976L // 2^60
+      val wfp = (floor(TextOps.qualityScore(col("text")) * lit(1e9)))
+        .cast("long") + lit(1L)
+      val a = graft.functions.IntLn.iln1e9(
+          TextOps.tokenHash60(col("text")) + lit(1L)) -
+        graft.functions.IntLn.iln1e9(lit(q60))
+      docs(s, d)
+        .select(col("doc_id"), wfp.as("w_fp"),
+          (a.cast("double") / wfp.cast("double")).as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(200)
+    }),
+
     // QUALITY-AWARE CANONICAL SELECTION: within each near-dup cluster keep
     // the HIGHEST-QUALITY member (q20's score; doc_id breaks ties), not the
     // min-id one — the selection rule a production dedup pass actually
@@ -1953,6 +1976,28 @@ object TextQueries {
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // A-ES weighted sample: the same IntLn difference form, the same
+    // one-division priority, ORDER BY + LIMIT as the top-k.
+    "q139_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) + 1 AS h,
+         |    CAST(floor((
+         |      0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+         |      + 0.3 * (CAST(${langScoreSql(TextOps.langStopwords.toMap.apply("en"))} AS DOUBLE) / greatest(len(toks), 1))
+         |      + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+         |      + 0.2 * (1.0 - least((CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / greatest(len(toks), 1)) / 10.0, 1.0))
+         |    ) * 1000000000.0) AS BIGINT) + 1 AS w_fp
+         |  FROM t),
+         |p AS (
+         |  SELECT doc_id, w_fp,
+         |    (${graft.functions.IntLn.iln1e9Sql("h")}
+         |     - ${graft.functions.IntLn.iln1e9Sql("1152921504606846976")}) AS a
+         |  FROM q)
+         |SELECT doc_id, w_fp, CAST(a AS DOUBLE) / CAST(w_fp AS DOUBLE) AS priority
+         |FROM p ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin,
 
     // Quality-argmax canonical: q52's closure + q20's quality formula +
     // one ROW_NUMBER under (quality DESC, doc_id).

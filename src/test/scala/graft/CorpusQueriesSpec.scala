@@ -91,6 +91,35 @@ class CorpusQueriesSpec extends SparkSuite {
     split.unpersist()
   }
 
+  test("q139: the kept docs are exactly the global priority top-k") {
+    // sf0.01 (500 docs) so the 200-limit actually selects; priorities are
+    // recomputed for ALL docs with the same library expressions and the
+    // top-k law checked against the query's own output
+    val d01 = "/root/testdata/sf0.01"
+    val sel = SparkEntry.queries("q139_weighted_sample")(spark, d01).collect()
+    assert(sel.length === 200)
+    assert(sel.forall(_.getAs[Double]("priority") <= 0.0))
+    val q60 = 1152921504606846976L
+    val wfp = (floor(graft.text.TextOps.qualityScore(col("text")) * lit(1e9)))
+      .cast("long") + lit(1L)
+    val a = graft.functions.IntLn.iln1e9(
+        graft.text.TextOps.tokenHash60(col("text")) + lit(1L)) -
+      graft.functions.IntLn.iln1e9(lit(q60))
+    val all = graft.Tables.documents(spark, d01)
+      .select(col("doc_id"),
+        (a.cast("double") / wfp.cast("double")).as("priority"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("priority"))
+    val selIds = sel.map(_.getAs[Long]("doc_id")).toSet
+    val worstKept = sel.map(r =>
+      (r.getAs[Double]("priority"), r.getAs[Long]("doc_id"))).min
+    // every unselected doc orders strictly below the worst kept one under
+    // (priority DESC, doc_id ASC)
+    all.filterNot(p => selIds(p._1)).foreach { case (id, pr) =>
+      assert(pr < worstKept._1 || (pr == worstKept._1 && id > worstKept._2),
+        s"doc $id (priority $pr) should have been selected")
+    }
+  }
+
   test("q137: exactly one keep per cluster, and it attains the cluster max quality") {
     val r = SparkEntry.queries("q137_quality_canonical")(spark, sf0001).collect()
     assert(r.nonEmpty)

@@ -195,6 +195,24 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q138 fine-book join is not a mandatory broadcast (k grows with N)") {
+    // ivf2Assign's grouped fine book is corpus-sized/64 (k ∝ N) — only the
+    // two 1-row coarse-book crossJoins are pinned broadcasts (they render
+    // as BroadcastNestedLoopJoin); with the auto threshold at -1 the
+    // ccell equi-join must degrade to a shuffle join, so no
+    // BroadcastHashJoin may appear anywhere in the assign plan
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = graft.vector.VectorOps
+        .ivf2Assign(Tables.embeddings(spark, sf), 8, 3)
+        .queryExecution.sparkPlan.toString
+      val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+      assert(bhj == 0, s"fine-book join still forces a broadcast:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q120 centroid join is a broadcast (label-enum-sized build side)") {
     val p = plan("q120_embedding_outliers")
     assert(p.contains("BroadcastHashJoin"), p)
