@@ -264,6 +264,27 @@ object EventQueries {
         .orderBy(col("event_type"), col("event_id"))
     }),
 
+    // Behavioral MARKOV TRANSITIONS: P(next event_type | event_type) from
+    // per-user (ts, event_id)-ordered successor pairs — transition counts
+    // are exact int64, the probability is q07's single-division discipline
+    // (cnt / window-sum, both integer-derived), so the matrix hash-matches
+    // cross-engine. Scale shape: one window shuffle on user_id, then a
+    // |types|²-bounded aggregate — the output is model-sized regardless of
+    // corpus size.
+    "q140_transition_probs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = ev(s, d).select(col("event_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+      val counts = trans.groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w2 = Window.partitionBy(col("event_type"))
+      counts.select(col("event_type"), col("next_type"), col("cnt"),
+          (col("cnt").cast("double") / sum(col("cnt")).over(w2)).as("prob"))
+        .orderBy(col("event_type"), col("next_type"))
+    }),
+
     "q32_asof_join" -> ((s, d) => {
       val e = ev(s, d)
       EventOps.asofJoin(
@@ -470,6 +491,19 @@ object EventQueries {
         |  LEAD(event_type) OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
         |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+    "q140_transition_probs" ->
+      """WITH tr AS (
+        |  SELECT event_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, next_type, COUNT(*) AS cnt
+        |  FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, cnt,
+        |  CAST(cnt AS DOUBLE)
+        |    / CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS prob
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
     "q32_asof_join" ->
       """SELECT c.event_id, c.user_id, c.ts,
         |  e.value AS err_value, e.event_id AS err_event_id

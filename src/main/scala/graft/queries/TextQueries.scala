@@ -912,6 +912,29 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // PER-SOURCE WINSORIZED QUALITY: clamp each doc's quality score to its
+    // source's [p05, p95] band — the robust normalization a mixture-of-
+    // sources pipeline applies before cross-source quality thresholds
+    // (one source's long-tailed score distribution must not dominate a
+    // global cut).
+    // percentile_disc picks an ACTUAL element (the q70 discipline), so the
+    // band edges are bit-identical cross-engine; the clamp is pure
+    // greatest/least. Scale shape: one per-source aggregate (a dimension —
+    // closed source enum, like q120's label table) broadcast back onto the
+    // doc stream.
+    "q141_winsorized_quality" -> ((s, d) => {
+      val scored = docs(s, d).select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val pct = scored.groupBy(col("source")).agg(
+        expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY quality)").as("p05"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY quality)").as("p95"))
+      scored.join(broadcast(pct), Seq("source"))
+        .select(col("doc_id"), col("source"), col("quality"),
+          greatest(col("p05"), least(col("quality"), col("p95"))).as("quality_w"),
+          (col("quality") < col("p05") || col("quality") > col("p95")).as("clipped"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Espirakis A-ES,
     // derandomized): keep the top-200 docs by priority ln(u)/w where
     // u = (contentHash+1)/2^60 and w = the fixed-point quality score — a
@@ -1976,6 +1999,28 @@ object TextQueries {
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Winsorize: quantile_disc mirrors percentile_disc (q70); the band
+    // edges are actual elements of the bit-identical quality column.
+    "q141_winsorized_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+         |    + 0.3 * (CAST(${langScoreSql(TextOps.langStopwords.toMap.apply("en"))} AS DOUBLE) / greatest(len(toks), 1))
+         |    + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+         |    + 0.2 * (1.0 - least((CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / greatest(len(toks), 1)) / 10.0, 1.0))
+         |      AS quality
+         |  FROM (SELECT doc_id, source, text, $toksSql AS toks FROM documents) x),
+         |p AS (
+         |  SELECT source,
+         |    quantile_disc(quality, 0.05) AS p05,
+         |    quantile_disc(quality, 0.95) AS p95
+         |  FROM t GROUP BY source)
+         |SELECT doc_id, t.source, quality,
+         |  greatest(p05, least(quality, p95)) AS quality_w,
+         |  (quality < p05 OR quality > p95) AS clipped
+         |FROM t JOIN p ON p.source = t.source
+         |ORDER BY doc_id""".stripMargin,
 
     // A-ES weighted sample: the same IntLn difference form, the same
     // one-division priority, ORDER BY + LIMIT as the top-k.

@@ -120,6 +120,20 @@ class CorpusQueriesSpec extends SparkSuite {
     }
   }
 
+  test("q141: clipped ⇔ the winsorized score moved, and clips stay near the 10% tails") {
+    val r = SparkEntry.queries("q141_winsorized_quality")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val moved = row.getAs[Double]("quality_w") != row.getAs[Double]("quality")
+      assert(row.getAs[Boolean]("clipped") === moved, s"row $row")
+    }
+    r.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val frac = rows.count(_.getAs[Boolean]("clipped")).toDouble / rows.length
+      // percentile_disc band ⇒ at most ~5% per tail plus discreteness slack
+      assert(frac <= 0.15, s"source $src clips $frac")
+    }
+  }
+
   test("q137: exactly one keep per cluster, and it attains the cluster max quality") {
     val r = SparkEntry.queries("q137_quality_canonical")(spark, sf0001).collect()
     assert(r.nonEmpty)

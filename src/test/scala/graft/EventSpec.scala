@@ -93,4 +93,15 @@ class EventSpec extends SparkSuite {
     assert(out.length == 1)
     assert(out.head.getLong(3) == 2 && out.head.getTimestamp(2) == ts(60))
   }
+
+  test("q140: the transition matrix is row-stochastic with positive counts") {
+    val r = SparkEntry.queries("q140_transition_probs")(spark, SparkSpec.sf0001)
+      .collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("cnt") >= 1L))
+    r.groupBy(_.getAs[String]("event_type")).foreach { case (t, rows) =>
+      val s = rows.map(_.getAs[Double]("prob")).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"row $t sums to $s")
+    }
+  }
 }
