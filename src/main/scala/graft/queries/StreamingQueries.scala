@@ -146,6 +146,19 @@ object StreamingQueries {
         "q62_stream_session", "complete")
         .orderBy(col("user_id"), col("s_start"))),
 
+    // STREAM–STATIC enrichment join (events stream ⋈ customer market
+    // segment), then the tumbling StateStore aggregation keyed by the
+    // enriched attribute — the stateless dimension-join shape, executed
+    // by the streaming engine; the oracle is the equivalent batch join.
+    "q142_stream_static_enrich" -> ((s, d) => {
+      val dim = graft.Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      runToTable(
+        StreamOps.staticEnrichAgg(eventsStream(s, d), dim, "1 hour", "1 hour"),
+        "q142_stream_static_enrich", "complete")
+        .orderBy(col("w_start"), col("segment"))
+    }),
+
     // STREAM-STREAM interval join (errors ⋈ clicks of the same user within
     // 4 hours after the error) — real symmetric-hash join state, append
     // mode; all data lands in batch 0 so the emitted match set equals the
@@ -487,6 +500,12 @@ object StreamingQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "q142_stream_static_enrich" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+        |  c.c_mktsegment AS segment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY w_start, segment""".stripMargin,
     "q61_stream_sliding" ->
       """SELECT w_start, event_type, COUNT(*) AS n
         |FROM (

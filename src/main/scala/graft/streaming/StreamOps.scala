@@ -37,6 +37,25 @@ object StreamOps {
       .select(col("w.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** STREAM–STATIC enrichment: the streaming side joins a batch dimension
+    * (user → attribute) stateLESSLY — Spark replans the static side every
+    * micro-batch, so no join state accumulates and dimension updates are
+    * picked up between batches (the standard enrichment shape; contrast
+    * the stateful stream-stream interval joins). The join carries no
+    * broadcast hint: a toy dimension broadcasts under AQE, a 100 TB user
+    * dimension degrades to a per-batch shuffle join instead of the driver.
+    * Downstream: q60's tumbling StateStore aggregation, keyed by the
+    * ENRICHED attribute. */
+  def staticEnrichAgg(events: DataFrame, dim: DataFrame, width: String,
+                      watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .join(dim, Seq("user_id"))
+      .groupBy(window(col("ts"), width).as("w"), col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("w_start"), col("segment"),
+        col("n"), col("sum_value"))
+
   /** Sliding (hopping) windows with a watermark. */
   def slidingAgg(events: DataFrame, width: String, slide: String,
                  watermark: String): DataFrame =
