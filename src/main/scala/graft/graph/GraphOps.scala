@@ -576,6 +576,53 @@ object GraphOps {
     out
   }
 
+  /** HARMONIC CENTRALITY within an induced subgraph: for every vertex of
+    * `vertices`, Σ 1/d(s, n) over the other subgraph vertices s that reach
+    * it within `maxHops` (0 for isolated vertices — harmonic centrality's
+    * defining advantage over closeness on disconnected graphs). Distances
+    * come from a MULTI-SOURCE BFS carrying (source, node) pairs with the
+    * same first-reach anti-join discipline as [[bfsDistances]]; the
+    * centrality sum is FIXED-POINT (Σ 1e9 div d — d ≤ maxHops, so each
+    * term is an exact integer and the sum is order-independent), which is
+    * what makes a float-sum statistic hash-match across engines.
+    *
+    * Scale shape: this is an INVESTIGATION-scale operator by contract —
+    * state is |V_sub|² pairs at worst (the subgraph is a seed
+    * neighborhood, q13's 2-hop ball); the full-graph all-pairs form is
+    * deliberately not offered. Each round is one join + distinct + one
+    * anti-join on (s, n); per-round localCheckpoint keeps lineage flat.
+    *
+    * @param edges    full symmetric edge list (src, dst)
+    * @param vertices single-column `id` — the subgraph to analyze
+    * @return (id, n_reached, harmonic_fp) for every subgraph vertex */
+  def harmonicCentrality(edges: DataFrame, vertices: DataFrame,
+                         maxHops: Int): DataFrame = {
+    val vs = vertices.select(col("id")).distinct().localCheckpoint()
+    val e = edges
+      .join(vs.select(col("id").as("src")), Seq("src"))
+      .join(vs.select(col("id").as("dst")), Seq("dst"))
+      .select(col("src"), col("dst")).localCheckpoint()
+    var labeled = vs.select(col("id").as("s"), col("id").as("n"))
+      .withColumn("d", lit(0))
+    var frontier = labeled.select(col("s"), col("n"))
+    for (h <- 1 to maxHops) {
+      val ring = frontier.join(e, col("n") === col("src"))
+        .select(col("s"), col("dst").as("n")).distinct()
+        .join(labeled.select(col("s"), col("n")), Seq("s", "n"), "left_anti")
+        .localCheckpoint()
+      labeled = labeled.unionByName(ring.withColumn("d", lit(h)))
+      frontier = ring
+    }
+    val agg = labeled.filter(col("d") > 0)
+      .groupBy(col("n").as("id"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000000 div d")).as("harmonic_fp"))
+    vs.join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("harmonic_fp"), lit(0L)).as("harmonic_fp"))
+  }
+
   /** Degree assortativity (Newman's r): Pearson correlation of endpoint
     * degrees over a SYMMETRIC edge list, returned as one row
     * `(m, sum_jk, sum_j, sum_j2, assortativity)`. Every moment is an exact

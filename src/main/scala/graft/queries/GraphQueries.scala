@@ -276,7 +276,15 @@ object GraphQueries {
     // a broadcast of a vertex table) + one global aggregate with map-side
     // partials. At 100 TB the full formula stays a 4-scalar reduce.
     "q135_assortativity" -> ((s, d) =>
-      GraphOps.assortativity(GraphOps.symmetrize(Erkg.entityEdges(s, d)))))
+      GraphOps.assortativity(GraphOps.symmetrize(Erkg.entityEdges(s, d)))),
+
+    // HARMONIC CENTRALITY of the 2-hop suspicious network (q13's ball):
+    // which vertices sit closest to the whole investigation neighborhood.
+    // Fixed-point Σ 1e9/d sums — see [[GraphOps.harmonicCentrality]].
+    "q143_harmonic_centrality" -> ((s, d) =>
+      GraphOps.harmonicCentrality(
+          Erkg.entityEdges(s, d), Erkg.suspiciousNetwork(s, d), 6)
+        .orderBy(col("id"))))
 
   /** Unrolled 4-step hash-guided-walk oracle: each step is one frontier
     * join + per-seed argmin on the SAME md5("k|cur|next") rule the Spark
@@ -632,6 +640,42 @@ object GraphQueries {
          |  CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY alias) AS BIGINT) AS probability,
          |  CAST(SUM(cnt) OVER (PARTITION BY alias) AS BIGINT) AS n_obs
          |FROM obs ORDER BY alias, entity""".stripMargin,
+
+    // Harmonic centrality: the networkCte closure as the vertex set, the
+    // induced edge list, and MIN(d) over ≤6-hop walks (UNION-deduped
+    // (s,n,d) triples keep the recursion |V|²·7-bounded); the centrality
+    // is the same exact Σ 1e9 div d fixed-point sum.
+    "q143_harmonic_centrality" ->
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE l_quantity >= 48),
+         |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |hop0 AS (SELECT c_custkey AS id FROM customer
+         |         WHERE c_name IN ($seedsSqlList)),
+         |r1 AS (SELECT id FROM hop0
+         |       UNION SELECT e.dst FROM edges e JOIN hop0 ON e.src = hop0.id),
+         |r2 AS (SELECT id FROM r1
+         |       UNION SELECT e.dst FROM edges e JOIN r1 ON e.src = r1.id),
+         |net AS (SELECT DISTINCT id FROM r2),
+         |ie AS (
+         |  SELECT e.src, e.dst FROM edges e
+         |  JOIN net a ON a.id = e.src
+         |  JOIN net b ON b.id = e.dst),
+         |walk(s, n, d) AS (
+         |  SELECT id, id, 0 FROM net
+         |  UNION
+         |  SELECT w.s, ie.dst, w.d + 1
+         |  FROM walk w JOIN ie ON ie.src = w.n WHERE w.d < 6),
+         |dist AS (SELECT s, n, MIN(d) AS d FROM walk GROUP BY s, n),
+         |h AS (
+         |  SELECT n AS id, COUNT(*) AS n_reached,
+         |    CAST(SUM(1000000000 // d) AS BIGINT) AS harmonic_fp
+         |  FROM dist WHERE d > 0 GROUP BY n)
+         |SELECT net.id, COALESCE(h.n_reached, 0) AS n_reached,
+         |  COALESCE(h.harmonic_fp, 0) AS harmonic_fp
+         |FROM net LEFT JOIN h ON h.id = net.id
+         |ORDER BY net.id""".stripMargin,
 
     // Assortativity: COUNT/SUM moments are exact BIGINT on both engines
     // (SUM over BIGINT is HUGEINT in DuckDB → cast back); the final Pearson

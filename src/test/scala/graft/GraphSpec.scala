@@ -330,6 +330,21 @@ class GraphSpec extends SparkSuite {
     assert(r.isNullAt(r.fieldIndex("assortativity")))
   }
 
+  test("harmonicCentrality: exact fixed-point sums on a path; isolated vertex gets 0") {
+    import spark.implicits._
+    val path = GraphOps.symmetrize(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"))
+    val vs = Seq(1L, 2L, 3L, 4L, 9L).toDF("id") // 9 is isolated
+    val r = GraphOps.harmonicCentrality(path, vs, 6)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // endpoint: 1/1 + 1/2 + 1/3 in 1e9 fixed point (integer div per term)
+    assert(r(1L) === (3L, 1000000000L + 500000000L + 333333333L))
+    // interior: 1/1 + 1/1 + 1/2
+    assert(r(2L) === (3L, 2500000000L))
+    assert(r(2L) === r(3L) && r(1L) === r(4L)) // path symmetry
+    assert(r(9L) === (0L, 0L)) // harmonic handles disconnection natively
+  }
+
   test("flagship alias report: probabilities sum to 1, non-empty on sf0.001") {
     val rep = Erkg.suspiciousAliasReport(spark, sf0001).cache()
     assert(rep.count() > 0)
