@@ -51,13 +51,13 @@ object ScaleBench {
       "q66_bm25_candidates"),
     "graph" -> Seq(
       "q13_two_hop_network", "q17_suspicious_aliases",
-      "q15_pagerank", "q86_ppr_seeds"),
+      "q15_pagerank", "q86_ppr_seeds", "q143_harmonic_centrality"),
     "text" -> Seq(
       "q22_jaccard_pairs", "q35_textrank", "q105_decontam",
       "q112_semdedup", "q138_semdedup_ivf2",
       "q121_containment_pairs", "q126_corpus_report"),
     "event" -> Seq(
-      "q32_asof_join", "q87_rolling_actives"))
+      "q32_asof_join", "q87_rolling_actives", "q140_transition_probs"))
 
   /** doc_id/vec_id namespace stride between replicas — far above any
     * driver-generated id at the scales this tool reads. */
