@@ -214,6 +214,130 @@ object MultimodalOps {
     out.toByteArray
   }
 
+  /** Real video decode output: frame count + per-frame-exact statistics
+    * when the payload is a multi-frame format the JDK can read
+    * (`decoded = true`), byte-stat fallback otherwise. */
+  case class VideoFeatures(doc_id: Long, decoded: Boolean, n_frames: Int,
+                           vid_width: Int, vid_height: Int,
+                           mean_luma: Double, n_bytes: Int)
+
+  /** REAL multi-frame decode via `javax.imageio` — the JDK ships no
+    * MP4/H.264 codec (that share of the modality stays a documented
+    * stub), but it DOES fully decode animated GIF, a real, lossless,
+    * multi-frame motion format — so the frame-sequence plumbing
+    * (demux → per-frame decode → cross-frame statistics) runs against a
+    * true codec with an arithmetic oracle, exactly like q67's image path
+    * and q132's audio path. Frame pixel sums are exact integers across
+    * ALL frames; payloads without a multi-frame reader fall back to the
+    * deterministic stub with `decoded = false`. */
+  def decodeVideoFeatures(row: MediaRow): VideoFeatures = {
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(row.payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) throw new IllegalArgumentException("no reader")
+      val r = readers.next()
+      try {
+        r.setInput(iis, false)
+        val nf = r.getNumImages(true)
+        if (nf < 1) throw new IllegalArgumentException("no frames")
+        var sum = 0L
+        var npix = 0L
+        var w0 = 0
+        var h0 = 0
+        var k = 0
+        while (k < nf) {
+          val img = r.read(k)
+          if (k == 0) { w0 = img.getWidth; h0 = img.getHeight }
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          npix += img.getWidth.toLong * img.getHeight
+          k += 1
+        }
+        VideoFeatures(row.doc_id, decoded = true, nf, w0, h0,
+          if (npix == 0) 0.0 else sum.toDouble / (3.0 * npix),
+          row.payload.length)
+      } finally r.dispose()
+    } catch {
+      case _: Exception =>
+        val f = decodeStub(row)
+        VideoFeatures(row.doc_id, decoded = false, -1, -1, -1,
+          f.mean_byte, f.n_bytes)
+    }
+  }
+
+  /** Batched per-partition REAL video decode — the q67/q132 batch shape. */
+  def decodeVideos(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.iterator.map(decodeVideoFeatures))
+    }
+  }
+
+  /** Deterministic animated-GIF fixture encoder: `frameColors(k)` is frame
+    * k's solid RGB. GIF palettes are lossless for solid frames, so decode
+    * recovers every frame's exact color — the oracle predicts cross-frame
+    * means arithmetically, no decoder needed on the oracle side. Each
+    * frame carries a GraphicControlExtension delay so the payload is a
+    * well-formed animation, not just a multi-image container. */
+  def encodeAnimatedGif(w: Int, h: Int, frameColors: Array[Int],
+                        delayCs: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frameColors.foreach { rgb =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val meta = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val gce = {
+          var found: IIOMetadataNode = null
+          val kids = root.getChildNodes
+          var i = 0
+          while (i < kids.getLength && found == null) {
+            if (kids.item(i).getNodeName == "GraphicControlExtension")
+              found = kids.item(i).asInstanceOf[IIOMetadataNode]
+            i += 1
+          }
+          if (found == null) {
+            val n = new IIOMetadataNode("GraphicControlExtension")
+            root.appendChild(n); n
+          } else found
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", delayCs.toString)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    out.toByteArray
+  }
+
   /** Metadata-only resize: pure expression work, payload untouched (a real
     * resize would pair this with a decode→scale→encode kernel). */
   def resizeMeta(media: DataFrame, maxDim: Int): DataFrame = {

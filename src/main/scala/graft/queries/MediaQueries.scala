@@ -73,6 +73,37 @@ object MediaQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL multi-frame VIDEO decode through javax.imageio's animated-GIF
+    // reader — the one true multi-frame codec the JDK ships (MP4/H.264
+    // remain a documented stub). Each document becomes a deterministic
+    // nf-frame solid-gray animation (frame k's gray = (31·id + 17·k) %
+    // 256), the batched mapPartitions decode demuxes and decodes every
+    // frame, and the oracle predicts frame count, dimensions and the
+    // cross-frame mean arithmetically (GIF is lossless for solid frames;
+    // the pixel sum is an exact BIGINT, the final division mirrors the
+    // decoder's sum/(3.0·npix) op order). The motion twin of q67/q132.
+    "q144_video_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (1 + id % 4).toInt
+          val h = (1 + id % 3).toInt
+          val nf = (1 + id % 5).toInt
+          val colors = Array.tabulate(nf) { k =>
+            val c = ((31L * id + 17L * k) % 256).toInt
+            (c << 16) | (c << 8) | c
+          }
+          MultimodalOps.MediaRow(id, "video",
+            MultimodalOps.encodeAnimatedGif(w, h, colors, 10),
+            "gif", w, h, nf * 100L)
+        }
+      MultimodalOps.decodeVideos(media).toDF()
+        .select(col("doc_id"), col("decoded"), col("n_frames"),
+          col("vid_width"), col("vid_height"), col("mean_luma"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame-sampling MANIFEST (relational twin of MultimodalOps.sampleFrames'
     // schedule): one row per sampled frame of each video every 1000 ms —
     // the generate runs map-side off metadata; the byte-slicing stub decode
@@ -113,6 +144,28 @@ object MediaQueries {
         |  CAST(1 + doc_id % 5 AS INTEGER) AS img_height,
         |  CAST(doc_id % 256 AS DOUBLE) AS mean_luma
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Video: per-frame solid grays sum exactly; the mean mirrors the
+    // decoder's CAST(sum AS DOUBLE) / (3.0 * npix) op order, where
+    // sum = 3·w·h·Σc and npix = w·h·nf.
+    "q144_video_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    1 + doc_id % 4 AS w, 1 + doc_id % 3 AS h,
+        |    1 + doc_id % 5 AS nf
+        |  FROM documents),
+        |f AS (SELECT doc_id, w, h, nf, unnest(range(nf)) AS k FROM d),
+        |c AS (SELECT doc_id, w, h, nf, (31 * doc_id + 17 * k) % 256 AS gray
+        |      FROM f),
+        |a AS (
+        |  SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |    any_value(nf) AS nf,
+        |    CAST(3 * any_value(w) * any_value(h) * SUM(gray) AS BIGINT) AS s
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, true AS decoded,
+        |  CAST(nf AS INTEGER) AS n_frames,
+        |  CAST(w AS INTEGER) AS vid_width, CAST(h AS INTEGER) AS vid_height,
+        |  CAST(s AS DOUBLE) / (3.0 * CAST(w * h * nf AS BIGINT)) AS mean_luma
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q132_audio_decode" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 16 AS n FROM documents),
         |s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM d),

@@ -114,4 +114,24 @@ class MultimodalSpec extends SparkSuite {
       MediaRow(9L, "audio", MultimodalOps.encodeWav(8000, neg), "wav", 0, 0, 0L))
     assert(g.decoded && g.rms == 300.0)
   }
+
+  test("decodeVideoFeatures: REAL animated-GIF demux+decode, exact cross-frame mean") {
+    import MultimodalOps.MediaRow
+    // 3 frames, 2×2, solid grays 10/20/40 → mean = (10+20+40)/3
+    val colors = Array(10, 20, 40).map(c => (c << 16) | (c << 8) | c)
+    val gif = MultimodalOps.encodeAnimatedGif(2, 2, colors, 10)
+    val v = MultimodalOps.decodeVideoFeatures(
+      MediaRow(0L, "video", gif, "gif", 2, 2, 300L))
+    assert(v.decoded && v.n_frames == 3)
+    assert(v.vid_width == 2 && v.vid_height == 2)
+    assert(v.mean_luma == (10.0 + 20 + 40) / 3)
+    // single frame degenerates to the still-image statistics
+    val one = MultimodalOps.decodeVideoFeatures(MediaRow(1L, "video",
+      MultimodalOps.encodeAnimatedGif(3, 1, Array(0x505050), 10), "gif", 3, 1, 100L))
+    assert(one.decoded && one.n_frames == 1 && one.mean_luma == 80.0)
+    // garbage bytes: deterministic stub fallback, flagged undecoded
+    val bad = MultimodalOps.decodeVideoFeatures(
+      MediaRow(2L, "video", Array[Byte](9, 9, 9, 9), "gif", 0, 0, 0L))
+    assert(!bad.decoded && bad.n_frames == -1)
+  }
 }
