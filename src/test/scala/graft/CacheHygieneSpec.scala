@@ -59,4 +59,19 @@ class CacheHygieneSpec extends SparkSuite {
         s"$name left entries in the session cache registry")
     }
   }
+
+  test("round-10 queries leave the cache registry empty end-to-end") {
+    val s = spark
+    s.sharedState.cacheManager.clearCache()
+    val d = "/root/testdata/sf0.001"
+    for (name <- Seq("q135_assortativity", "q136_split_assign",
+        "q137_quality_canonical", "q138_semdedup_ivf2",
+        "q139_weighted_sample", "q140_transition_probs",
+        "q141_winsorized_quality", "q143_harmonic_centrality",
+        "q144_video_decode")) {
+      SparkEntry.queries(name)(s, d).write.format("noop").mode("overwrite").save()
+      assert(s.sharedState.cacheManager.isEmpty,
+        s"$name left entries in the session cache registry")
+    }
+  }
 }
