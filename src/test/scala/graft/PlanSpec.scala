@@ -213,6 +213,30 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q139 global top-k runs as TakeOrdered, never a full sort") {
+    // orderBy(...).limit(k) must compile to TakeOrderedAndProject —
+    // map-side partial top-k per partition; a global Sort before the
+    // Limit would shuffle the whole corpus to sort it
+    val p = plan("q139_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.trim.startsWith("Sort ") || l.contains("+- Sort ")), s"global sort:\n$p")
+  }
+
+  test("q135 degree joins are not mandatory broadcasts (vertex-table growth)") {
+    // both degree attachments join a vertex-sized table — hinting it
+    // broadcast would OOM the driver at graph scale; with the auto
+    // threshold at -1 they must degrade to shuffle joins
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = plan("q135_assortativity")
+      val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+      assert(bhj == 0, s"degree join still forces a broadcast:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q120 centroid join is a broadcast (label-enum-sized build side)") {
     val p = plan("q120_embedding_outliers")
     assert(p.contains("BroadcastHashJoin"), p)
