@@ -205,6 +205,7 @@ class PlanSpec extends SparkSuite {
     val prev = spark.conf.get(key)
     try {
       spark.conf.set(key, "-1")
+      spark.sharedState.cacheManager.clearCache() // see q135's comment
       val p = graft.vector.VectorOps
         .ivf2Assign(Tables.embeddings(spark, sf), 8, 3)
         .queryExecution.sparkPlan.toString
@@ -231,6 +232,11 @@ class PlanSpec extends SparkSuite {
     val prev = spark.conf.get(key)
     try {
       spark.conf.set(key, "-1")
+      // earlier suites may have cached overlapping plan fragments whose
+      // SERIALIZED physical plans (built under the default threshold)
+      // contain BroadcastHashJoins — cache substitution would splice them
+      // into this fresh plan's printout and fail the count spuriously
+      spark.sharedState.cacheManager.clearCache()
       val p = plan("q135_assortativity")
       val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
       assert(bhj == 0, s"degree join still forces a broadcast:\n$p")
