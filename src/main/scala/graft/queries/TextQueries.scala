@@ -827,6 +827,26 @@ object TextQueries {
         .orderBy(col("word"))
     }),
 
+    // CORPUS TOKEN ACCOUNTING UNDER THE LEARNED TOKENIZER: per-doc token
+    // counts under the q122-induced BPE (not the whitespace/regex proxies
+    // of q18) — the number that actually prices a document against a
+    // training token budget. The corpus's token stream joins the
+    // vocabulary's segmentation lengths; the vocabulary is Heaps-law
+    // sized, so the join is AQE-planned and never hint-broadcast (q117's
+    // rule — at 100 TB the vocab is itself a big table).
+    "q145_bpe_corpus_tokens" -> ((s, d) => {
+      val dd = docs(s, d)
+      val (vocab, _) = graft.text.Bpe.learn(
+        graft.text.Bpe.wordTable(dd, "text"), 3)
+      val nsym = vocab.select(col("word"), size(col("syms")).as("n_syms"))
+      dd.select(col("doc_id"), col("source"),
+          explode(TextOps.tokens(col("text"))).as("word"))
+        .join(nsym, Seq("word"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TEMPERATURE-BASED MIX RESAMPLING (the UniMax / multilingual-sampling
     // stage): per-source quotas ∝ n^α with α = 0.5, so small sources are
     // up-weighted relative to their share; each source then keeps its
@@ -1528,6 +1548,17 @@ object TextQueries {
          |  array_to_string(syms, ' ') AS segmentation,
          |  CAST(len(syms) AS INTEGER) AS n_syms
          |FROM s3 ORDER BY word""".stripMargin,
+    // Corpus tokens under the learned merges: q123's segmentation lengths
+    // joined back onto the corpus token stream.
+    "q145_bpe_corpus_tokens" ->
+      s"""WITH ${bpeCte(3)},
+         |ns AS (SELECT word, len(syms) AS n_syms FROM s3),
+         |tok AS (SELECT doc_id, source, unnest($toksSql) AS word
+         |        FROM documents)
+         |SELECT doc_id, source, COUNT(*) AS n_words,
+         |  CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens
+         |FROM tok JOIN ns USING (word)
+         |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin,
     // Temperature mix: fixed-point sqrt weights, one double quota chain,
     // md5-rank selection — q93's sampler under corpus-derived quotas.
     "q124_temperature_mix" ->

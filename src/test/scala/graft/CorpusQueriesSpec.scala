@@ -91,6 +91,24 @@ class CorpusQueriesSpec extends SparkSuite {
     split.unpersist()
   }
 
+  test("q145: learned-BPE token counts sit between word count and character count") {
+    val r = SparkEntry.queries("q145_bpe_corpus_tokens")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    val chars = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        aggregate(graft.text.TextOps.tokens(col("text")), lit(0L),
+          (a, t) => a + length(t)).as("n_word_chars"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val w = row.getAs[Long]("n_words")
+      val b = row.getAs[Long]("n_bpe_tokens")
+      // every word is ≥1 symbol; merges only ever shrink the char split
+      assert(w <= b, s"doc $id: $w words > $b bpe tokens")
+      assert(b <= chars(id), s"doc $id: $b bpe tokens > ${chars(id)} chars")
+    }
+  }
+
   test("q139: the kept docs are exactly the global priority top-k") {
     // sf0.01 (500 docs) so the 200-limit actually selects; priorities are
     // recomputed for ALL docs with the same library expressions and the
