@@ -55,7 +55,8 @@ object ScaleBench {
     "text" -> Seq(
       "q22_jaccard_pairs", "q35_textrank", "q105_decontam",
       "q112_semdedup", "q138_semdedup_ivf2",
-      "q121_containment_pairs", "q126_corpus_report"),
+      "q121_containment_pairs", "q126_corpus_report",
+      "q139_weighted_sample", "q145_bpe_corpus_tokens"),
     "event" -> Seq(
       "q32_asof_join", "q87_rolling_actives", "q140_transition_probs"))
 
