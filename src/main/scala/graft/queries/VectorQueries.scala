@@ -198,6 +198,11 @@ object VectorQueries {
     // (N/k)² blowup a fixed k gives at 100× (same dial discipline as
     // Packing.bucketSize). The count() is one column-pruned metadata-cheap
     // scan; the oracle derives k identically from COUNT(*) OVER ().
+    // NOTE the remaining term: with k ∝ N, the FLAT centroid assign is
+    // O(N·k) = O(N²/64) — ScaleBench measured it as the suite's one
+    // superlinear growth (×10 → 3.2×, ×30 → 15.7×). q138 is the scale
+    // path: the same SemDeDup through the two-level ivf2Assign (×30 →
+    // 3.8×). This flat form stays as the exact-rule member of the pair.
     "q112_semdedup" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val e = emb(s, d)
