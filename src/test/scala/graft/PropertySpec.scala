@@ -151,4 +151,32 @@ class PropertySpec extends SparkSuite {
         (ws.size >= 3 || sh.isEmpty)
     })
   }
+
+  test("ivf2Assign: clusters are seed ids, and its distance is ≥ the flat argmin's") {
+    val s = spark
+    import s.implicits._
+    // random small 2-d float corpora; k seeds = min ids; the two-level
+    // route may only ever land at the flat nearest centroid OR FARTHER —
+    // the defining inequality of an nprobe=1 IVF approximation
+    val vecGen = Gen.listOfN(2, Gen.choose(-4, 4).map(_.toFloat))
+    val gen = Gen.choose(4, 10).flatMap(n => Gen.listOfN(n, vecGen))
+    check(Prop.forAll(gen) { vs =>
+      val df = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val k = math.min(4, vs.size)
+      val byId = vs.zipWithIndex.map { case (v, i) => i.toLong -> v }.toMap
+      def d2(a: Seq[Float], b: Seq[Float]) =
+        a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+      val seedIds = (0L until k.toLong).toSet
+      val flat = graft.vector.VectorOps.kmeansAssign(df, k, 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val two = graft.vector.VectorOps.ivf2Assign(df, k, 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      two.keySet == flat.keySet &&
+        two.values.forall(seedIds.contains) &&
+        two.forall { case (id, cell) =>
+          d2(byId(id), byId(cell)) >= d2(byId(id), byId(flat(id))) - 1e-9
+        }
+    })
+  }
 }
