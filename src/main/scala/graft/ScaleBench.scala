@@ -163,16 +163,37 @@ object ScaleBench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Shuffle partitions SCALE WITH INPUT (the knob a real cluster turns):
+    // partitions = max(cpus, m × partsPerMult), so per-partition hash/sort
+    // state stays roughly constant as the corpus replicates — separating
+    // algorithmic growth from spill in the measured curves. AQE coalesces
+    // the small stages back down, so the only cost of the higher ceiling is
+    // scheduling, not tiny-task overhead.
+    val partsPerMult =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS_PER_MULT", "8").toInt
+
     val perMult = mults.map { m =>
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(cpus.toInt, m * partsPerMult).toString)
       val dir =
         if (m == 1) base
         else {
           val d = s"/tmp/graft_scale_x$m"
           // builder-side iteration aid: reuse an existing replica dir across
-          // family-filtered runs instead of rewriting ×M parquet each time
+          // family-filtered runs instead of rewriting ×M parquet each time.
+          // The marker file records which base corpus the replicas were
+          // built from — reuse only fires when it matches the current
+          // SPARK_GRAFT_SF_DIR, so switching bases can't silently replay
+          // stale replicas.
+          val marker = Paths.get(s"$d/.graft_scale_base")
           val reuse = sys.env.contains("SPARK_GRAFT_SCALE_REUSE") &&
-            Files.exists(Paths.get(s"$d/region.parquet"))
-          if (!reuse) replicate(spark, base, m, d)
+            Files.exists(Paths.get(s"$d/region.parquet")) &&
+            Files.exists(marker) &&
+            new String(Files.readAllBytes(marker), StandardCharsets.UTF_8).trim == base
+          if (!reuse) {
+            replicate(spark, base, m, d)
+            Files.write(marker, base.getBytes(StandardCharsets.UTF_8))
+          }
           d
         }
       val perQuery = names.map { name =>

@@ -194,11 +194,30 @@ object DedupOps {
     * signatures never re-shingle the text. */
   def minhashPairsFromSignatures(sig: DataFrame, k: Int, rowsPerBand: Int,
                                  threshold: Double): DataFrame = {
-    val buckets = lshBuckets(sig, rowsPerBand)
-    val cands = buckets.as("a").join(buckets.as("b"),
+    // FIRST-COLLISION-BAND emission: a pair agreeing in several bands used
+    // to be emitted once per band and collapsed by a `.distinct()` over the
+    // candidate pairs — a shuffle whose input carries a ≤bands× duplication
+    // factor. Instead each banded row now carries the doc's LOWER-band
+    // bucket array (`prefix`, one tiny groupBy(doc_id) over the
+    // docs×bands bucket table), and the bucket join keeps a collision only
+    // when NO lower band also collides — exactly one emission per pair, by
+    // construction, so the pair-level distinct disappears entirely. The
+    // candidate SET is unchanged (any colliding pair collides in a first
+    // band), so q23/q52/q125-family oracles are result-identical.
+    val byDoc = lshBuckets(sig, rowsPerBand)
+      .groupBy(col("doc_id"))
+      .agg(transform(sort_array(collect_list(struct(col("band"), col("bucket")))),
+        e => e.getField("bucket")).as("bs"))
+    val banded = byDoc
+      .select(col("doc_id"), col("bs"), posexplode(col("bs")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"),
+        slice(col("bs"), lit(1), col("pos")).as("prefix"))
+    val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+      .filter(!exists(zip_with(col("a.prefix"), col("b.prefix"),
+        (x, y) => x === y), identity[Column]))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
     cands
       .join(sig.select(col("doc_id").as("da"), col("i"), col("minhash").as("ha")), Seq("da"))
       .join(sig.select(col("doc_id").as("db"), col("i"), col("minhash").as("hb")),

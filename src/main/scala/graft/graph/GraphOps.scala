@@ -41,11 +41,21 @@ object GraphOps {
     *
     * @param seeds single-column DataFrame `id`
     * @param edges two-column DataFrame `src, dst` (already symmetric)
+    * @param broadcastFrontier default true (investigation-scale frontiers);
+    *        pass false for graph-scale seed sets — the hint-free join lets
+    *        AQE choose, and the driver never materializes the frontier
     */
-  def kHop(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+  def kHop(edges: DataFrame, seeds: DataFrame, k: Int,
+           broadcastFrontier: Boolean = true): DataFrame = {
     var reached = seeds.select(col("id")).distinct()
     for (_ <- 1 to k) {
-      val neighbors = edges.join(broadcast(reached), col("src") === col("id"))
+      // broadcast stays the DEFAULT (the investigation contract: tens of
+      // seeds, ~tens-of-ids closure), but is opt-OUT for graph-scale seed
+      // sets where a collected broadcast set would OOM the driver — the
+      // hint-free join lets AQE pick broadcast-vs-shuffle at runtime,
+      // mirroring [[bfsDistances]]' distributed-frontier pattern.
+      val probe = if (broadcastFrontier) broadcast(reached) else reached
+      val neighbors = edges.join(probe, col("src") === col("id"))
         .select(col("dst").as("id"))
       reached = reached.union(neighbors).distinct()
     }

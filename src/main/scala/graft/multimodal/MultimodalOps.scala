@@ -234,38 +234,40 @@ object MultimodalOps {
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(row.payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) throw new IllegalArgumentException("no reader")
-      val r = readers.next()
       try {
-        r.setInput(iis, false)
-        val nf = r.getNumImages(true)
-        if (nf < 1) throw new IllegalArgumentException("no frames")
-        var sum = 0L
-        var npix = 0L
-        var w0 = 0
-        var h0 = 0
-        var k = 0
-        while (k < nf) {
-          val img = r.read(k)
-          if (k == 0) { w0 = img.getWidth; h0 = img.getHeight }
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              x += 1
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) throw new IllegalArgumentException("no reader")
+        val r = readers.next()
+        try {
+          r.setInput(iis, false)
+          val nf = r.getNumImages(true)
+          if (nf < 1) throw new IllegalArgumentException("no frames")
+          var sum = 0L
+          var npix = 0L
+          var w0 = 0
+          var h0 = 0
+          var k = 0
+          while (k < nf) {
+            val img = r.read(k)
+            if (k == 0) { w0 = img.getWidth; h0 = img.getHeight }
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            npix += img.getWidth.toLong * img.getHeight
+            k += 1
           }
-          npix += img.getWidth.toLong * img.getHeight
-          k += 1
-        }
-        VideoFeatures(row.doc_id, decoded = true, nf, w0, h0,
-          if (npix == 0) 0.0 else sum.toDouble / (3.0 * npix),
-          row.payload.length)
-      } finally r.dispose()
+          VideoFeatures(row.doc_id, decoded = true, nf, w0, h0,
+            if (npix == 0) 0.0 else sum.toDouble / (3.0 * npix),
+            row.payload.length)
+        } finally r.dispose()
+      } finally iis.close()
     } catch {
       case _: Exception =>
         val f = decodeStub(row)

@@ -275,8 +275,10 @@ object GraphQueries {
     // (degree onto each endpoint — shuffle joins on id, AQE-planned; never
     // a broadcast of a vertex table) + one global aggregate with map-side
     // partials. At 100 TB the full formula stays a 4-scalar reduce.
+    // entityEdges is already symmetrized (union+distinct inside), so feed
+    // it straight in — a second symmetrize would only repeat that shuffle.
     "q135_assortativity" -> ((s, d) =>
-      GraphOps.assortativity(GraphOps.symmetrize(Erkg.entityEdges(s, d)))),
+      GraphOps.assortativity(Erkg.entityEdges(s, d))),
 
     // HARMONIC CENTRALITY of the 2-hop suspicious network (q13's ball):
     // which vertices sit closest to the whole investigation neighborhood.

@@ -92,6 +92,12 @@ object NlpQueries {
     // plus both token-level expansions; released via `releasing` below
     val toks = docTokens(s, d).select(col("doc_id"), col("token"))
       .distinct().cache()
+    // ONE tokenized probe vocabulary shared by all three engines: the r10
+    // stage timings showed B and C each re-deriving `distinct token` from
+    // the full (doc_id, token) mention stream — a corpus-sized distinct
+    // apiece; sharing the vocab table means that shuffle happens once and
+    // the signal engines probe a cached vocabulary-sized input.
+    val dtok = toks.select(col("token")).distinct().cache()
     // signal A: prior × cosine, top-5 per (doc_id, token)
     val candA = toks.join(broadcast(gaz(s, d)), col("token") === col("alias"))
       .select(col("doc_id"), col("token"), col("entity"), col("prior"))
@@ -106,7 +112,7 @@ object NlpQueries {
       .select(explode(TextOps.tokens(col("p_name"))).as("alias"),
         col("p_partkey").as("entity")).distinct()
     lazy val sigB = broadcast(
-      FuzzyMatch.fuzzyCandidates(toks.select(col("token")),
+      FuzzyMatch.fuzzyCandidates(dtok,
           aliasEnt.select(col("alias")), maxDist = 2, blockK = 2, topK = 5)
         .join(aliasEnt, Seq("alias"))
         .groupBy(col("token"), col("entity")).agg(min(col("dist")).as("dist"))
@@ -118,7 +124,7 @@ object NlpQueries {
     // signal C: BM25 against the part-name corpus (entity = part key)
     lazy val sigC = broadcast(
       graft.text.RankedSearch.bm25TopK(Tables.part(s, d), "p_partkey", "p_name",
-          toks.select(col("token").as("surface")),
+          dtok.select(col("token").as("surface")),
           k1 = 1.2, b = 0.75, blockK = 1, topK = 5)
         .select(col("surface").as("token"), col("doc_id").as("entity"), col("rn")))
     // expand the token-level signals to the (doc_id, token) mention set
@@ -129,7 +135,7 @@ object NlpQueries {
     val sigs = Seq(sigA) ++
       (if (nSignals >= 2) Seq(sigBdoc) else Nil) ++
       (if (nSignals >= 3) Seq(sigCdoc) else Nil)
-    releasing(toks)(
+    releasing(toks, dtok)(
       graft.text.HybridRetrieval.rrfFuse(sigs,
           Seq("doc_id", "token"), "entity", k = 60, topK = 3)
         .orderBy(col("doc_id"), col("token"), col("rn")))
@@ -140,9 +146,13 @@ object NlpQueries {
     * corpus-scale — exactly the probe shape RankedSearch's docstring says
     * must NOT broadcast (at 100 TB it would not fit the driver) — the block
     * keys shuffle-join the postings (`broadcastQueries = false`); the
-    * oracle is plan-agnostic. `checkpoint = false` is PlanSpec's window
-    * into the pre-checkpoint plan (the eager localCheckpoint in bm25TopK
-    * otherwise hides it behind an RDD scan). */
+    * oracle is plan-agnostic. `championN = 128` caps every token's probe
+    * fan-out (postings-side champion list) so candidates per mention stay
+    * bounded under corpus growth — the fix for the ×30 superlinear curve
+    * SCALE r10 measured; the oracle encodes the identical truncation.
+    * `checkpoint = false` is PlanSpec's window into the pre-checkpoint plan
+    * (the eager localCheckpoint in bm25TopK otherwise hides it behind an
+    * RDD scan). */
   private[graft] def bm25Candidates(s: SparkSession, d: String,
                                     checkpoint: Boolean = true): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -155,7 +165,7 @@ object NlpQueries {
       .distinct()
     graft.text.RankedSearch.bm25TopK(docs, "doc_id", "text", mentions,
         k1 = 1.2, b = 0.75, blockK = 1, topK = 5,
-        broadcastQueries = false, checkpoint = checkpoint)
+        broadcastQueries = false, checkpoint = checkpoint, championN = 128)
       .orderBy(col("surface"), col("rn"))
   }
 
@@ -266,16 +276,15 @@ object NlpQueries {
     // V5 (Aho–Corasick form) — SAME semantics and SAME oracle as q45, but
     // matching runs through the custom ac_spans expression: one automaton
     // pass per document instead of span-table enumeration + join. The
-    // gazetteer is collected to the driver (KB-scale broadcast state by
-    // design — EntityRuler ships its whole pattern set to every worker) and
-    // compiled into the expression as literals.
+    // gazetteer collect is GUARDED ([[EntityLinking.acMentionsGuarded]]):
+    // KB-scale pattern sets compile into the expression as literals
+    // (EntityRuler ships its whole pattern set to every worker), while an
+    // over-bound gazetteer falls back to the hint-free span join — the
+    // driver never materializes more than maxAcPatterns+1 rows.
     "q53_ac_mentions" -> ((s, d) => {
       val spans = EntityLinking.ngramSpans(Tables.documents(s, d), 3)
-      val gazRows = EntityLinking.phraseGazetteer(spans, 30)
-        .select(col("surface"), col("entity")).collect().sortBy(_.getString(0))
-      EntityLinking.resolveLongestPerStart(
-          EntityLinking.acMentionSpans(Tables.documents(s, d),
-            gazRows.map(_.getString(0)).toSeq, gazRows.map(_.getInt(1)).toSeq))
+      EntityLinking.acMentionsGuarded(Tables.documents(s, d),
+          EntityLinking.phraseGazetteer(spans, 30))
         .orderBy(col("doc_id"), col("pos"))
     }),
 
@@ -538,7 +547,11 @@ object NlpQueries {
          |        ORDER BY ti.df ASC, mt.token ASC) AS krn
          |    FROM mt JOIN ti USING (token)) k
          |  WHERE krn <= 1),
-         |cand AS (SELECT DISTINCT bk.surface, p.doc_id FROM bk JOIN p USING (token)),
+         |ch AS (SELECT token, doc_id FROM (
+         |    SELECT token, doc_id, ROW_NUMBER() OVER (PARTITION BY token
+         |      ORDER BY tf DESC, doc_id ASC) AS crn FROM p) c
+         |  WHERE crn <= 128),
+         |cand AS (SELECT DISTINCT bk.surface, ch.doc_id FROM bk JOIN ch USING (token)),
          |sc AS (SELECT c.surface, c.doc_id,
          |    CAST(SUM(CAST(floor(ti.idf * ((CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))) / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * ((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) * CAST(dlen.dl AS DOUBLE) / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))) * 1e9) AS BIGINT)) AS BIGINT) AS score_fp
          |  FROM cand c

@@ -1002,6 +1002,43 @@ object TextQueries {
         .select(col("doc_id"), col("cluster"), col("quality"),
           (col("rn") === 1).as("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // q136's SPLIT consumed from the MATERIALIZED closure artifact
+    // ([[graft.sources.DedupClosure]]) — the write-once/read-many
+    // production shape: the MinHash→CC closure is computed ONCE per corpus
+    // snapshot, persisted bucketed by doc_id, and this query (like any
+    // downstream consumer) does only per-row expression work over the
+    // artifact scan. Same values as q136 by construction (the artifact IS
+    // q52's closure), so the oracle recomputes the closure it persisted.
+    "q146_artifact_split" -> ((s, d) => {
+      val cl = graft.sources.DedupClosure.read(s, docs(s, d), d)
+      cl.withColumn("bucket",
+          pmod(TextOps.tokenHash60(col("canonical").cast("string")), lit(100L)))
+        .select(col("doc_id"), col("canonical"), col("bucket"),
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q137's QUALITY-ARGMAX CANONICAL consuming the same artifact — the
+    // second reader, proving the read-many half: two consumers, one
+    // closure build. The doc_id join against the bucketed artifact needs
+    // no exchange on the artifact side (DedupClosureSpec pins the plan).
+    "q147_artifact_canonical" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cl = graft.sources.DedupClosure.read(s, docs(s, d), d)
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .join(cl, Seq("doc_id"))
+        .withColumn("cluster", col("canonical"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("cluster"), col("quality"),
+          (col("rn") === 1).as("keep"))
+        .orderBy(col("doc_id"))
     }))
 
   // ---- q116 staged prefixes (Bench stage-level timing) ---------------------
@@ -2016,20 +2053,13 @@ object TextQueries {
 
     // Cluster-level split: q52's closure + the portable md5 bucket — the
     // same 60-bit hash tokenHash60 computes Spark-side.
-    "q136_split_assign" ->
-      s"""$dedupCompCte,
-         |asg AS (
-         |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical
-         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
-         |b AS (
-         |  SELECT doc_id, canonical,
-         |    CAST('0x' || substr(md5(CAST(canonical AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
-         |  FROM asg)
-         |SELECT doc_id, canonical, bucket,
-         |  CASE WHEN bucket < 80 THEN 'train'
-         |       WHEN bucket < 90 THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM b ORDER BY doc_id""".stripMargin,
+    "q136_split_assign" -> splitAssignSql,
+    // q146 = q136's split read from the MATERIALIZED closure artifact
+    // (sources.DedupClosure) — same values by construction (the artifact IS
+    // q52's closure), so the oracle recomputes the closure it persisted.
+    "q146_artifact_split" -> splitAssignSql,
+    // q147 = q137's quality-argmax canonical consuming the same artifact.
+    "q147_artifact_canonical" -> qualityCanonicalSql,
 
     // Winsorize: quantile_disc mirrors percentile_disc (q70); the band
     // edges are actual elements of the bit-identical quality column.
@@ -2077,22 +2107,43 @@ object TextQueries {
 
     // Quality-argmax canonical: q52's closure + q20's quality formula +
     // one ROW_NUMBER under (quality DESC, doc_id).
-    "q137_quality_canonical" ->
-      s"""$dedupCompCte,
-         |q AS (
-         |  SELECT doc_id,
-         |    0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
-         |    + 0.3 * (CAST(${langScoreSql(TextOps.langStopwords.toMap.apply("en"))} AS DOUBLE) / greatest(len(toks), 1))
-         |    + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
-         |    + 0.2 * (1.0 - least((CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / greatest(len(toks), 1)) / 10.0, 1.0))
-         |      AS quality
-         |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t),
-         |cl AS (
-         |  SELECT q.doc_id, q.quality, COALESCE(c.component, q.doc_id) AS cluster
-         |  FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id)
-         |SELECT doc_id, cluster, quality,
-         |  ROW_NUMBER() OVER (PARTITION BY cluster
-         |                     ORDER BY quality DESC, doc_id) = 1 AS keep
-         |FROM cl ORDER BY doc_id""".stripMargin
+    "q137_quality_canonical" -> qualityCanonicalSql
   )
+
+  /** q136's split oracle — shared verbatim by q146 (the artifact-consuming
+    * twin: the Spark side reads the persisted closure, the oracle recomputes
+    * the closure it persisted). */
+  private lazy val splitAssignSql =
+    s"""$dedupCompCte,
+       |asg AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+       |b AS (
+       |  SELECT doc_id, canonical,
+       |    CAST('0x' || substr(md5(CAST(canonical AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+       |  FROM asg)
+       |SELECT doc_id, canonical, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  /** q137's quality-canonical oracle — shared verbatim by q147. */
+  private lazy val qualityCanonicalSql =
+    s"""$dedupCompCte,
+       |q AS (
+       |  SELECT doc_id,
+       |    0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+       |    + 0.3 * (CAST(${langScoreSql(TextOps.langStopwords.toMap.apply("en"))} AS DOUBLE) / greatest(len(toks), 1))
+       |    + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+       |    + 0.2 * (1.0 - least((CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / greatest(len(toks), 1)) / 10.0, 1.0))
+       |      AS quality
+       |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t),
+       |cl AS (
+       |  SELECT q.doc_id, q.quality, COALESCE(c.component, q.doc_id) AS cluster
+       |  FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id)
+       |SELECT doc_id, cluster, quality,
+       |  ROW_NUMBER() OVER (PARTITION BY cluster
+       |                     ORDER BY quality DESC, doc_id) = 1 AS keep
+       |FROM cl ORDER BY doc_id""".stripMargin
 }

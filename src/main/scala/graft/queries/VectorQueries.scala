@@ -239,7 +239,12 @@ object VectorQueries {
     "q138_semdedup_ivf2" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val e = emb(s, d)
-      val k = math.max(8L, math.ceil(e.count() / 64.0).toLong).toInt
+      // Clamp the requested k to the corpus size so c is derived from the
+      // REALIZED fine-seed count (= min(n, k)) exactly as the oracle's
+      // `coarse` CTE does — otherwise a corpus with n < 8 vectors would
+      // pick a different coarse-cell count than the SQL twin.
+      val n = e.count()
+      val k = math.min(n, math.max(8L, math.ceil(n / 64.0).toLong)).toInt
       val c = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
       val cells = VectorOps.ivf2Assign(e, k, c).localCheckpoint()
       val member = e.join(cells, Seq("vec_id"))

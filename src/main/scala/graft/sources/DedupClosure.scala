@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupOps
+import graft.graph.GraphOps
+
+/** MATERIALIZED near-dup-closure artifact — the write-once/read-many
+  * production shape of q52's cluster table.
+  *
+  * The reference materializes every intermediate at an asset boundary and
+  * downstream assets consume the persisted copy
+  * (/root/reference/dagster_icij/assets.py:86-98); the engine's oracle
+  * queries deliberately do NOT share state (each q-entry is a self-contained
+  * plan, the cache-hygiene discipline), which means the split (q136),
+  * quality-canonical (q137), incremental (q125) and report (q126) queries
+  * each recompute the same MinHash→CC closure. In production that closure is
+  * computed ONCE per corpus snapshot, persisted BUCKETED BY doc_id, and every
+  * consumer joins against the artifact with no exchange on the artifact side.
+  * This object is that boundary:
+  *
+  *  - [[closure]] — the canonical cluster plan (doc_id, canonical), exactly
+  *    q52's semantics: MinHash(3-shingle, 32 hashes, 4 rows/band, θ=0.5)
+  *    pairs → pure-DataFrame connected components → min-id canonical, docs
+  *    with no near-dup mapping to themselves;
+  *  - [[materialize]] — write-once: persists the closure as a bucketed,
+  *    per-bucket-sorted table ([[Bucketing]]'s layout, so consumer joins on
+  *    doc_id need no exchange) keyed by a corpus fingerprint;
+  *  - [[read]] — returns the artifact, building it only if absent.
+  *
+  * Staleness contract: the table name embeds md5(dir | count | Σ doc_id) —
+  * one pruned single-column scan per read call. A corpus regenerated at the
+  * same path changes the fingerprint and forces a rebuild; a re-run over the
+  * same snapshot reuses the artifact (ScaleBench's marker-file rule, applied
+  * to a catalog table).
+  */
+object DedupClosure {
+
+  /** q52's closure plan over `docs` (doc_id, text): (doc_id, canonical),
+    * canonical = min doc_id of the near-dup component (self if unpaired). */
+  def closure(docs: DataFrame): DataFrame = {
+    val pairs = DedupOps.minhashPairs(docs, "doc_id", "text", 3, 32, 4, 0.5)
+      .select(col("da").as("src"), col("db").as("dst"))
+    val comps = GraphOps.connectedComponentsDF(pairs)
+      .withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical"))
+  }
+
+  /** Fingerprinted artifact name: stable across runs over the same corpus
+    * snapshot, different for any corpus whose (count, Σ doc_id) differ. */
+  def tableName(docs: DataFrame, dir: String): String = {
+    val row = docs.agg(count(lit(1)), sum(col("doc_id"))).collect()(0)
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|${row.getLong(0)}|${row.getLong(1)}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"graft_dedup_closure_$fp"
+  }
+
+  /** Write-once materialization: build + persist the closure bucketed by
+    * doc_id unless the fingerprinted table already exists. Returns the
+    * table name. `buckets` follows [[Bucketing]]'s sizing rule (one bucket
+    * of the closure ≈ one comfortable task). */
+  def materialize(spark: SparkSession, docs: DataFrame, dir: String,
+                  buckets: Int = 8): String = {
+    val t = tableName(docs, dir)
+    if (!spark.catalog.tableExists(t)) {
+      // The default (in-memory) catalog is per-session but the warehouse
+      // directory persists: a previous session may have left the table's
+      // LOCATION behind with no catalog entry carrying its bucketing
+      // metadata. Orphaned data without metadata is unreadable as a
+      // bucketed table, so clear it and rebuild rather than fail on
+      // LOCATION_ALREADY_EXISTS.
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(warehouse)) fs.delete(warehouse, true)
+      Bucketing.writeBucketed(closure(docs), t, "doc_id", buckets)
+    }
+    t
+  }
+
+  /** The artifact as a DataFrame (doc_id, canonical), building it on first
+    * use — every subsequent consumer pays one fingerprint scan plus a
+    * bucketed (exchange-free on this side) read. */
+  def read(spark: SparkSession, docs: DataFrame, dir: String): DataFrame =
+    spark.table(materialize(spark, docs, dir))
+}

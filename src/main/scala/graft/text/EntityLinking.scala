@@ -147,6 +147,41 @@ object EntityLinking {
         col("m.len").as("len"), col("m.entity").as("entity"))
   }
 
+  /** Driver-compile bound for the AC expression: EntityRuler-style pattern
+    * sets are KB–MB scale and broadcast whole to every worker — that is the
+    * contract the `.collect()` relies on. Above this bound the literal
+    * compile would bloat the driver AND the serialized plan, so matching
+    * falls back to the relational span-enumeration join instead. */
+  val maxAcPatterns: Int = 100000
+
+  /** GUARDED AC matching — the explicit contract around the one main-path
+    * driver collect: compiles the gazetteer into the `ac_spans` expression
+    * only while it is KB-scale (≤ `maxPatterns` rows, checked with a
+    * `limit(max+1)` probe so an over-bound gazetteer is never fully
+    * collected); above the bound it switches to the span-table join with a
+    * HINT-FREE gazetteer join (a corpus-scale gazetteer may exceed
+    * broadcast limits — AQE decides at runtime). Both paths resolve
+    * longest-per-start and return identical rows (law-tested in NlpSpec);
+    * the fallback derives its n-gram ceiling from the gazetteer's own
+    * longest phrase, so no pattern is silently dropped. */
+  def acMentionsGuarded(docs: DataFrame, gaz: DataFrame,
+                        maxPatterns: Int = maxAcPatterns): DataFrame = {
+    val g = gaz.select(col("surface"), col("entity"))
+    val head = g.limit(maxPatterns + 1).collect()
+    if (head.length > maxPatterns) {
+      val maxN = g.select(max(size(split(col("surface"), " "))))
+        .collect()(0).getInt(0)
+      resolveLongestPerStart(
+        ngramSpans(docs, maxN).join(g, Seq("surface"))
+          .select(col("doc_id"), col("pos"), col("surface"), col("len"),
+            col("entity")))
+    } else {
+      val rows = head.sortBy(_.getString(0))
+      resolveLongestPerStart(acMentionSpans(docs,
+        rows.map(_.getString(0)).toSeq, rows.map(_.getInt(1)).toSeq))
+    }
+  }
+
   /** [[phraseMentions]]' longest-match-per-start resolution over any matched
     * span set (doc_id, pos, surface, len, entity). */
   def resolveLongestPerStart(matched: DataFrame): DataFrame =

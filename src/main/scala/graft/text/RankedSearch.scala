@@ -46,6 +46,12 @@ object RankedSearch {
     *   replaces. Disable for corpus-scale probe sets (every n-gram of a
     *   100 TB corpus), where a mention-sized broadcast would not fit the
     *   driver and the shuffle join is the only correct plan.
+    * @param championN cap each token's posting list to its top-N docs by
+    *   (tf desc, doc_id asc) for candidate GENERATION (Lucene/WAND champion
+    *   lists); 0 (default) = uncapped. With a cap, per-mention fan-out is
+    *   ≤ blockK·championN at any corpus size — the knob that keeps the
+    *   candidate join linear under corpus growth. Scoring stays exact for
+    *   every emitted candidate; only recall is bounded.
     * @return (surface, doc_id, score double, rn int)
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
@@ -53,7 +59,8 @@ object RankedSearch {
                k1: Double = 1.2, b: Double = 0.75,
                blockK: Int = 1, topK: Int = 5,
                broadcastQueries: Boolean = true,
-               checkpoint: Boolean = true): DataFrame = {
+               checkpoint: Boolean = true,
+               championN: Int = 0): DataFrame = {
     // Postings: (doc, token) → tf, plus per-doc length dl. One shuffle —
     // and CACHED for the call: the postings list is referenced four times
     // (doc lengths, df stats, candidate generation, scoring) and an
@@ -69,10 +76,12 @@ object RankedSearch {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     if (!checkpoint)
-      return ranked(postingsPlan, mentions, k1, b, blockK, topK, broadcastQueries)
+      return ranked(postingsPlan, mentions, k1, b, blockK, topK,
+        broadcastQueries, championN)
     val postings = postingsPlan.cache()
     try {
-      ranked(postings, mentions, k1, b, blockK, topK, broadcastQueries)
+      ranked(postings, mentions, k1, b, blockK, topK, broadcastQueries,
+          championN)
         .localCheckpoint()
     // finally: a failed checkpoint (lost executor, cancelled job) must still
     // release the postings cache, or every failed call leaks an entry
@@ -83,7 +92,7 @@ object RankedSearch {
     * by [[bm25TopK]]'s materializing and plan-only modes. */
   private def ranked(postings: DataFrame, mentions: DataFrame,
                      k1: Double, b: Double, blockK: Int, topK: Int,
-                     broadcastQueries: Boolean): DataFrame = {
+                     broadcastQueries: Boolean, championN: Int): DataFrame = {
     val docLen = postings.groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("dl"))
     // Corpus constants as a 1-row broadcast scalar (same pattern as nvec).
@@ -124,7 +133,38 @@ object RankedSearch {
     val keyedProbe =
       if (broadcastQueries) broadcast(blockKeys)
       else blockKeys.hint("shuffle_hash")
-    val candidates = keyedProbe.join(postings, Seq("token"))
+    // POSTINGS-SIDE champion list (championN > 0): candidate generation
+    // probes each token's top-championN docs by tf only — the other half
+    // of the WAND-family pruning. Query-side blocking (blockK) bounds how
+    // many tokens probe; WITHOUT a postings cap each probe still fans out
+    // to the token's FULL posting list, which grows linearly with the
+    // corpus — the measured ×30 superlinearity of the uncapped path
+    // (SCALE r10: 12.8 s → 112 s while output stayed linear). With the cap
+    // candidates per mention are ≤ blockK·championN at ANY corpus size.
+    // Scoring below is unchanged — exact BM25 over all shared terms of
+    // every emitted candidate; the cap only bounds recall, and the oracle
+    // encodes the identical (tf desc, doc_id asc) truncation.
+    // The per-token top-N itself is built in TWO phases so a stopword's
+    // corpus-sized posting list never lands in one window partition:
+    // per-(token, salt) top-N first — bounded fan-in of 64·championN rows
+    // per token — then the global top-N over the survivors.
+    val candPostings =
+      if (championN <= 0) postings
+      else {
+        val salted = postings
+          .withColumn("salt", pmod(col("doc_id"), lit(64)).cast("int"))
+          .withColumn("srn", row_number().over(
+            Window.partitionBy(col("token"), col("salt"))
+              .orderBy(col("tf").desc, col("doc_id").asc)))
+          .filter(col("srn") <= championN)
+        salted
+          .withColumn("crn", row_number().over(
+            Window.partitionBy(col("token"))
+              .orderBy(col("tf").desc, col("doc_id").asc)))
+          .filter(col("crn") <= championN)
+          .select(col("token"), col("doc_id"))
+      }
+    val candidates = keyedProbe.join(candPostings, Seq("token"))
       .select(col("surface"), col("doc_id")).distinct()
 
     // Exact BM25 over every shared (mention term, candidate doc) pair.

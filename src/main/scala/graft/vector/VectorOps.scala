@@ -227,16 +227,27 @@ object VectorOps {
     val rowsPerBand = nPlanes / bands
     val sig = vecs.select(col("vec_id"),
       sigFn(col("embedding"), nPlanes).as("sig"))
+    // Each banded row also carries the bit-string PREFIX of all lower
+    // bands, so the bucket join can emit a pair only in its FIRST
+    // colliding band (no lower-band chunk agrees) — one emission per pair
+    // by construction, which replaces the old pair-level `.distinct()`
+    // shuffle (input duplication ≤ bands×) with a map-side string check.
     val banded = sig.select(col("vec_id"),
       explode(expr(s"transform(sequence(0, ${bands - 1}), " +
-        s"b -> struct(b AS band, substring(sig, b * $rowsPerBand + 1, $rowsPerBand) AS key))"))
+        s"b -> struct(b AS band, substring(sig, b * $rowsPerBand + 1, $rowsPerBand) AS key, " +
+        s"substring(sig, 1, b * $rowsPerBand) AS prefix))"))
         .as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("vec_id").as("ia"), col("band"), col("key"))
-    val b = banded.select(col("vec_id").as("ib"), col("band"), col("key"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"),
+        col("bk.prefix").as("prefix"))
+    val a = banded.select(col("vec_id").as("ia"), col("band"), col("key"),
+      col("prefix").as("pa"))
+    val b = banded.select(col("vec_id").as("ib"), col("band"), col("key"),
+      col("prefix").as("pb"))
     val cand = a.join(b, Seq("band", "key")).filter(col("ia") < col("ib"))
+      .filter(expr(s"band = 0 OR NOT exists(sequence(0, band - 1), " +
+        s"bb -> substring(pa, bb * $rowsPerBand + 1, $rowsPerBand) = " +
+        s"substring(pb, bb * $rowsPerBand + 1, $rowsPerBand))"))
       .select(col("ia"), col("ib"))
-      .distinct() // a pair agreeing in several bands is ONE candidate
     cand
       .join(vecs.select(col("vec_id").as("ia"), col("embedding").as("ea")), Seq("ia"))
       .join(vecs.select(col("vec_id").as("ib"), col("embedding").as("eb")), Seq("ib"))

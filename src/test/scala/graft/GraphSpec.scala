@@ -37,6 +37,17 @@ class GraphSpec extends SparkSuite {
     assert(df.nonEmpty)
   }
 
+  test("kHop law: broadcast and hint-free frontier modes agree") {
+    import spark.implicits._
+    val edges = Erkg.entityEdges(spark, sf0001).cache()
+    val seeds = Erkg.seeds(spark, sf0001)
+    val hinted = GraphOps.kHop(edges, seeds, 2).as[Long].collect().toSet
+    val free = GraphOps.kHop(edges, seeds, 2, broadcastFrontier = false)
+      .as[Long].collect().toSet
+    assert(hinted === free)
+    assert(hinted.nonEmpty)
+  }
+
   test("kHop monotonicity: ball(k) ⊆ ball(k+1)") {
     import spark.implicits._
     val edges = Erkg.entityEdges(spark, sf0001).cache()

@@ -143,6 +143,23 @@ class NlpSpec extends SparkSuite {
     assert(viaAc.contains((0L, 4, "c", 1, 4)))
   }
 
+  test("guard law: acMentionsGuarded AC path == over-bound join fallback") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "a b a b c a"), (1L, "c c a b x")).toDF("doc_id", "text")
+    val gaz = Seq(("a b", 1), ("a b c", 2), ("b c", 3), ("c", 4), ("x", 5))
+      .toDF("surface", "entity")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getInt(4))).toSet
+    // default bound → driver compile into the AC expression
+    val viaAc = rows(EntityLinking.acMentionsGuarded(d, gaz))
+    // bound 0 → every gazetteer is over-bound → hint-free span join; the
+    // driver probe collects at most 1 row
+    val viaJoin = rows(EntityLinking.acMentionsGuarded(d, gaz, maxPatterns = 0))
+    assert(viaAc == viaJoin && viaAc.nonEmpty)
+  }
+
   test("ac_spans generated code is identical to interpreted eval") {
     // doGenCode parity (CosineSimilarity-style): same matched set whether
     // the expression runs inside whole-stage codegen or via eval().
