@@ -141,9 +141,16 @@ object ScaleBench {
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 10))
     val famFilter = sys.env.get("SPARK_GRAFT_SCALE_FAMILIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // query-level filter, composable with the family filter — the ×100
+    // decade runs only the scale-path members (the exact baselines q22/q112
+    // are MEANT to be superlinear; a decade further would just burn an hour
+    // re-measuring a documented curve)
+    val qFilter = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = families
       .filter { case (f, _) => famFilter.forall(_.contains(f)) }
       .flatMap(_._2)
+      .filter(n => qFilter.forall(_.contains(n)))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -327,6 +327,55 @@ object VectorQueries {
           sigFn = (c, n) => call_function("lsh_signature", c, lit(n)),
           cosineFn = (a, b) => call_function("cosine_sim", a, b))
         .orderBy(col("ia"), col("ib"))
+    }),
+
+    // IN-ENGINE text → vector: the feature-hashing embedder
+    // ([[VectorOps.hashEmbedLong]]) in its long (doc_id, pos, val) form —
+    // the engine-expressible share of the reference's `kb._embed` boundary
+    // (model vectors stay precomputed inputs; hashed vectors are computed
+    // HERE, vocabulary-free). Long form IS the columnar layout: one
+    // (doc, pos) count shuffle + one doc aggregation, nothing broadcast,
+    // nothing corpus-sized in memory.
+    "q148_hash_embed" -> ((s, d) =>
+      VectorOps.hashEmbedLong(Tables.documents(s, d), "doc_id", "text", 64)
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // Brute-force top-3 cosine neighbors over the HASH embeddings — the
+    // q25/q26-style exact baseline proving hash-embedded documents feed
+    // the standard similarity surface unchanged (native codegen cosine;
+    // values bit-identical cross-engine because the embedder emits exact
+    // int64 counts over one IEEE division). DELIBERATELY all-pairs: the
+    // scale path is q150's banded LSH over the same vectors.
+    "q149_hash_embed_knn" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val e = VectorOps.hashEmbed(Tables.documents(s, d), "doc_id", "text", 64)
+        .localCheckpoint() // both join sides reference the embed plan
+      val a = e.select(col("doc_id"), col("embedding").as("ea"))
+      val b = e.select(col("doc_id").as("nbr"), col("embedding").as("eb"))
+      a.join(b, col("doc_id") =!= col("nbr"))
+        .withColumn("cosine", call_function("cosine_sim", col("ea"), col("eb")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("cosine").desc, col("nbr").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("nbr"), col("cosine"), col("rn"))
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
+    // Banded sign-LSH near-dup pairs over the HASH embeddings — q100's
+    // scale machinery consuming q148's output shape verbatim: the full
+    // embed → ANN path with no model anywhere, end-to-end under the hash
+    // gate. Same first-collision-band emission, same 32×4 banding dial.
+    "q150_hash_embed_lsh" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = VectorOps.hashEmbed(Tables.documents(s, d), "doc_id", "text", 64)
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+        .localCheckpoint() // referenced 3× (signature + both verify sides)
+      VectorOps.lshNeighborPairsBanded(e, 32, 4, 0.9,
+          sigFn = (c, n) => call_function("lsh_signature", c, lit(n)),
+          cosineFn = (a, b) => call_function("cosine_sim", a, b))
+        .orderBy(col("ia"), col("ib"))
     }))
 
   /** DuckDB mirror of VectorOps.dot: sequential left-fold of per-element
@@ -797,8 +846,84 @@ object VectorQueries {
          |FROM bsig a JOIN bsig b
          |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.2
+         |ORDER BY ia, ib""".stripMargin,
+
+    // Feature-hashing embedder mirror: pos = h % 64, sign = bit 6 of the
+    // portable 60-bit md5 hash; exact int64 signed counts, 0..63 zero-fill,
+    // norm = sqrt of the exact sum-of-squares (≥1 guard), one division.
+    "q148_hash_embed" ->
+      s"""$hashEmbCte
+         |SELECT doc_id, pos, val FROM hemb ORDER BY doc_id, pos""".stripMargin,
+
+    // The q25-discipline brute-force over hash embeds: dense vectors
+    // reassembled per doc, the same sequential-fold cosine, top-3 window.
+    "q149_hash_embed_knn" ->
+      s"""$hashEmbCte,
+         |earr AS (SELECT doc_id, list(val ORDER BY pos) AS embedding
+         |         FROM hemb GROUP BY doc_id),
+         |sc AS (
+         |  SELECT a.doc_id, b.doc_id AS nbr,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |  FROM earr a JOIN earr b ON a.doc_id <> b.doc_id)
+         |SELECT doc_id, nbr, cosine, CAST(rn AS INTEGER) AS rn
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |        ORDER BY cosine DESC, nbr ASC) AS rn FROM sc) t
+         |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+
+    // q100's banded sign-LSH mirror with the embeddings sourced from the
+    // hash-embed CTE instead of the parquet table.
+    "q150_hash_embed_lsh" ->
+      s"""$hashEmbCte,
+         |earr AS (SELECT doc_id AS vec_id, list(val ORDER BY pos) AS embedding
+         |         FROM hemb GROUP BY doc_id),
+         |sig AS (
+         |  SELECT vec_id, embedding, ${sigSqlN(32)} AS bucket FROM earr),
+         |bsig AS (
+         |  SELECT vec_id, embedding, b AS band,
+         |         substr(bucket, b * 8 + 1, 8) AS key
+         |  FROM sig CROSS JOIN range(0, 4) t(b))
+         |SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib,
+         |       ${cosSql("a.embedding", "b.embedding")} AS cosine
+         |FROM bsig a JOIN bsig b
+         |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.9
          |ORDER BY ia, ib""".stripMargin
   )
+
+  /** Shared DuckDB mirror of [[VectorOps.hashEmbedLong]] at dim 64
+    * (q148/q149/q150): `hemb` = (doc_id, pos, val) — hashed tf·idf with
+    * IntLn idf, fixed-point signed bucket sums, fixed-point norm. */
+  private lazy val hashEmbCte =
+    s"""WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+      |      w -> len(w) > 0)) AS token
+      |  FROM documents),
+      |tft AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |st AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      |idf AS (SELECT token,
+      |          CAST(${graft.functions.IntLn.iln1e9Sql("n_docs")} - ${graft.functions.IntLn.iln1e9Sql("df")} AS DOUBLE) / 1e9 AS idf
+      |        FROM (SELECT token, COUNT(*) AS df FROM tft GROUP BY token) d
+      |        CROSS JOIN st),
+      |w AS (SELECT t.doc_id, h % 64 AS pos,
+      |        (1 - 2 * ((h >> 6) % 2))
+      |          * CAST(floor(CAST(t.tf AS DOUBLE) * i.idf * 1e9) AS BIGINT) AS w_fp
+      |      FROM (SELECT *,
+      |              CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+      |            FROM tft) t
+      |      JOIN idf i USING (token)),
+      |cnt AS (SELECT doc_id, pos, SUM(w_fp) AS c_fp FROM w GROUP BY 1, 2),
+      |grid AS (SELECT d.doc_id, u.pos
+      |         FROM (SELECT DISTINCT doc_id FROM documents) d
+      |         CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) u),
+      |f AS (SELECT g.doc_id, g.pos,
+      |        CAST(COALESCE(c.c_fp, 0) AS DOUBLE) / 1e9 AS c
+      |      FROM grid g LEFT JOIN cnt c ON c.doc_id = g.doc_id AND c.pos = g.pos),
+      |n AS (SELECT doc_id,
+      |        sqrt(CAST(greatest(SUM(CAST(floor(c * c * 1e9) AS BIGINT)), 1) AS DOUBLE) / 1e9) AS norm
+      |      FROM f GROUP BY doc_id),
+      |hemb AS (SELECT f.doc_id, f.pos, f.c / n.norm AS val
+      |         FROM f JOIN n USING (doc_id))""".stripMargin
 
   /** IVF oracle, nprobe-parameterized: q28 single-probe, q54 multi-probe. */
   private def ivfOracle(nprobe: Int): String =

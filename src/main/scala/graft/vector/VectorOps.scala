@@ -521,4 +521,90 @@ object VectorOps {
       .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adc"), col("rn"))
   }
+
+  /** IN-ENGINE text → vector embedding: FEATURE-HASHED tf·idf (the
+    * Weinberger et al. 2009 hashing trick over the tf-idf weighting
+    * [[graft.text.RankedSearch.tfidfCosinePairs]] already uses): each token
+    * hashes to a dimension (h mod dim) with a sign bit (bit log₂dim of h,
+    * independent of pos for power-of-two dim), signed tf·idf weights
+    * accumulate per dimension, and the vector is L2-normalized. This is the
+    * engine-expressible share of the reference's `kb._embed` boundary
+    * (sentence-transformers, dev.ipynb cell 73 ≈L4147): model-based vectors
+    * stay precomputed inputs, but the engine now has a real text→vector
+    * surface of its own — deterministic and shaped exactly like the
+    * `embeddings` table, so hash-embedded documents feed the SAME
+    * cosine/LSH/IVF/PQ machinery (q149/q150 prove it under the hash gate).
+    * The idf factor is what makes the vectors DISCRIMINATIVE: raw hashed
+    * counts are stopword-dominated (measured: 19% of ALL doc pairs clear
+    * 0.3 cosine — banding degenerates toward brute force), while idf'd
+    * vectors push unrelated pairs toward 0 and banded LSH blocks properly.
+    *
+    * Determinism (the tfidfCosinePairs discipline end to end): idf =
+    * iln(N) − iln(df) via the integer-only fixed-point ln; per-token weight
+    * w = tf · idf is one IEEE product of identical operands; bucket sums
+    * accumulate floor(w·1e9) SIGNED int64 (shuffle-order-independent); the
+    * norm is sqrt of int64 floor(c²·1e9) sums — int64-safe while the doc's
+    * hashed-tf·idf L2 norm ≤ ~9.6e4, the same stated bound as
+    * tfidfCosinePairs. All-zero vectors (sign cancellation, empty docs)
+    * keep val = 0 via a greatest(·, 1) guard instead of dividing by zero.
+    *
+    * Scale shape: one (doc, token) tf shuffle; the df table is Heaps-law
+    * vocabulary-sized and joins the token stream AQE-planned with NO
+    * broadcast hint (q117's rule — a corpus-scale vocabulary must shuffle,
+    * not hit the driver); then one (doc, pos) sum shuffle + one doc-keyed
+    * norm aggregation, all map-side-combinable. The HASH bounds the output
+    * dimension — no dense vocab×dim matrix ever exists.
+    *
+    * @param dim power of two (sign bit = bit log₂dim of the hash)
+    * @return long form (doc_id, pos, val double) — one row per dimension,
+    *         the exploded columnar layout of the dense vector
+    */
+  def hashEmbedLong(docs: DataFrame, idCol: String, textCol: String,
+                    dim: Int): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, "hashEmbedLong: dim must be a power of two")
+    val signShift = java.lang.Integer.numberOfTrailingZeros(dim)
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.text.TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = broadcast(
+      docs.agg(countDistinct(col(idCol)).as("n_docs")))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .select(col("token"),
+        ((graft.functions.IntLn.iln1e9(col("n_docs"))
+          - graft.functions.IntLn.iln1e9(col("df")))
+          .cast("double") / lit(1e9)).as("idf"))
+    val h = graft.text.TextOps.tokenHash60(col("token"))
+    val counts = tf.join(df, Seq("token"))
+      .select(col("doc_id"), pmod(h, lit(dim.toLong)).as("pos"),
+        ((lit(1L) - lit(2L) * pmod(shiftright(h, signShift), lit(2L)))
+          * floor(col("tf").cast("double") * col("idf") * lit(1e9)).cast("long"))
+          .as("w_fp"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("w_fp")).as("c_fp"))
+    val grid = docs.select(col(idCol).as("doc_id"))
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(dim - 1L))).as("pos"))
+    val filled = grid.join(counts, Seq("doc_id", "pos"), "left")
+      .select(col("doc_id"), col("pos"),
+        (coalesce(col("c_fp"), lit(0L)).cast("double") / lit(1e9)).as("c"))
+    val norms = filled.groupBy(col("doc_id"))
+      .agg(sqrt(greatest(
+        sum(floor(col("c") * col("c") * lit(1e9)).cast("long")), lit(1L))
+        .cast("double") / lit(1e9)).as("norm"))
+    filled.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), (col("c") / col("norm")).as("val"))
+  }
+
+  /** [[hashEmbedLong]] assembled into the dense `(doc_id, embedding
+    * array<double>)` shape of the `embeddings` table — the form the ANN
+    * family consumes. One extra doc-keyed aggregation (struct sort on the
+    * unique pos, then projection). */
+  def hashEmbed(docs: DataFrame, idCol: String, textCol: String,
+                dim: Int): DataFrame =
+    hashEmbedLong(docs, idCol, textCol, dim)
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("val")))),
+        e => e.getField("val")).as("embedding"))
 }

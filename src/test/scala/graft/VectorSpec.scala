@@ -201,4 +201,35 @@ class VectorSpec extends SparkSuite {
       case Seq(x, y) => x <= y; case _ => true })
     assert(out.toSeq == run().toSeq)                   // deterministic
   }
+
+  test("hashEmbed: 64 dims, unit norm, idf kills corpus-wide tokens, deterministic") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "common alpha alpha beta"),
+      (1L, "common alpha gamma"),
+      (2L, "common delta delta epsilon"),
+      (3L, "common zeta")).toDF("doc_id", "text")
+    val long = VectorOps.hashEmbedLong(docs, "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly 64 rows per doc, pos 0..63
+    assert(long.groupBy(_._1).forall { case (_, rs) =>
+      rs.length == 64 && rs.map(_._2).sorted.toSeq == (0L until 64L) })
+    // unit L2 norm per doc (fixed-point quantization → loose tolerance)
+    val norms = long.groupBy(_._1).view.mapValues(rs =>
+      math.sqrt(rs.map(v => v._3 * v._3).sum)).toMap
+    assert(norms.values.forall(n => math.abs(n - 1.0) < 1e-6), norms.toString)
+    // "common" appears in EVERY doc → idf = iln(4)-iln(4) = 0 → it
+    // contributes nothing: doc 3's vector is entirely the "zeta" bucket
+    val d3 = long.filter(_._1 == 3L).filter(_._3 != 0.0)
+    assert(d3.length == 1, d3.toSeq.toString)
+    // dense form assembles the same values in pos order
+    val dense = VectorOps.hashEmbed(docs, "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+    assert(dense(0L).toSeq == long.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq)
+    // pure function of its input
+    val again = VectorOps.hashEmbedLong(docs, "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSet == long.toSet)
+  }
 }
