@@ -410,6 +410,58 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // INTERPOLATED KNESER-KNEY BIGRAM SCORE — the smoothing that actually
+    // ships in n-gram LMs (KenLM's default), extending q117's add-1 model:
+    // P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·) + λ(w1)·P_cont(w2) with D = 0.75,
+    // λ(w1) = D·N1+(w1·)/c(w1·) and the CONTINUATION probability
+    // P_cont(w2) = N1+(·w2)/|bigram types| — "how many contexts has w2
+    // followed", the term that stops "Francisco" scoring high outside "San
+    // Francisco". Unseen contexts back off to pure continuation (λ = 1);
+    // docs are scored by mean P (not log — P can be exactly 0 for novel
+    // w2), accumulated as fixed-point floor(P·1e9) int64 sums so the gate
+    // holds bit-for-bit. Every input is an integer count; D = 0.75 is
+    // exact binary, c−0.75 is exact, and the two divisions + one
+    // multiply-add per bigram run in pinned IEEE order, mirrored
+    // parenthesis-for-parenthesis in the oracle. Scale shape = q117's:
+    // bigram/context/continuation tables are Heaps-law vocabulary-sized,
+    // joins AQE-planned with NO broadcast hints; the |bigram types| scalar
+    // rides a 1-row broadcast.
+    "q152_kneser_ney_score" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"), col("source"),
+        TextOps.tokens(col("text")).as("w"))
+      val bg = t.select(col("doc_id"), col("source"),
+          explode(TextOps.ngramsOf(col("w"), 2)).as("gram"))
+        .withColumn("w1", substring_index(col("gram"), "|", 1))
+        .withColumn("w2", substring_index(col("gram"), "|", -1))
+      val tgt = bg.filter(col("source") === "src0")
+      val c2 = tgt.groupBy(col("gram")).agg(count(lit(1)).as("c2"))
+      val ctx = tgt.groupBy(col("w1")).agg(count(lit(1)).as("c1"),
+        count_distinct(col("w2")).as("n1f"))
+      val rev = tgt.groupBy(col("w2")).agg(count_distinct(col("w1")).as("n1r"))
+      val nbb = tgt.agg(count_distinct(col("gram")).as("nbb"))
+      val term1 = when(col("c1").isNotNull,
+        greatest(coalesce(col("c2"), lit(0L)).cast("double") - lit(0.75),
+          lit(0.0)) / col("c1").cast("double")).otherwise(lit(0.0))
+      val lam = when(col("c1").isNotNull,
+        (lit(0.75) * col("n1f").cast("double")) / col("c1").cast("double"))
+        .otherwise(lit(1.0))
+      val pc = coalesce(col("n1r"), lit(0L)).cast("double") /
+        col("nbb").cast("double")
+      bg.filter(col("source") =!= "src0")
+        .join(c2, Seq("gram"), "left")
+        .join(ctx, Seq("w1"), "left")
+        .join(rev, Seq("w2"), "left")
+        .crossJoin(broadcast(nbb))
+        .select(col("doc_id"),
+          floor((term1 + lam * pc) * lit(1e9)).cast("long").as("p_fp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p_fp")).as("kn_fp"))
+        .withColumn("kn_score",
+          (col("kn_fp").cast("double") / lit(1e9))
+            / col("n_bigrams").cast("double"))
+        .orderBy(col("doc_id"))
+    }),
+
     // GOPHER QUALITY RULES — the full repetition-independent rule set from
     // the Gopher/MassiveText filter (word-count bounds, mean-word-length
     // bounds, alpha-word fraction, stopword evidence, symbol-to-word
@@ -1002,6 +1054,41 @@ object TextQueries {
         .select(col("doc_id"), col("cluster"), col("quality"),
           (col("rn") === 1).as("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // COUNT-MIN SKETCH heavy hitters ([[graft.text.CountMin]]): the
+    // mergeable frequency sketch — 4 × 1024 counters built as ONE map-side-
+    // combinable aggregation, per-SOURCE sketches summed counter-wise into
+    // the global sketch (mergeability proven in-plan, the q134
+    // distributivity contract), then the Heaps-law vocabulary probes the
+    // 4096-row broadcast counter table and takes the per-token MIN. Output:
+    // top-20 estimated heavy hitters with their exact counts alongside —
+    // est ≥ exact always (CMS over-estimates; TextOpsSpec pins the law),
+    // and the ORDER is the estimate's, so a blocking regression in the
+    // sketch shows as a hash break. Top-k is orderBy+limit (TakeOrdered,
+    // map-side partial top-k — q139's rule, never a global window).
+    "q151_cms_heavy_hitters" -> ((s, d) => {
+      import graft.text.CountMin
+      val toks = docs(s, d).select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .cache() // referenced by the sketch build, vocab, and exact counts
+      try {
+        val perSource = toks
+          .select(col("source"), col("token"),
+            explode(sequence(lit(0), lit(3))).as("r"))
+          .select(col("source"), col("r"),
+            CountMin.rowHash(col("r"), col("token"), 1024).as("idx"))
+          .groupBy(col("source"), col("r"), col("idx"))
+          .agg(count(lit(1)).as("c"))
+        val sk = CountMin.merge(perSource)
+        val est = CountMin.estimates(
+          toks.select(col("token")).distinct(), sk, 4, 1024)
+        val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+        val out = est.join(exact, Seq("token"))
+          .orderBy(col("est").desc, col("token").asc)
+          .limit(20)
+        out.localCheckpoint()
+      } finally toks.unpersist()
     }),
 
     // q136's SPLIT consumed from the MATERIALIZED closure artifact
@@ -1644,6 +1731,47 @@ object TextQueries {
          |  (CAST(SUM(lp_fp) AS DOUBLE) / 1e9) / CAST(COUNT(*) AS DOUBLE) AS avg_logprob,
          |  (CAST(SUM(lp_fp) AS DOUBLE) / 1e9) / CAST(COUNT(*) AS DOUBLE) > -6.0 AS keep
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Kneser-Ney mirror: identical CTE structure to q117 plus the
+    // continuation/forward-type tables; the per-bigram probability is the
+    // same parenthesized IEEE chain Spark evaluates, floored fixed-point.
+    "q152_kneser_ney_score" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id, source,
+         |    unnest([array_to_string(w[i:i+1], '|') for i in range(1, len(w))]) AS gram
+         |  FROM t),
+         |bgw AS (SELECT doc_id, source, gram,
+         |          split_part(gram, '|', 1) AS w1,
+         |          split_part(gram, '|', 2) AS w2
+         |        FROM bg),
+         |c2 AS (SELECT gram, COUNT(*) AS c2 FROM bgw WHERE source = 'src0' GROUP BY 1),
+         |ctx AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1f
+         |        FROM bgw WHERE source = 'src0' GROUP BY 1),
+         |rev AS (SELECT w2, COUNT(DISTINCT w1) AS n1r
+         |        FROM bgw WHERE source = 'src0' GROUP BY 1),
+         |nb AS (SELECT COUNT(DISTINCT gram) AS nbb FROM bgw WHERE source = 'src0'),
+         |sc AS (
+         |  SELECT b.doc_id,
+         |    CAST(floor(
+         |      (CASE WHEN ctx.c1 IS NOT NULL
+         |            THEN greatest(CAST(COALESCE(c2.c2, 0) AS DOUBLE) - 0.75, 0.0)
+         |                 / CAST(ctx.c1 AS DOUBLE)
+         |            ELSE 0.0 END
+         |       + (CASE WHEN ctx.c1 IS NOT NULL
+         |               THEN (0.75 * CAST(ctx.n1f AS DOUBLE)) / CAST(ctx.c1 AS DOUBLE)
+         |               ELSE 1.0 END)
+         |         * (CAST(COALESCE(rev.n1r, 0) AS DOUBLE) / CAST(nb.nbb AS DOUBLE))
+         |      ) * 1e9) AS BIGINT) AS p_fp
+         |  FROM bgw b
+         |  LEFT JOIN c2 USING (gram)
+         |  LEFT JOIN ctx USING (w1)
+         |  LEFT JOIN rev USING (w2)
+         |  CROSS JOIN nb
+         |  WHERE b.source <> 'src0')
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(p_fp) AS BIGINT) AS kn_fp,
+         |  (CAST(SUM(p_fp) AS DOUBLE) / 1e9) / CAST(COUNT(*) AS DOUBLE) AS kn_score
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Gopher rules: every feature is a ratio of integers; replace() is
     // global on both engines and '...' removal scans left-to-right
     // non-overlapping in both, so the counts match exactly.
@@ -2060,6 +2188,29 @@ object TextQueries {
     "q146_artifact_split" -> splitAssignSql,
     // q147 = q137's quality-argmax canonical consuming the same artifact.
     "q147_artifact_canonical" -> qualityCanonicalSql,
+    // CMS mirror: salted md5 row hashes, per-source counters summed
+    // counter-wise, per-token MIN over the 4 probed counters.
+    "q151_cms_heavy_hitters" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS token FROM documents),
+         |ps AS (
+         |  SELECT source, r,
+         |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || token), 1, 15) AS BIGINT) % 1024 AS idx,
+         |    COUNT(*) AS c
+         |  FROM tok CROSS JOIN range(0, 4) t(r)
+         |  GROUP BY 1, 2, 3),
+         |sk AS (SELECT r, idx, CAST(SUM(c) AS BIGINT) AS c FROM ps GROUP BY 1, 2),
+         |probe AS (
+         |  SELECT v.token, t.r,
+         |    CAST('0x' || substr(md5(CAST(t.r AS VARCHAR) || '|' || v.token), 1, 15) AS BIGINT) % 1024 AS idx
+         |  FROM (SELECT DISTINCT token FROM tok) v CROSS JOIN range(0, 4) t(r)),
+         |est AS (
+         |  SELECT p.token, MIN(s.c) AS est
+         |  FROM probe p JOIN sk s ON s.r = p.r AND s.idx = p.idx
+         |  GROUP BY p.token),
+         |ex AS (SELECT token, COUNT(*) AS exact FROM tok GROUP BY token)
+         |SELECT e.token, e.est, x.exact
+         |FROM est e JOIN ex x USING (token)
+         |ORDER BY e.est DESC, e.token ASC LIMIT 20""".stripMargin,
 
     // Winsorize: quantile_disc mirrors percentile_disc (q70); the band
     // edges are actual elements of the bit-identical quality column.

@@ -98,4 +98,37 @@ class TextOpsSpec extends SparkSuite {
       assert(naiveStarts(id) == bin * 16L + off)
     }
   }
+
+  test("CMS laws: est >= exact for every token; sketch merge is counter-wise sum") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.text.CountMin
+    val toks = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"), ("a", "z"),
+      ("b", "x"), ("b", "w"), ("b", "w"), ("b", "w"))
+      .toDF("source", "token")
+    val d = 4; val w = 32 // tiny width to force collisions (est > exact)
+    val sk = CountMin.sketch(toks.select(org.apache.spark.sql.functions.col("token")), d, w)
+    val est = CountMin.estimates(toks.select($"token").distinct(), sk, d, w)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = toks.groupBy($"token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // over-estimate law
+    exact.foreach { case (t, c) => assert(est(t) >= c, s"$t: ${est(t)} < $c") }
+    // merge law: per-source sketches summed == whole-stream sketch
+    val perSource = toks
+      .select($"source", $"token",
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.lit(0),
+            org.apache.spark.sql.functions.lit(d - 1))).as("r"))
+      .select($"source", $"r", CountMin.rowHash($"r", $"token", w).as("idx"))
+      .groupBy($"source", $"r", $"idx")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+    val merged = CountMin.merge(perSource)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = sk.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
 }
