@@ -119,6 +119,79 @@ object MultimodalOps {
     }
   }
 
+  /** Deterministic grayscale-pattern PNG encoder: `lumas` is the row-major
+    * w×h luma grid (0–255; pixel rgb = c·0x010101). PNG is lossless, so
+    * decode recovers every pixel exactly — the q67 fixture idea extended
+    * from solid colors to arbitrary patterns, which is what a PERCEPTUAL
+    * hash needs (a solid image hashes to all-zero bits). */
+  def encodePngGray(w: Int, h: Int, lumas: Array[Int]): Array[Byte] = {
+    require(lumas.length == w * h, "encodePngGray: lumas must be w*h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val c = lumas(y * w + x) & 0xff
+        img.setRGB(x, y, (c << 16) | (c << 8) | c)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** dHash output: the 64-bit difference hash carried as FOUR 16-bit band
+    * ints (b0..b3, bit i = y·8+x lives in band i/16 at offset i%16) —
+    * sign-free on both engines, and the bands ARE the LSH blocking keys:
+    * by pigeonhole, two hashes within Hamming distance 3 agree on at least
+    * one of the 4 bands, so the banded candidate join is EXACT (zero
+    * recall loss) for the ≤3 near-dup contract. */
+  case class DHashRow(doc_id: Long, decoded: Boolean,
+                      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** REAL perceptual difference-hash (dHash) via ImageIO: decode the 9×8
+    * grayscale fixture, bit (y·8+x) = 1 iff the 3-channel pixel sum grows
+    * left→right — pure integer comparisons on losslessly-recovered pixels,
+    * so a deterministic fixture's hash is oracle-derivable arithmetically.
+    * Non-9×8 or undecodable payloads return decoded = false with -1 bands
+    * (strict: the hash contract is defined on the canonical dHash grid;
+    * resampling arbitrary sizes would put a float resize kernel between
+    * the oracle and the bits). */
+  def decodeDHash(row: MediaRow): DHashRow = {
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.payload))
+      if (img == null || img.getWidth != 9 || img.getHeight != 8)
+        throw new IllegalArgumentException("not a 9x8 dHash grid")
+      def sum3(x: Int, y: Int): Int = {
+        val rgb = img.getRGB(x, y)
+        ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      val bands = new Array[Int](4)
+      var i = 0
+      while (i < 64) {
+        val x = i % 8
+        val y = i / 8
+        if (sum3(x + 1, y) > sum3(x, y)) bands(i / 16) |= (1 << (i % 16))
+        i += 1
+      }
+      DHashRow(row.doc_id, decoded = true, bands(0), bands(1), bands(2), bands(3))
+    } catch {
+      case _: Exception => DHashRow(row.doc_id, decoded = false, -1, -1, -1, -1)
+    }
+  }
+
+  /** Batched per-partition dHash — the q67/q132/q144 batch shape. */
+  def decodeDHashes(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[DHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.iterator.map(decodeDHash))
+    }
+  }
+
   /** Real audio decode output: container-reported format + exact sample
     * statistics when the JDK carries a reader (`decoded = true`), byte-stat
     * fallback otherwise (sample_rate/channels = -1, rms = mean byte). */

@@ -116,7 +116,64 @@ object MediaQueries {
         .select(col("doc_id"), col("duration_ms"), col("n_frames"),
           explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_id"))
         .withColumn("offset_ms", col("frame_id") * 1000)
-        .orderBy(col("doc_id"), col("frame_id"))))
+        .orderBy(col("doc_id"), col("frame_id"))),
+
+    // IMAGE NEAR-DUP DETECTION via REAL perceptual hashing: each document
+    // becomes a deterministic 9×8 grayscale-pattern PNG (group g = id%251
+    // sets the base pattern, variant v = (id/251)%2 perturbs one pixel),
+    // the batched mapPartitions decode computes the 64-bit dHash from
+    // losslessly-recovered pixels, and pairs within Hamming distance 3 are
+    // found through 16-bit BAND BLOCKING that is EXACT by pigeonhole (3
+    // differing bits touch ≤3 of the 4 bands, so every ≤3 pair shares a
+    // band) — a near-dup join with zero recall loss and no all-pairs scan.
+    // The oracle predicts every pixel (PNG lossless), hence every hash bit,
+    // hence every pair, arithmetically — the whole encode → decode → hash →
+    // block → Hamming pipeline under one hash gate. Same-group/same-variant
+    // images collide at Hamming 0 (exact image dups); cross-variant at ≤2.
+    "q154_image_phash_pairs" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = (id % 251).toInt
+          val v = ((id / 251) % 2).toInt
+          // md5-derived per-pixel luma (first digest byte): genuinely
+          // independent bits, so cross-group Hamming is ~Binomial(64, ½)
+          // and never ≤3 — the near-dup set is exactly the within-group
+          // one. Arithmetic mixes tried first (linear ramps, Knuth-product
+          // low/middle bits) leave adjacent-pixel DIFFERENCES near-constant
+          // and flooded the ≤3 band with cross-group pairs (6.4k of 6.7k).
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val lumas = Array.tabulate(8 * 9) { idx =>
+            val y = idx / 9; val x = idx % 9
+            val h = md.digest(s"$g|$x|$y".getBytes("UTF-8"))(0) & 0xff
+            if (v == 1 && x == 0 && y == 0) (h + 17) % 256 else h
+          }
+          MultimodalOps.MediaRow(id, "image",
+            MultimodalOps.encodePngGray(9, 8, lumas), "png", 9, 8, 0L)
+        }
+      val hashes = MultimodalOps.decodeDHashes(media).toDF()
+        .filter(col("decoded"))
+        .localCheckpoint() // feeds the band explode AND both verify sides
+      val bandRows = hashes.select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
+      val cand = bandRows.as("a").join(bandRows.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+      cand
+        .join(hashes.select(col("doc_id").as("da"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("da"))
+        .join(hashes.select(col("doc_id").as("db"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), Seq("db"))
+        .withColumn("hamming",
+          expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+            "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"))
+        .filter(col("hamming") <= 3)
+        .select(col("da"), col("db"), col("hamming"))
+        .orderBy(col("da"), col("db"))
+    }))
 
   def oracles: Map[String, String] = Map(
     "q37_media_meta" ->
@@ -189,6 +246,47 @@ object MediaQueries {
         |SELECT doc_id, duration_ms, CAST(n_frames AS BIGINT) AS n_frames,
         |  CAST(unnest(range(0, n_frames)) AS BIGINT) AS frame_id,
         |  CAST(unnest(range(0, n_frames)) * 1000 AS BIGINT) AS offset_ms
-        |FROM f ORDER BY doc_id, frame_id""".stripMargin
+        |FROM f ORDER BY doc_id, frame_id""".stripMargin,
+    // dHash mirror: PNG is lossless, so every pixel of the pattern fixture
+    // — hence every hash bit, band key, candidate, and Hamming distance —
+    // is predicted arithmetically from (g, v).
+    "q154_image_phash_pairs" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, doc_id % 251 AS g, (doc_id // 251) % 2 AS v
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, (y * 8 + x) AS i,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(g AS VARCHAR) || '|' || CAST(x + 1 AS VARCHAR) || '|' || CAST(y AS VARCHAR)), 1, 2) AS BIGINT)
+        |           > (CAST('0x' || substr(md5(CAST(g AS VARCHAR) || '|' || CAST(x AS VARCHAR) || '|' || CAST(y AS VARCHAR)), 1, 2) AS BIGINT)
+        |              + (CASE WHEN v = 1 AND x = 0 AND y = 0 THEN 17 ELSE 0 END)) % 256
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM d0
+        |  CROSS JOIN range(0, 8) tx(x)
+        |  CROSS JOIN range(0, 8) ty(y)),
+        |bandv AS (
+        |  SELECT doc_id, i // 16 AS band,
+        |    CAST(SUM(b * (1 << (i % 16))) AS INTEGER) AS key
+        |  FROM bits GROUP BY 1, 2),
+        |hash AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN band = 0 THEN key END) AS b0,
+        |    MAX(CASE WHEN band = 1 THEN key END) AS b1,
+        |    MAX(CASE WHEN band = 2 THEN key END) AS b2,
+        |    MAX(CASE WHEN band = 3 THEN key END) AS b3
+        |  FROM bandv GROUP BY doc_id),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bandv a JOIN bandv b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT c.da, c.db,
+        |  CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+        |     + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+        |    AS INTEGER) AS hamming
+        |FROM cand c
+        |JOIN hash ha ON ha.doc_id = c.da
+        |JOIN hash hb ON hb.doc_id = c.db
+        |WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+        |    + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 3
+        |ORDER BY da, db""".stripMargin
   )
 }

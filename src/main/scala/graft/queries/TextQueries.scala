@@ -269,6 +269,41 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BLOOM-FILTER DECONTAMINATION ([[graft.text.Bloom]]): q105's exact
+    // 8-gram probe re-run through a PORTABLE m-bounded Bloom filter
+    // (k = 4 salted md5 hashes, m = 2^18 bits) — the first-pass shape for
+    // a benchmark too large to broadcast exactly: the set-bit table stops
+    // growing at m no matter how big the bench gets, while q105's exact
+    // gram set grows forever. Output carries BOTH counts per doc
+    // (n_bloom_grams ≥ n_exact_grams — false positives only, the one-sided
+    // error pinned in TextOpsSpec), so the filter's FP behavior is itself
+    // under the hash gate, not just asserted.
+    "q153_bloom_decontam" -> ((s, d) => {
+      import graft.text.Bloom
+      val k = 4; val m = 1 << 18
+      val dd = docs(s, d)
+      val bench = dd.filter(col("source") === "src0")
+        .select(explode(TextOps.shingles(col("text"), 8)).as("gram"))
+        .distinct()
+        .localCheckpoint() // feeds BOTH the bit table and the exact probe
+      val bitTable = Bloom.bits(bench, "gram", k, m)
+      val train = dd.filter(col("source") =!= "src0")
+      val grams = train.select(col("doc_id"),
+        explode(TextOps.shingles(col("text"), 8)).as("gram"))
+      val bloomHits = Bloom.mightContain(grams, "gram", bitTable, k, m)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom_grams"))
+      val exactHits = grams.join(broadcast(bench), Seq("gram"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact_grams"))
+      train.select(col("doc_id"), col("source"))
+        .join(bloomHits, Seq("doc_id"), "left")
+        .join(exactHits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("n_bloom_grams"), lit(0L)).as("n_bloom_grams"),
+          coalesce(col("n_exact_grams"), lit(0L)).as("n_exact_grams"),
+          (coalesce(col("n_bloom_grams"), lit(0L)) > 0).as("bloom_flagged"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style REPETITION quality rules: top-unigram fraction,
     // top-bigram fraction, duplicate-trigram coverage, and the keep flag.
     // ONE tokenize + ONE (doc, n, gram) count shuffle for all three gram
@@ -1899,6 +1934,40 @@ object TextQueries {
          |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contam_grams,
          |  COALESCE(h.n, 0) > 0 AS is_contaminated
          |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.source <> 'src0' ORDER BY d.doc_id""".stripMargin,
+    // Bloom mirror: salted md5 bit positions, the set-bit table DISTINCT
+    // on pos, probes counted per-j (collision-safe), all-k-set = COUNT = 4.
+    "q153_bloom_decontam" ->
+      s"""WITH sh8 AS (
+         |  SELECT DISTINCT doc_id, source, gram FROM (
+         |    SELECT doc_id, source,
+         |      unnest([array_to_string(w[i:i+7], '|')
+         |              for i in range(1, len(w) - 6)]) AS gram
+         |    FROM (SELECT doc_id, source, $toksSql AS w FROM documents) t0) t1),
+         |bench AS (SELECT DISTINCT gram FROM sh8 WHERE source = 'src0'),
+         |bits AS (
+         |  SELECT DISTINCT
+         |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || gram), 1, 15) AS BIGINT) % 262144 AS pos
+         |  FROM bench CROSS JOIN range(0, 4) t(j)),
+         |tg AS (SELECT doc_id, gram FROM sh8 WHERE source <> 'src0'),
+         |probe AS (
+         |  SELECT doc_id, gram,
+         |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || gram), 1, 15) AS BIGINT) % 262144 AS pos
+         |  FROM tg CROSS JOIN range(0, 4) t(j)),
+         |bh AS (SELECT doc_id, gram FROM (
+         |    SELECT p.doc_id, p.gram, COUNT(*) AS c
+         |    FROM probe p JOIN bits b USING (pos) GROUP BY 1, 2) t
+         |  WHERE c = 4),
+         |bhd AS (SELECT doc_id, COUNT(*) AS n_bloom FROM bh GROUP BY 1),
+         |eh AS (SELECT t.doc_id, COUNT(*) AS n_exact
+         |       FROM tg t JOIN bench USING (gram) GROUP BY 1)
+         |SELECT d.doc_id, d.source,
+         |  CAST(COALESCE(b.n_bloom, 0) AS BIGINT) AS n_bloom_grams,
+         |  CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact_grams,
+         |  COALESCE(b.n_bloom, 0) > 0 AS bloom_flagged
+         |FROM documents d
+         |LEFT JOIN bhd b USING (doc_id)
+         |LEFT JOIN eh e USING (doc_id)
          |WHERE d.source <> 'src0' ORDER BY d.doc_id""".stripMargin,
     // Repetition rules: identical (doc, n, gram) count table, identical
     // integer/integer ratio arithmetic; NULL gram orders (docs too short

@@ -134,4 +134,27 @@ class MultimodalSpec extends SparkSuite {
       MediaRow(2L, "video", Array[Byte](9, 9, 9, 9), "gif", 0, 0, 0L))
     assert(!bad.decoded && bad.n_frames == -1)
   }
+
+  test("decodeDHash: bits match the encoded pattern exactly; strict 9x8 contract") {
+    // a hand-built 9x8 pattern whose dHash is computable by eye per row:
+    // row y alternates ramps so bit(x,y) = [lum(x+1,y) > lum(x,y)] is known
+    val lumas = Array.tabulate(8 * 9) { idx =>
+      val y = idx / 9; val x = idx % 9
+      if (y % 2 == 0) x * 10 else 100 - x * 10 // even rows rise, odd fall
+    }
+    val row = MediaRow(5L, "image",
+      MultimodalOps.encodePngGray(9, 8, lumas), "png", 9, 8, 0L)
+    val h = MultimodalOps.decodeDHash(row)
+    assert(h.decoded)
+    // even rows: all 8 bits set; odd rows: none → bands alternate per two rows
+    // band 0 covers bits 0..15 = rows 0 (set) + 1 (clear) => 0x00FF
+    assert(h.b0 == 0x00FF && h.b1 == 0x00FF && h.b2 == 0x00FF && h.b3 == 0x00FF)
+    // non-9x8 image: strict contract refuses (decoded = false)
+    val wrong = MediaRow(6L, "image",
+      MultimodalOps.encodePng(4, 4, 0x808080), "png", 4, 4, 0L)
+    assert(!MultimodalOps.decodeDHash(wrong).decoded)
+    // garbage bytes: refused
+    val bad = MediaRow(7L, "image", Array[Byte](1, 2, 3), "png", 0, 0, 0L)
+    assert(!MultimodalOps.decodeDHash(bad).decoded)
+  }
 }

@@ -131,4 +131,28 @@ class TextOpsSpec extends SparkSuite {
     val whole = sk.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(merged == whole)
   }
+
+  test("Bloom laws: no false negatives ever; tiny m forces visible false positives") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.text.Bloom
+    import org.apache.spark.sql.functions.col
+    val members = (0 until 40).map(i => s"member_$i").toDF("item")
+    val bits = Bloom.bits(members, "item", 4, 64) // 160 hashes into 64 bits: saturated
+    val probes = ((0 until 40).map(i => s"member_$i") ++
+      (0 until 200).map(i => s"absent_$i")).toDF("item")
+    val kept = Bloom.mightContain(probes, "item", bits, 4, 64)
+      .collect().map(_.getString(0)).toSet
+    // every true member is kept (no false negatives)
+    assert((0 until 40).forall(i => kept(s"member_$i")))
+    // the saturated filter admits SOME absentees (false positives exist)...
+    val fps = kept.count(_.startsWith("absent_"))
+    assert(fps > 0)
+    // ...but a roomy filter admits almost none
+    val bigBits = Bloom.bits(members, "item", 4, 1 << 16)
+    val keptBig = Bloom.mightContain(probes, "item", bigBits, 4, 1 << 16)
+      .collect().map(_.getString(0)).toSet
+    assert((0 until 40).forall(i => keptBig(s"member_$i")))
+    assert(keptBig.count(_.startsWith("absent_")) < fps)
+  }
 }
