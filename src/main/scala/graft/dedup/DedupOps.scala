@@ -166,52 +166,72 @@ object DedupOps {
   def minhashHash(i: Column, hs: Column): Column =
     ((i.cast("long") * 2L + 1L) * hs + i.cast("long") * 7919L) % minhashMod
 
-  /** MinHash signatures as long rows (doc_id, i, minhash): one shuffle
-    * (groupBy doc_id, i) with map-side min combine. The k-way expansion is
-    * map-side arithmetic over the per-shingle base hash. */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
-    sh.select(col("doc_id"), minhashBase(col("shingle")).as("hs"))
-      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("i"),
-        col("hs"))
-      .select(col("doc_id"), col("i"), minhashHash(col("i"), col("hs")).as("h"))
-      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("minhash"))
+  /** MinHash signature as ONE array row per doc: (doc_id, sig array<long>).
+    * Same values position-for-position as the historical long form
+    * (doc_id, i, minhash), but computed as k map-side-combined `min`
+    * aggregates in a SINGLE groupBy(doc_id) — no k× row explosion before
+    * the shuffle, no (doc_id, i) key space, and a doc's signature costs one
+    * row of cache instead of k. At replication ×100 the long form's k×
+    * inflation (shuffle rows, cache entries, verify-join traffic) was
+    * q125's measured pressure point; this shape keeps every downstream
+    * stage per-doc-grain. */
+  def minhashSignatureArray(sh: DataFrame, k: Int): DataFrame = {
+    val base = sh.select(col("doc_id"), minhashBase(col("shingle")).as("hs"))
+    val mins = (0 until k).map(i => min(minhashHash(lit(i), col("hs"))).as(s"m$i"))
+    base.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
-  /** LSH banding: band id = i / rowsPerBand, bucket key = md5 of the
-    * "|"-joined signature slice. Docs sharing any (band, bucket) are
-    * candidates. */
-  def lshBuckets(sig: DataFrame, rowsPerBand: Int): DataFrame =
-    sig.withColumn("band", (col("i") / rowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(array_join(
-        transform(sort_array(collect_list(struct(col("i"), col("minhash")))),
-          e => e.getField("minhash").cast("string")), "|")).as("bucket"))
+  /** Per-band bucket strings from an array signature — a pure expression
+    * (no shuffle): bucket b = md5 of the "|"-joined decimal slice
+    * sig[b·r .. b·r+r-1]. Byte-identical to the historical collect_list
+    * banding, so every DuckDB oracle twin is untouched. */
+  def bandBuckets(sig: Column, k: Int, rowsPerBand: Int): Column =
+    array((0 until k / rowsPerBand).map { b =>
+      md5(array_join(transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
+        x => x.cast("string")), "|"))
+    }: _*)
 
-  /** Candidate generation + verification over PRE-COMPUTED signatures
-    * (doc_id, i, minhash): band buckets → same-bucket candidates → exact
+  /** Exploded (doc_id, band, bucket, prefix) banding table over array
+    * signatures — map-side only. `prefix` carries the doc's LOWER-band
+    * buckets for first-collision-band emission: a bucket join that also
+    * requires NO lower band to collide emits each candidate pair exactly
+    * once, with no pair-level distinct. */
+  def bandedBuckets(sigA: DataFrame, k: Int, rowsPerBand: Int): DataFrame =
+    sigA.select(col("doc_id"), bandBuckets(col("sig"), k, rowsPerBand).as("bs"))
+      .select(col("doc_id"), col("bs"),
+        posexplode(col("bs")).as(Seq("pos", "bucket")))
+      .select(col("doc_id"), col("pos").as("band"), col("bucket"),
+        slice(col("bs"), lit(1), col("pos")).as("prefix"))
+
+  /** Per-position signature agreement estimate between two array
+    * signatures: |{i : a[i] = b[i]}| / k (exact double — n/k with k a power
+    * of two). The per-pair verify is one expression over two array columns
+    * instead of a k-row join per side. */
+  def sigAgreement(a: Column, b: Column, k: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), (c: Column) => c))
+      .cast("double") / k
+
+  /** Candidate generation + verification over PRE-COMPUTED array signatures
+    * (doc_id, sig): band buckets → first-collision-band candidates → exact
     * per-position agreement estimate. LAZY — the caller owns caching and
     * materialization of `sig` (it is referenced three times in the plan).
     * Exists so incremental callers (q125) that already paid for the
-    * signatures never re-shingle the text. */
+    * signatures never re-shingle the text.
+    *
+    * First-collision-band emission: each banded row carries its LOWER-band
+    * bucket array (`prefix` from [[bandedBuckets]] — a map-side slice, no
+    * groupBy), and the bucket join keeps a collision only when NO lower
+    * band also collides — exactly one emission per pair by construction,
+    * so there is no pair-level distinct. The candidate SET is unchanged
+    * (any colliding pair collides in a first band), so the q23/q52/q125
+    * family oracles are result-identical. The verify is two per-doc-grain
+    * equi-joins plus one [[sigAgreement]] expression — the historical long
+    * form joined k rows per side per candidate and re-aggregated. */
   def minhashPairsFromSignatures(sig: DataFrame, k: Int, rowsPerBand: Int,
                                  threshold: Double): DataFrame = {
-    // FIRST-COLLISION-BAND emission: a pair agreeing in several bands used
-    // to be emitted once per band and collapsed by a `.distinct()` over the
-    // candidate pairs — a shuffle whose input carries a ≤bands× duplication
-    // factor. Instead each banded row now carries the doc's LOWER-band
-    // bucket array (`prefix`, one tiny groupBy(doc_id) over the
-    // docs×bands bucket table), and the bucket join keeps a collision only
-    // when NO lower band also collides — exactly one emission per pair, by
-    // construction, so the pair-level distinct disappears entirely. The
-    // candidate SET is unchanged (any colliding pair collides in a first
-    // band), so q23/q52/q125-family oracles are result-identical.
-    val byDoc = lshBuckets(sig, rowsPerBand)
-      .groupBy(col("doc_id"))
-      .agg(transform(sort_array(collect_list(struct(col("band"), col("bucket")))),
-        e => e.getField("bucket")).as("bs"))
-    val banded = byDoc
-      .select(col("doc_id"), col("bs"), posexplode(col("bs")))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"),
-        slice(col("bs"), lit(1), col("pos")).as("prefix"))
+    val banded = bandedBuckets(sig, k, rowsPerBand)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -219,12 +239,10 @@ object DedupOps {
         (x, y) => x === y), identity[Column]))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
     cands
-      .join(sig.select(col("doc_id").as("da"), col("i"), col("minhash").as("ha")), Seq("da"))
-      .join(sig.select(col("doc_id").as("db"), col("i"), col("minhash").as("hb")),
-        Seq("db", "i"))
-      .groupBy(col("da"), col("db"))
-      .agg((sum(when(col("ha") === col("hb"), 1).otherwise(0)).cast("double") / k)
-        .as("est_jaccard"))
+      .join(sig.select(col("doc_id").as("da"), col("sig").as("sa")), Seq("da"))
+      .join(sig.select(col("doc_id").as("db"), col("sig").as("sb")), Seq("db"))
+      .select(col("da"), col("db"),
+        sigAgreement(col("sa"), col("sb"), k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -234,7 +252,7 @@ object DedupOps {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n)
-    val sig = minhashSignatures(sh, k).cache()
+    val sig = minhashSignatureArray(sh, k).cache()
     val out = minhashPairsFromSignatures(sig, k, rowsPerBand, threshold)
       .localCheckpoint()
     sig.unpersist()

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -592,28 +592,29 @@ object TextQueries {
       val batch = dd.filter(col("source") =!= "src0")
         .select(col("doc_id"), col("text"))
       // signatures are the increment's dominant cost — computed ONCE per
-      // side and reused (cached) across the corpus probe, the survivor
+      // side (ONE array row per doc, see DedupOps.minhashSignatureArray)
+      // and reused (cached) across the corpus probe, the survivor
       // bucketing, and the survivor verification; the naive form
       // (minhashPairs on the survivor TEXT) re-shingles ~all of the batch
-      // a second time, which at 100 TB doubles the increment's scan work
-      val sigC = DedupOps.minhashSignatures(
+      // a second time, which at 100 TB doubles the increment's scan work.
+      // The cross probe emits each (batch, corpus) candidate only in its
+      // FIRST colliding band (prefix check), so there is no pair-level
+      // distinct, and the verify is one zip_with over the two cached
+      // arrays — no k-row-per-side join traffic.
+      val sigC = DedupOps.minhashSignatureArray(
         DedupOps.shingleTable(corpus, "doc_id", "text", 3), 32).cache()
-      val sigB = DedupOps.minhashSignatures(
+      val sigB = DedupOps.minhashSignatureArray(
         DedupOps.shingleTable(batch, "doc_id", "text", 3), 32).cache()
-      val candBC = DedupOps.lshBuckets(sigB, 4).as("a")
-        .join(DedupOps.lshBuckets(sigC, 4).as("b"),
+      val candBC = DedupOps.bandedBuckets(sigB, 32, 4).as("a")
+        .join(DedupOps.bandedBuckets(sigC, 32, 4).as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .filter(!exists(zip_with(col("a.prefix"), col("b.prefix"),
+          (x, y) => x === y), identity[Column]))
         .select(col("a.doc_id").as("bid"), col("b.doc_id").as("cid"))
-        .distinct()
       val dupOfCorpus = candBC
-        .join(sigB.select(col("doc_id").as("bid"), col("i"),
-          col("minhash").as("hb")), Seq("bid"))
-        .join(sigC.select(col("doc_id").as("cid"), col("i"),
-          col("minhash").as("hc")), Seq("cid", "i"))
-        .groupBy(col("bid"), col("cid"))
-        .agg((sum(when(col("hb") === col("hc"), 1).otherwise(0))
-          .cast("double") / 32).as("est"))
-        .filter(col("est") >= 0.5)
+        .join(sigB.select(col("doc_id").as("bid"), col("sig").as("sb")), Seq("bid"))
+        .join(sigC.select(col("doc_id").as("cid"), col("sig").as("sc")), Seq("cid"))
+        .filter(DedupOps.sigAgreement(col("sb"), col("sc"), 32) >= 0.5)
         .groupBy(col("bid").as("doc_id"))
         .agg(min(col("cid")).as("canonical"))
         .localCheckpoint()
@@ -719,23 +720,23 @@ object TextQueries {
         .select(col("doc_id"), col("text"))
       val train = dd.filter(col("source") =!= "src0")
         .select(col("doc_id"), col("text"))
-      val sigBn = DedupOps.minhashSignatures(
+      val sigBn = DedupOps.minhashSignatureArray(
         DedupOps.shingleTable(bench, "doc_id", "text", 3), 32).cache()
-      val sigT = DedupOps.minhashSignatures(
+      val sigT = DedupOps.minhashSignatureArray(
         DedupOps.shingleTable(train, "doc_id", "text", 3), 32).cache()
-      val cand = DedupOps.lshBuckets(sigT, 4).as("a")
-        .join(DedupOps.lshBuckets(sigBn, 4).as("b"),
+      // first-collision cross probe (see q125): one emission per candidate,
+      // verify via zip_with over the cached per-doc signature arrays
+      val cand = DedupOps.bandedBuckets(sigT, 32, 4).as("a")
+        .join(DedupOps.bandedBuckets(sigBn, 32, 4).as("b"),
           col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .filter(!exists(zip_with(col("a.prefix"), col("b.prefix"),
+          (x, y) => x === y), identity[Column]))
         .select(col("a.doc_id").as("tid"), col("b.doc_id").as("bid"))
-        .distinct()
       val est = cand
-        .join(sigT.select(col("doc_id").as("tid"), col("i"),
-          col("minhash").as("ht")), Seq("tid"))
-        .join(sigBn.select(col("doc_id").as("bid"), col("i"),
-          col("minhash").as("hb")), Seq("bid", "i"))
-        .groupBy(col("tid"), col("bid"))
-        .agg((sum(when(col("ht") === col("hb"), 1).otherwise(0))
-          .cast("double") / 32).as("est"))
+        .join(sigT.select(col("doc_id").as("tid"), col("sig").as("st")), Seq("tid"))
+        .join(sigBn.select(col("doc_id").as("bid"), col("sig").as("sb")), Seq("bid"))
+        .select(col("tid"), col("bid"),
+          DedupOps.sigAgreement(col("st"), col("sb"), 32).as("est"))
         .filter(col("est") >= 0.5)
       val out = est.groupBy(col("tid").as("doc_id"))
         .agg(count(lit(1)).as("n_bench_matches"), max(col("est")).as("max_est"),
