@@ -88,16 +88,26 @@ object NlpQueries {
     * stage entries instead of hiding in the whole-query median. */
   def hybridLinking(s: SparkSession, d: String, nSignals: Int): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    // cached: the mention set is referenced by all three signal builders
-    // plus both token-level expansions; released via `releasing` below
+    // EAGERLY materialized (localCheckpoint, not a lazy cache): the mention
+    // set is referenced by all three signal builders plus both token-level
+    // expansions, and two of those references sit INSIDE broadcast()
+    // subtrees. Broadcast exchanges build their children on concurrent
+    // driver-pool threads, so a lazy .cache() here is first READ by three
+    // jobs at once — each thread that loses the per-block compute race
+    // blocks on the BlockManager lock while the winner recomputes the
+    // corpus-sized tokenize+distinct inside a broadcast thread (measured:
+    // 22.8 s in-suite vs ~10 s with the shared inputs pre-materialized,
+    // and the contention GROWS with cores — 15.9 s at 32 threads vs
+    // 10.3 s at 4 in isolation). Materializing both tables before any
+    // signal plan executes makes every downstream read a plain block fetch.
     val toks = docTokens(s, d).select(col("doc_id"), col("token"))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     // ONE tokenized probe vocabulary shared by all three engines: the r10
     // stage timings showed B and C each re-deriving `distinct token` from
     // the full (doc_id, token) mention stream — a corpus-sized distinct
     // apiece; sharing the vocab table means that shuffle happens once and
-    // the signal engines probe a cached vocabulary-sized input.
-    val dtok = toks.select(col("token")).distinct().cache()
+    // the signal engines probe a vocabulary-sized materialized input.
+    val dtok = toks.select(col("token")).distinct().localCheckpoint()
     // signal A: prior × cosine, top-5 per (doc_id, token)
     val candA = toks.join(broadcast(gaz(s, d)), col("token") === col("alias"))
       .select(col("doc_id"), col("token"), col("entity"), col("prior"))
