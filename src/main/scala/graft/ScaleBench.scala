@@ -48,7 +48,17 @@ object ScaleBench {
       // shuffle-hash join — included to observe the probe path's growth off
       // the toy scale (the broadcast it replaced would hide its cost in
       // driver memory instead)
-      "q66_bm25_candidates"),
+      "q66_bm25_candidates",
+      // multimodal near-dup banded joins (r12). CAVEAT on their curves:
+      // the q154/q155 fixtures derive media bytes from doc_id % 251 alone,
+      // so token-suffix replication CANNOT break their similarity — every
+      // replica of group g encodes byte-identical media, group sizes grow
+      // ~M and true pairs ~M² BY FIXTURE GEOMETRY. The honest metric for
+      // them is wall per OUTPUT row (the q100 rule: the engine pays for
+      // rows, not blocking), so observe them at ×10/×30 and exclude them
+      // from the ×100 decade where the clique output would dominate the
+      // entire run.
+      "q154_image_phash_pairs", "q155_audio_fp_pairs"),
     "graph" -> Seq(
       "q13_two_hop_network", "q17_suspicious_aliases",
       "q15_pagerank", "q86_ppr_seeds", "q143_harmonic_centrality"),
@@ -56,7 +66,11 @@ object ScaleBench {
       "q22_jaccard_pairs", "q35_textrank", "q105_decontam",
       "q112_semdedup", "q138_semdedup_ivf2",
       "q121_containment_pairs", "q126_corpus_report",
-      "q139_weighted_sample", "q145_bpe_corpus_tokens"),
+      "q139_weighted_sample", "q145_bpe_corpus_tokens",
+      // the in-engine hash-embed chain (r12): q148 is the embed itself
+      // (one tf shuffle + Heaps-law df join — must grow ~M), q150 the
+      // embed→banded-LSH scale path; both are ×100-decade members
+      "q148_hash_embed", "q150_hash_embed_lsh"),
     "event" -> Seq(
       "q32_asof_join", "q87_rolling_actives", "q140_transition_probs"))
 

@@ -186,20 +186,38 @@ object DedupOps {
   /** Per-band bucket strings from an array signature — a pure expression
     * (no shuffle): bucket b = md5 of the "|"-joined decimal slice
     * sig[b·r .. b·r+r-1]. Byte-identical to the historical collect_list
-    * banding, so every DuckDB oracle twin is untouched. */
-  def bandBuckets(sig: Column, k: Int, rowsPerBand: Int): Column =
+    * banding, so every DuckDB oracle twin is untouched.
+    *
+    * k must divide evenly into bands: a remainder would silently drop the
+    * trailing signature positions (the historical long form made a partial
+    * final band from them), so a non-divisible config is a construction
+    * error, not a quiet behavior change. */
+  def bandBuckets(sig: Column, k: Int, rowsPerBand: Int): Column = {
+    require(k % rowsPerBand == 0,
+      s"bandBuckets: k=$k must be a multiple of rowsPerBand=$rowsPerBand " +
+        "(a remainder would silently drop trailing signature positions)")
     array((0 until k / rowsPerBand).map { b =>
       md5(array_join(transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
         x => x.cast("string")), "|"))
     }: _*)
+  }
 
   /** Exploded (doc_id, band, bucket, prefix) banding table over array
     * signatures — map-side only. `prefix` carries the doc's LOWER-band
     * buckets for first-collision-band emission: a bucket join that also
     * requires NO lower band to collide emits each candidate pair exactly
-    * once, with no pair-level distinct. */
+    * once, with no pair-level distinct.
+    *
+    * The declared k must match the true signature length: a mismatch would
+    * slice short/overlong arrays into different md5 buckets instead of
+    * failing, so the plan carries a per-row assert_true (O(1) size check,
+    * kept alive as a filter condition so Catalyst cannot prune it). */
   def bandedBuckets(sigA: DataFrame, k: Int, rowsPerBand: Int): DataFrame =
-    sigA.select(col("doc_id"), bandBuckets(col("sig"), k, rowsPerBand).as("bs"))
+    sigA
+      .filter(assert_true(size(col("sig")) === k,
+        lit(s"bandedBuckets: signature length does not match declared k=$k"))
+        .isNull)
+      .select(col("doc_id"), bandBuckets(col("sig"), k, rowsPerBand).as("bs"))
       .select(col("doc_id"), col("bs"),
         posexplode(col("bs")).as(Seq("pos", "bucket")))
       .select(col("doc_id"), col("pos").as("band"), col("bucket"),
@@ -242,6 +260,33 @@ object DedupOps {
       .join(sig.select(col("doc_id").as("da"), col("sig").as("sa")), Seq("da"))
       .join(sig.select(col("doc_id").as("db"), col("sig").as("sb")), Seq("db"))
       .select(col("da"), col("db"),
+        sigAgreement(col("sa"), col("sb"), k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** CROSS-corpus candidate generation + verification over two
+    * pre-computed array-signature tables (doc_id, sig) — the batch×corpus
+    * probe shape (q125 incremental dedup, q129 fuzzy decontamination):
+    * side A's bands probe side B's bucket table, side B is NEVER
+    * self-joined, so per-increment cost scales with A, not B. Same
+    * first-collision-band emission as the self-join form (each (a, b)
+    * candidate is emitted only in its FIRST colliding band via the prefix
+    * check — no pair-level distinct), same one-expression [[sigAgreement]]
+    * verify over the two per-doc arrays. LAZY — callers own caching of the
+    * signature inputs (each is referenced twice in the plan).
+    * Output: (ida, idb, est_jaccard) with est >= threshold. */
+  def crossPairsFromSignatures(sigA: DataFrame, sigB: DataFrame, k: Int,
+                               rowsPerBand: Int, threshold: Double): DataFrame = {
+    val cands = bandedBuckets(sigA, k, rowsPerBand).as("a")
+      .join(bandedBuckets(sigB, k, rowsPerBand).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .filter(!exists(zip_with(col("a.prefix"), col("b.prefix"),
+        (x, y) => x === y), identity[Column]))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+    cands
+      .join(sigA.select(col("doc_id").as("ida"), col("sig").as("sa")), Seq("ida"))
+      .join(sigB.select(col("doc_id").as("idb"), col("sig").as("sb")), Seq("idb"))
+      .select(col("ida"), col("idb"),
         sigAgreement(col("sa"), col("sb"), k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }

@@ -173,6 +173,61 @@ object MediaQueries {
         .filter(col("hamming") <= 3)
         .select(col("da"), col("db"), col("hamming"))
         .orderBy(col("da"), col("db"))
+    }),
+
+    // AUDIO NEAR-DUP DETECTION via REAL fingerprinting — q154's triangle
+    // leg for sound, closing text (q52) / image (q154) / audio: each
+    // document becomes a deterministic 260-sample mono PCM WAV (group
+    // g = id%251 sets the waveform, variant v = (id/251)%2 perturbs one
+    // sample of frame 0), the batched mapPartitions decode computes the
+    // 64-bit energy-envelope fingerprint from losslessly-recovered
+    // samples (bit f = frame f+1's exact integer energy exceeds frame
+    // f's), and pairs within Hamming distance 3 are found through the
+    // same pigeonhole-EXACT 16-bit band blocking as q154 — no all-pairs
+    // scan, zero recall loss at the ≤3 contract. Per-sample amplitudes
+    // are md5-derived, so cross-group envelope bits are independent fair
+    // coins (Hamming ~ Binomial(64, ½), never ≤3) and the near-dup set
+    // is exactly the within-group one: same-group/same-variant at
+    // Hamming 0, cross-variant at ≤1 (only frame 0's energy moves).
+    "q155_audio_fp_pairs" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val g = (id % 251).toInt
+          val v = ((id / 251) % 2).toInt
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val samples = Array.tabulate[Short](65 * 4) { idx =>
+            val f = idx / 4
+            val j = idx % 4
+            val a0 = md.digest(s"$g|$f|$j".getBytes("UTF-8"))(0) & 0xff
+            val a = if (v == 1 && f == 0 && j == 0) (a0 + 17) % 256 else a0
+            ((a - 128) * 64).toShort
+          }
+          MultimodalOps.MediaRow(id, "audio",
+            MultimodalOps.encodeWav(8000, samples), "wav", 0, 0, 0L)
+        }
+      val fps = MultimodalOps.decodeAudioFingerprints(media).toDF()
+        .filter(col("decoded"))
+        .localCheckpoint() // feeds the band explode AND both verify sides
+      val bandRows = fps.select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
+      val cand = bandRows.as("a").join(bandRows.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+      cand
+        .join(fps.select(col("doc_id").as("da"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")), Seq("da"))
+        .join(fps.select(col("doc_id").as("db"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3")), Seq("db"))
+        .withColumn("hamming",
+          expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+            "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)"))
+        .filter(col("hamming") <= 3)
+        .select(col("da"), col("db"), col("hamming"))
+        .orderBy(col("da"), col("db"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -263,6 +318,58 @@ object MediaQueries {
         |  FROM d0
         |  CROSS JOIN range(0, 8) tx(x)
         |  CROSS JOIN range(0, 8) ty(y)),
+        |bandv AS (
+        |  SELECT doc_id, i // 16 AS band,
+        |    CAST(SUM(b * (1 << (i % 16))) AS INTEGER) AS key
+        |  FROM bits GROUP BY 1, 2),
+        |hash AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN band = 0 THEN key END) AS b0,
+        |    MAX(CASE WHEN band = 1 THEN key END) AS b1,
+        |    MAX(CASE WHEN band = 2 THEN key END) AS b2,
+        |    MAX(CASE WHEN band = 3 THEN key END) AS b3
+        |  FROM bandv GROUP BY doc_id),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bandv a JOIN bandv b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT c.da, c.db,
+        |  CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+        |     + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+        |    AS INTEGER) AS hamming
+        |FROM cand c
+        |JOIN hash ha ON ha.doc_id = c.da
+        |JOIN hash hb ON hb.doc_id = c.db
+        |WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+        |    + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 3
+        |ORDER BY da, db""".stripMargin,
+    // Audio-fingerprint mirror: WAV is lossless, so every 16-bit sample of
+    // the md5-derived fixture — hence every exact frame energy, envelope
+    // bit, band key, candidate, and Hamming distance — is predicted
+    // arithmetically from (g, v). Same band/hash/cand tail as q154.
+    "q155_audio_fp_pairs" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, doc_id % 251 AS g, (doc_id // 251) % 2 AS v
+        |  FROM documents),
+        |raw AS (
+        |  SELECT doc_id, f, j, v,
+        |    CAST('0x' || substr(md5(CAST(g AS VARCHAR) || '|' || CAST(f AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 2) AS BIGINT) AS a0
+        |  FROM d0
+        |  CROSS JOIN range(0, 65) tf(f)
+        |  CROSS JOIN range(0, 4) tj(j)),
+        |sm AS (
+        |  SELECT doc_id, f,
+        |    ((CASE WHEN v = 1 AND f = 0 AND j = 0 THEN (a0 + 17) % 256
+        |           ELSE a0 END) - 128) * 64 AS s
+        |  FROM raw),
+        |en AS (SELECT doc_id, f, SUM(s * s) AS e FROM sm GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT doc_id, i, b FROM (
+        |    SELECT doc_id, f AS i,
+        |      CASE WHEN LEAD(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+        |           THEN 1 ELSE 0 END AS b
+        |    FROM en) t
+        |  WHERE i < 64),
         |bandv AS (
         |  SELECT doc_id, i // 16 AS band,
         |    CAST(SUM(b * (1 << (i % 16))) AS INTEGER) AS key

@@ -597,26 +597,18 @@ object TextQueries {
       // bucketing, and the survivor verification; the naive form
       // (minhashPairs on the survivor TEXT) re-shingles ~all of the batch
       // a second time, which at 100 TB doubles the increment's scan work.
-      // The cross probe emits each (batch, corpus) candidate only in its
-      // FIRST colliding band (prefix check), so there is no pair-level
-      // distinct, and the verify is one zip_with over the two cached
-      // arrays — no k-row-per-side join traffic.
+      // The cross probe (DedupOps.crossPairsFromSignatures) emits each
+      // (batch, corpus) candidate only in its FIRST colliding band, so
+      // there is no pair-level distinct, and the verify is one zip_with
+      // over the two cached arrays — no k-row-per-side join traffic.
       val sigC = DedupOps.minhashSignatureArray(
         DedupOps.shingleTable(corpus, "doc_id", "text", 3), 32).cache()
       val sigB = DedupOps.minhashSignatureArray(
         DedupOps.shingleTable(batch, "doc_id", "text", 3), 32).cache()
-      val candBC = DedupOps.bandedBuckets(sigB, 32, 4).as("a")
-        .join(DedupOps.bandedBuckets(sigC, 32, 4).as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
-        .filter(!exists(zip_with(col("a.prefix"), col("b.prefix"),
-          (x, y) => x === y), identity[Column]))
-        .select(col("a.doc_id").as("bid"), col("b.doc_id").as("cid"))
-      val dupOfCorpus = candBC
-        .join(sigB.select(col("doc_id").as("bid"), col("sig").as("sb")), Seq("bid"))
-        .join(sigC.select(col("doc_id").as("cid"), col("sig").as("sc")), Seq("cid"))
-        .filter(DedupOps.sigAgreement(col("sb"), col("sc"), 32) >= 0.5)
-        .groupBy(col("bid").as("doc_id"))
-        .agg(min(col("cid")).as("canonical"))
+      val dupOfCorpus = DedupOps
+        .crossPairsFromSignatures(sigB, sigC, 32, 4, 0.5)
+        .groupBy(col("ida").as("doc_id"))
+        .agg(min(col("idb")).as("canonical"))
         .localCheckpoint()
       val survivorSig = sigB.join(
         dupOfCorpus.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -724,23 +716,14 @@ object TextQueries {
         DedupOps.shingleTable(bench, "doc_id", "text", 3), 32).cache()
       val sigT = DedupOps.minhashSignatureArray(
         DedupOps.shingleTable(train, "doc_id", "text", 3), 32).cache()
-      // first-collision cross probe (see q125): one emission per candidate,
-      // verify via zip_with over the cached per-doc signature arrays
-      val cand = DedupOps.bandedBuckets(sigT, 32, 4).as("a")
-        .join(DedupOps.bandedBuckets(sigBn, 32, 4).as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
-        .filter(!exists(zip_with(col("a.prefix"), col("b.prefix"),
-          (x, y) => x === y), identity[Column]))
-        .select(col("a.doc_id").as("tid"), col("b.doc_id").as("bid"))
-      val est = cand
-        .join(sigT.select(col("doc_id").as("tid"), col("sig").as("st")), Seq("tid"))
-        .join(sigBn.select(col("doc_id").as("bid"), col("sig").as("sb")), Seq("bid"))
-        .select(col("tid"), col("bid"),
-          DedupOps.sigAgreement(col("st"), col("sb"), 32).as("est"))
-        .filter(col("est") >= 0.5)
-      val out = est.groupBy(col("tid").as("doc_id"))
-        .agg(count(lit(1)).as("n_bench_matches"), max(col("est")).as("max_est"),
-          min(col("bid")).as("first_bench"))
+      // first-collision cross probe (DedupOps.crossPairsFromSignatures,
+      // shared with q125): one emission per candidate, verify via zip_with
+      // over the cached per-doc signature arrays
+      val est = DedupOps.crossPairsFromSignatures(sigT, sigBn, 32, 4, 0.5)
+      val out = est.groupBy(col("ida").as("doc_id"))
+        .agg(count(lit(1)).as("n_bench_matches"),
+          max(col("est_jaccard")).as("max_est"),
+          min(col("idb")).as("first_bench"))
         .orderBy(col("doc_id"))
         .localCheckpoint()
       sigBn.unpersist(); sigT.unpersist()

@@ -344,14 +344,19 @@ object VectorQueries {
     // q25/q26-style exact baseline proving hash-embedded documents feed
     // the standard similarity surface unchanged (native codegen cosine;
     // values bit-identical cross-engine because the embedder emits exact
-    // int64 counts over one IEEE division). DELIBERATELY all-pairs: the
-    // scale path is q150's banded LSH over the same vectors.
+    // int64 counts over one IEEE division). Query side is a DETERMINISTIC
+    // 1/16 slice (doc_id % 16 = 0) probing the FULL corpus — the q25
+    // contract: the embed stage still covers every document (that is the
+    // operator under test), while the exact-baseline join stays a probe,
+    // not an all-pairs blow-up; the full-corpus pair story is q150's
+    // banded LSH over the same vectors.
     "q149_hash_embed_knn" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       graft.functions.GraftFunctions.register(s)
       val e = VectorOps.hashEmbed(Tables.documents(s, d), "doc_id", "text", 64)
         .localCheckpoint() // both join sides reference the embed plan
-      val a = e.select(col("doc_id"), col("embedding").as("ea"))
+      val a = e.filter(col("doc_id") % 16 === 0)
+        .select(col("doc_id"), col("embedding").as("ea"))
       val b = e.select(col("doc_id").as("nbr"), col("embedding").as("eb"))
       a.join(b, col("doc_id") =!= col("nbr"))
         .withColumn("cosine", call_function("cosine_sim", col("ea"), col("eb")))
@@ -857,6 +862,7 @@ object VectorQueries {
 
     // The q25-discipline brute-force over hash embeds: dense vectors
     // reassembled per doc, the same sequential-fold cosine, top-3 window.
+    // Query side mirrors the engine's deterministic 1/16 slice.
     "q149_hash_embed_knn" ->
       s"""$hashEmbCte,
          |earr AS (SELECT doc_id, list(val ORDER BY pos) AS embedding
@@ -864,7 +870,8 @@ object VectorQueries {
          |sc AS (
          |  SELECT a.doc_id, b.doc_id AS nbr,
          |    ${cosSql("a.embedding", "b.embedding")} AS cosine
-         |  FROM earr a JOIN earr b ON a.doc_id <> b.doc_id)
+         |  FROM earr a JOIN earr b ON a.doc_id <> b.doc_id
+         |  WHERE a.doc_id % 16 = 0)
          |SELECT doc_id, nbr, cosine, CAST(rn AS INTEGER) AS rn
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
          |        ORDER BY cosine DESC, nbr ASC) AS rn FROM sc) t

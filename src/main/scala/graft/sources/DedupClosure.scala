@@ -29,11 +29,17 @@ import graft.graph.GraphOps
   *    doc_id need no exchange) keyed by a corpus fingerprint;
   *  - [[read]] — returns the artifact, building it only if absent.
   *
-  * Staleness contract: the table name embeds md5(dir | count | Σ doc_id) —
-  * one pruned single-column scan per read call. A corpus regenerated at the
-  * same path changes the fingerprint and forces a rebuild; a re-run over the
-  * same snapshot reuses the artifact (ScaleBench's marker-file rule, applied
-  * to a catalog table).
+  * Staleness contract: the table name embeds md5 over the SOURCE-FILE
+  * METADATA backing `docs` — the sorted (path, length, modificationTime)
+  * triples from the scan's file index. That is a driver-side filesystem
+  * metadata call, NOT a data scan: at 100 TB a consumer locating the
+  * artifact pays a file listing, not a corpus read (the round-11 shape —
+  * md5(dir | count | Σ doc_id) — cost a full pruned scan of `documents`
+  * on EVERY read call). A corpus regenerated at the same path changes the
+  * part-file names/sizes/mtimes and forces a rebuild; a re-run over the
+  * same snapshot reuses the artifact (ScaleBench's marker-file rule,
+  * applied to a catalog table). Non-file-backed frames (in-memory test
+  * data) have no file index and fall back to the content fingerprint.
   */
 object DedupClosure {
 
@@ -51,11 +57,30 @@ object DedupClosure {
   }
 
   /** Fingerprinted artifact name: stable across runs over the same corpus
-    * snapshot, different for any corpus whose (count, Σ doc_id) differ. */
+    * snapshot, different for any snapshot whose backing files differ.
+    *
+    * File-backed docs (the production path): md5 over the sorted
+    * (path, length, modificationTime) of every file the scan reads —
+    * driver-side FS metadata only, NO Spark job and NO data scan
+    * (DedupClosureSpec pins that a post-materialize read runs zero jobs).
+    * Frames with no file lineage (in-memory test data) fall back to the
+    * content fingerprint (count, Σ doc_id) — one pruned scan. */
   def tableName(docs: DataFrame, dir: String): String = {
-    val row = docs.agg(count(lit(1)), sum(col("doc_id"))).collect()(0)
+    val files = docs.inputFiles
+    val key =
+      if (files.nonEmpty) {
+        val hconf = docs.sparkSession.sparkContext.hadoopConfiguration
+        files.sorted.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(hconf).getFileStatus(p)
+          s"$f|${st.getLen}|${st.getModificationTime}"
+        }.mkString("\n")
+      } else {
+        val row = docs.agg(count(lit(1)), sum(col("doc_id"))).collect()(0)
+        s"${row.getLong(0)}|${row.getLong(1)}"
+      }
     val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${row.getLong(0)}|${row.getLong(1)}".getBytes("UTF-8"))
+      .digest(s"$dir|$key".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     s"graft_dedup_closure_$fp"
   }

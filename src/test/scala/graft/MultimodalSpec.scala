@@ -157,4 +157,57 @@ class MultimodalSpec extends SparkSuite {
     val bad = MediaRow(7L, "image", Array[Byte](1, 2, 3), "png", 0, 0, 0L)
     assert(!MultimodalOps.decodeDHash(bad).decoded)
   }
+
+  test("decodeAudioFingerprint: envelope bits match the encoded samples; strict contract") {
+    // a hand-built envelope whose bits are computable by eye: frame f's
+    // four samples all equal amp(f), so E(f) = 4·amp(f)² and bit f =
+    // [|amp(f+1)| > |amp(f)|]. Alternate rising/falling pairs per 16-frame
+    // band exactly like the dHash pattern test.
+    def wav(amps: Array[Int]): Array[Byte] = {
+      require(amps.length == 65)
+      val samples = Array.tabulate[Short](65 * 4)(i => amps(i / 4).toShort)
+      MultimodalOps.encodeWav(8000, samples)
+    }
+    // amp rises 0,10,20,...: every adjacent energy comparison is >, all 64
+    // bits set → every band = 0xFFFF
+    val rising = MultimodalOps.decodeAudioFingerprint(
+      MediaRow(1L, "audio", wav(Array.tabulate(65)(f => 10 * f)), "wav", 0, 0, 0L))
+    assert(rising.decoded)
+    assert(rising.b0 == 0xFFFF && rising.b1 == 0xFFFF &&
+      rising.b2 == 0xFFFF && rising.b3 == 0xFFFF)
+    // amp falls: no bit set
+    val falling = MultimodalOps.decodeAudioFingerprint(
+      MediaRow(2L, "audio", wav(Array.tabulate(65)(f => 10 * (64 - f))), "wav", 0, 0, 0L))
+    assert(falling.decoded)
+    assert(falling.b0 == 0 && falling.b1 == 0 && falling.b2 == 0 && falling.b3 == 0)
+    // constant amp: ties are NOT >, no bit set (deterministic tie rule)
+    val flat = MultimodalOps.decodeAudioFingerprint(
+      MediaRow(3L, "audio", wav(Array.fill(65)(100)), "wav", 0, 0, 0L))
+    assert(flat.decoded && flat.b0 == 0 && flat.b1 == 0 && flat.b2 == 0 && flat.b3 == 0)
+    // ENERGY compares magnitude: sign flips don't move bits
+    val signFlip = MultimodalOps.decodeAudioFingerprint(
+      MediaRow(4L, "audio", wav(Array.tabulate(65)(f => if (f % 2 == 0) 10 * f else -10 * f)),
+        "wav", 0, 0, 0L))
+    assert(signFlip.decoded && signFlip.b0 == 0xFFFF && signFlip.b3 == 0xFFFF)
+    // wrong sample count: strict contract refuses
+    val short = MultimodalOps.encodeWav(8000, Array.tabulate[Short](64 * 4)(_ => 1))
+    assert(!MultimodalOps.decodeAudioFingerprint(
+      MediaRow(5L, "audio", short, "wav", 0, 0, 0L)).decoded)
+    // garbage bytes: refused
+    assert(!MultimodalOps.decodeAudioFingerprint(
+      MediaRow(6L, "audio", Array[Byte](1, 2, 3), "wav", 0, 0, 0L)).decoded)
+    // pigeonhole law behind the q155 banded join: flipping ≤3 bits leaves
+    // at least one band identical
+    val base = rising
+    val flip3 = MultimodalOps.decodeAudioFingerprint(
+      MediaRow(7L, "audio", wav(Array.tabulate(65)(f =>
+        // spike frame 1 above frame 2: bit 1 (E2 > E1) flips off, the
+        // other 63 comparisons are unchanged
+        if (f == 1) 50 else 10 * f)), "wav", 0, 0, 0L))
+    assert(flip3.decoded && flip3.b0 != base.b0)
+    val sameBands = Seq(
+      base.b0 == flip3.b0, base.b1 == flip3.b1,
+      base.b2 == flip3.b2, base.b3 == flip3.b3).count(identity)
+    assert(sameBands >= 1)
+  }
 }
