@@ -226,6 +226,31 @@ object RelationalQueries {
         .unionByName(c.except(sup).withColumn("side", lit("customer_only")))
         .unionByName(sup.except(c).withColumn("side", lit("supplier_only")))
         .orderBy(col("side"), col("nationkey"))
+    }),
+
+    // CMS JOIN-SIZE ESTIMATION ([[graft.text.CountMin.joinSizeEstimate]]):
+    // |orders ⋈ lineitem on orderkey| estimated from two INDEPENDENTLY
+    // built count-min sketches via the row-wise inner product, min across
+    // the d hash rows — the planner-grade cardinality estimate a 100 TB
+    // join wants BEFORE running it (each side's sketch is a map-side-
+    // combinable d·w-bounded aggregation; the estimate is a ≤ d·w-row
+    // equi-join — neither table is scanned twice, the join itself never
+    // runs). The exact join count rides along in the gated output, so the
+    // one-sided contract (est ≥ exact, error ≤ e/w·|A|·|B| whp) is
+    // hash-proven, not asserted — the q151/q153 sketch-gating discipline.
+    "q156_join_size_sketch" -> ((s, d) => {
+      import graft.text.CountMin
+      val keysA = Tables.orders(s, d)
+        .select(col("o_orderkey").cast("string").as("token"))
+      val keysB = Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast("string").as("token"))
+      val est = CountMin.joinSizeEstimate(
+        CountMin.sketch(keysA, 4, 131072), CountMin.sketch(keysB, 4, 131072))
+      val exact = Tables.orders(s, d).select(col("o_orderkey"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("exact"))
+      est.crossJoin(exact) // 1-row × 1-row scalar join
     }))
 
   def oracles: Map[String, String] = Map(
@@ -351,6 +376,30 @@ object RelationalQueries {
         |SELECT nationkey, 'supplier_only' FROM
         |  (SELECT s_nationkey AS nationkey FROM supplier
         |   EXCEPT SELECT c_nationkey FROM customer) t3
-        |ORDER BY side, nationkey""".stripMargin
+        |ORDER BY side, nationkey""".stripMargin,
+    // CMS join-size mirror: same salted 60-bit md5 row hashes as q151's
+    // sketch, inner product per row, MIN across rows, exact count alongside.
+    "q156_join_size_sketch" ->
+      """WITH ska AS (
+        |  SELECT r,
+        |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 131072 AS idx,
+        |    COUNT(*) AS c
+        |  FROM orders CROSS JOIN range(0, 4) t(r)
+        |  GROUP BY 1, 2),
+        |skb AS (
+        |  SELECT r,
+        |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 131072 AS idx,
+        |    COUNT(*) AS c
+        |  FROM lineitem CROSS JOIN range(0, 4) t(r)
+        |  GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT a.r, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+        |  FROM ska a JOIN skb b ON a.r = b.r AND a.idx = b.idx
+        |  GROUP BY a.r),
+        |e AS (SELECT MIN(dot) AS est FROM dots),
+        |x AS (
+        |  SELECT COUNT(*) AS exact
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT e.est, x.exact FROM e CROSS JOIN x""".stripMargin
   )
 }

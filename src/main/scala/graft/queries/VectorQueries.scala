@@ -371,13 +371,24 @@ object VectorQueries {
     // Banded sign-LSH near-dup pairs over the HASH embeddings — q100's
     // scale machinery consuming q148's output shape verbatim: the full
     // embed → ANN path with no model anywhere, end-to-end under the hash
-    // gate. Same first-collision-band emission, same 32×4 banding dial.
+    // gate. Same first-collision-band emission, but a WIDER banding dial
+    // than q100: 64 planes in 4 bands = 16-bit band keys (65,536 buckets
+    // per band). The bucket width is the quadratic dial of banded LSH —
+    // the candidate join carries an N²/2^bits collision term even between
+    // unrelated vectors, so 8-bit keys (256 buckets) that are harmless on
+    // a few thousand docs cost N²/256 at corpus scale (measured: 165 s at
+    // ×10 replication, 429 s at ×30 — quadratic). 16-bit keys push the
+    // same curve down 256×; identical near-dup vectors (the θ = 0.9
+    // TARGET of this query) still collide in every band regardless of
+    // width, so the dial trades tail recall for the scale law — and the
+    // oracle mirrors the exact banding, so the trade is hash-gated, not
+    // asserted.
     "q150_hash_embed_lsh" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val e = VectorOps.hashEmbed(Tables.documents(s, d), "doc_id", "text", 64)
         .select(col("doc_id").as("vec_id"), col("embedding"))
         .localCheckpoint() // referenced 3× (signature + both verify sides)
-      VectorOps.lshNeighborPairsBanded(e, 32, 4, 0.9,
+      VectorOps.lshNeighborPairsBanded(e, 64, 4, 0.9,
           sigFn = (c, n) => call_function("lsh_signature", c, lit(n)),
           cosineFn = (a, b) => call_function("cosine_sim", a, b))
         .orderBy(col("ia"), col("ib"))
@@ -878,16 +889,17 @@ object VectorQueries {
          |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
 
     // q100's banded sign-LSH mirror with the embeddings sourced from the
-    // hash-embed CTE instead of the parquet table.
+    // hash-embed CTE instead of the parquet table, at q150's wider dial:
+    // 64 planes, 4 bands of 16 bits.
     "q150_hash_embed_lsh" ->
       s"""$hashEmbCte,
          |earr AS (SELECT doc_id AS vec_id, list(val ORDER BY pos) AS embedding
          |         FROM hemb GROUP BY doc_id),
          |sig AS (
-         |  SELECT vec_id, embedding, ${sigSqlN(32)} AS bucket FROM earr),
+         |  SELECT vec_id, embedding, ${sigSqlN(64)} AS bucket FROM earr),
          |bsig AS (
          |  SELECT vec_id, embedding, b AS band,
-         |         substr(bucket, b * 8 + 1, 8) AS key
+         |         substr(bucket, b * 16 + 1, 16) AS key
          |  FROM sig CROSS JOIN range(0, 4) t(b))
          |SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib,
          |       ${cosSql("a.embedding", "b.embedding")} AS cosine

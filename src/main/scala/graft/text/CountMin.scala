@@ -44,6 +44,24 @@ object CountMin {
   def merge(sketches: DataFrame): DataFrame =
     sketches.groupBy(col("r"), col("idx")).agg(sum(col("c")).as("c"))
 
+  /** CMS JOIN-SIZE estimate (Cormode & Muthukrishnan 2005 §4.2): the size
+    * of A ⋈ B on a shared key is estimated as
+    * min_r Σ_idx cmsA[r][idx] · cmsB[r][idx] — the inner product of the
+    * two sides' counter rows, an always-≥ overestimate whose error is
+    * bounded by ε·|A|·|B| (ε = e/w) with probability 1 − e^−d.
+    *
+    * This is planner-grade cardinality estimation at 100 TB: each side is
+    * sketched INDEPENDENTLY (map-side combinable, d·w-bounded, mergeable
+    * across partitions/days/sources), and the estimate itself costs a
+    * (r, idx) equi-join of two ≤ d·w-row tables — neither input is ever
+    * scanned, let alone joined. Counters absent from one side contribute a
+    * zero product, so the inner equi-join IS the full inner product. */
+  def joinSizeEstimate(skA: DataFrame, skB: DataFrame): DataFrame =
+    skA.as("a").join(skB.as("b"), Seq("r", "idx"))
+      .groupBy(col("r"))
+      .agg(sum(col("a.c") * col("b.c")).as("dot"))
+      .agg(min(col("dot")).as("est"))
+
   /** CMS estimate per vocabulary token: min over the d probed counters.
     * The sketch is d·w-bounded → broadcast regardless of corpus size. */
   def estimates(vocab: DataFrame, sk: DataFrame, d: Int, w: Int): DataFrame =

@@ -132,6 +132,27 @@ class TextOpsSpec extends SparkSuite {
     assert(merged == whole)
   }
 
+  test("CMS join-size law: inner-product estimate >= exact join size; exact when collision-free") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.text.CountMin
+    // A: keys 1,1,2,3  B: keys 1,2,2,4 → exact |A ⋈ B| = 2·1 + 1·2 = 4
+    val a = Seq("1", "1", "2", "3").toDF("token")
+    val b = Seq("1", "2", "2", "4").toDF("token")
+    val d = 4
+    // tiny width forces collisions: the estimate must stay one-sided (>=)
+    val estTiny = CountMin.joinSizeEstimate(
+      CountMin.sketch(a, d, 4), CountMin.sketch(b, d, 4))
+      .collect()(0).getLong(0)
+    assert(estTiny >= 4L, s"tiny-w estimate $estTiny < exact 4")
+    // wide sketch: 4 distinct keys in 2^14 buckets — whp collision-free in
+    // at least one of the 4 rows, so the min-row inner product is EXACT
+    val estWide = CountMin.joinSizeEstimate(
+      CountMin.sketch(a, d, 16384), CountMin.sketch(b, d, 16384))
+      .collect()(0).getLong(0)
+    assert(estWide === 4L, s"wide-w estimate $estWide != exact 4")
+  }
+
   test("Bloom laws: no false negatives ever; tiny m forces visible false positives") {
     val s2 = spark
     import s2.implicits._
