@@ -1145,6 +1145,130 @@ object TextQueries {
         .select(col("doc_id"), col("cluster"), col("quality"),
           (col("rn") === 1).as("keep"))
         .orderBy(col("doc_id"))
+    }),
+
+    // EXACT SUBSTRING-SPAN DEDUP COVERAGE — the relational re-derivation of
+    // suffix-array substring dedup (Lee et al. 2021, "Deduplicating Training
+    // Data Makes Language Models Better"): a token position is "duplicated"
+    // if it is covered by ANY 8-token gram that occurs more than once in the
+    // corpus. Plan shape (the 100 TB shape — no suffix array, no driver
+    // state): positional 8-grams from the token array (pure expression work,
+    // one row per position), ONE shuffle by gram hash (a count window marks
+    // grams with corpus frequency > 1 — same exchange the count+semi-join
+    // would pay twice), then per-doc interval union via the classic
+    // gaps-and-islands window (running max of span ends) instead of
+    // exploding each span ×8 — O(spans) not O(spans·n). Output per doc:
+    // covered-position count + fraction — the per-doc signal a
+    // filter/trim pass consumes. All-integer until the final ratio.
+    // Composes [[DedupOps.repeatedSpans]] (q127's island-merge machinery,
+    // w=8): coverage = Σ(span_end − span_start) over the merged spans —
+    // the span table and the coverage signal stay one implementation.
+    "q157_dup_span_coverage" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      val perDoc = DedupOps.repeatedSpans(docs(s, d), "doc_id", "text", 8)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_end") - col("span_start")).as("dup_cov"))
+      t.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("dup_cov"), lit(0L)).as("dup_tokens"),
+          (coalesce(col("dup_cov"), lit(0L)).cast("double")
+            / greatest(col("n_toks"), lit(1L))).as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PORTABLE HYPERLOGLOG over distinct BIGRAMS — the third mergeable
+    // sketch family member (q134 linear counting = occupancy, q151 CMS =
+    // frequency, this = register-max cardinality). 256 registers; bucket =
+    // low 8 bits of the portable 60-bit md5 hash, rank rho = leading-zero
+    // count of the remaining 52 bits + 1, computed arithmetically as
+    // 53 - bitlength (bin() is minimal-width in BOTH engines, so
+    // len(bin(v)) IS bitlength — no log, no float). Merge distributivity is
+    // proven IN-PLAN: the __all row's registers are max-merged FROM the
+    // per-source register tables, never recomputed from raw rows — a
+    // register-wise MAX is the HLL merge law. The raw estimator
+    // alpha·m²/Z uses a fixed-point Z (sum of 2^(53-reg), exact int64);
+    // the single float division is correctly rounded on both engines.
+    // Exact distincts ride alongside, so estimator accuracy is a gated
+    // NUMBER (SketchSpec pins the error law). Small-range LC correction is
+    // deliberately omitted — bigram cardinality keeps n >> m here, and the
+    // low-fill regime is q134's operator.
+    "q158_hll_registers" -> ((s, d) => {
+      import graft.text.Hll
+      val bi = docs(s, d)
+        .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("source"),
+          explode(transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ",
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)))).as("bigram"))
+      val perSrc = Hll.registers(
+        bi.select(col("source"), TextOps.tokenHash60(col("bigram")).as("h")),
+        "h", "source")
+      val global = perSrc.groupBy(col("idx")).agg(max(col("reg")).as("reg"))
+        .select(lit("__all").as("source"), col("idx"), col("reg"))
+      val sk = Hll.zTable(
+        perSrc.select(col("source"), col("idx"), col("reg")).union(global),
+        "source")
+      val exSrc = bi.groupBy(col("source"))
+        .agg(countDistinct(col("bigram")).as("exact"))
+      val exAll = bi.agg(countDistinct(col("bigram")).as("exact"))
+        .select(lit("__all").as("source"), col("exact"))
+      sk.join(exSrc.union(exAll), Seq("source"))
+        .select(col("source"), col("nonzero"), col("z"),
+          Hll.estimate(col("z")).as("est"), col("exact"))
+        .orderBy(col("source"))
+    }),
+
+    // MERGEABLE EQUI-WIDTH HISTOGRAM QUANTILES — the distribution-sketch
+    // member of the family: per-source 64-bin histograms over n_chars
+    // (width 16, overflow clamped to the last bin) merged COUNTER-WISE into
+    // the global histogram in-plan (the q151/q158 distributivity contract),
+    // then p50/p90/p99 read from the merged histogram as the first bin
+    // whose cumulative count reaches ceil(q·N). The histogram estimate
+    // (upper bin edge) and the EXACT discrete quantile (same rank rule,
+    // computed by row_number over the values) ride side by side, so the
+    // sandwich law est-16 ≤ exact < est is a gated NUMBER, not an
+    // assertion. At 100 TB the histogram is the production path — fixed
+    // 64-counter state per source, one narrow shuffle, no global sort;
+    // the exact twin exists for the oracle.
+    "q160_histogram_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val qs = Seq(0.5, 0.9, 0.99)
+      val dd = docs(s, d).select(col("source"), col("doc_id"), col("n_chars"))
+      val binned = dd.select(col("source"),
+        least(floor(col("n_chars") / 16).cast("long"), lit(63L)).as("bin"))
+      val perSrc = binned.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val global = perSrc.groupBy(col("bin")).agg(sum(col("c")).as("c"))
+        .select(lit("__all").as("source"), col("bin"), col("c"))
+      val hist = perSrc.select(col("source"), col("bin"), col("c")).union(global)
+      val wCum = Window.partitionBy(col("source")).orderBy(col("bin"))
+      val cum = hist.withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("total", sum(col("c")).over(Window.partitionBy(col("source"))))
+      val qTab = s.range(1).select(
+        explode(array(qs.map(lit): _*)).as("q"))
+      val est = cum.crossJoin(broadcast(qTab))
+        .withColumn("target", ceil(col("q") * col("total")).cast("long"))
+        .filter(col("cum") >= col("target"))
+        .groupBy(col("source"), col("q"), col("target"))
+        .agg(min(col("bin")).as("qbin"))
+        .select(col("source"), col("q"), col("target"),
+          ((col("qbin") + 1) * 16).as("est_edge"))
+      val ranked = dd.select(col("source"), col("n_chars"), col("doc_id"))
+        .union(dd.select(lit("__all").as("source"), col("n_chars"), col("doc_id")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n_chars"), col("doc_id"))))
+      val exact = ranked.join(broadcast(est), Seq("source"))
+        .filter(col("rn") === col("target"))
+        .groupBy(col("source"), col("q"))
+        .agg(min(col("n_chars")).as("exact"))
+      est.join(exact, Seq("source", "q"))
+        .select(col("source"), col("q"), col("target"), col("est_edge"),
+          col("exact"))
+        .orderBy(col("source"), col("q"))
     }))
 
   // ---- q116 staged prefixes (Bench stage-level timing) ---------------------
@@ -2311,7 +2435,103 @@ object TextQueries {
 
     // Quality-argmax canonical: q52's closure + q20's quality formula +
     // one ROW_NUMBER under (quality DESC, doc_id).
-    "q137_quality_canonical" -> qualityCanonicalSql
+    "q137_quality_canonical" -> qualityCanonicalSql,
+
+    // Dup-span coverage: positional 8-grams via zipped unnests (a position
+    // list + a comprehension over the same range), corpus-frequency window,
+    // the same gaps-and-islands interval union.
+    "q157_dup_span_coverage" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tt AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks FROM t),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, greatest(len(toks) - 7, 0))) AS st,
+         |    unnest([CAST('0x' || substr(md5(array_to_string(toks[i:i+7], '|')), 1, 15) AS BIGINT)
+         |            for i in range(1, len(toks) - 6)]) AS gh
+         |  FROM tt),
+         |ds AS (SELECT doc_id, st FROM (
+         |  SELECT doc_id, st, COUNT(*) OVER (PARTITION BY gh) AS cnt FROM g) x
+         |  WHERE cnt > 1),
+         |c AS (
+         |  SELECT doc_id,
+         |    GREATEST(0, (st + 8) - GREATEST(COALESCE(MAX(st + 8) OVER (
+         |      PARTITION BY doc_id ORDER BY st
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), st)) AS new_cov
+         |  FROM ds),
+         |p AS (SELECT doc_id, SUM(new_cov) AS dup_cov FROM c GROUP BY doc_id)
+         |SELECT tt.doc_id, n_toks,
+         |  CAST(COALESCE(dup_cov, 0) AS BIGINT) AS dup_tokens,
+         |  CAST(COALESCE(dup_cov, 0) AS DOUBLE) / GREATEST(n_toks, 1) AS dup_frac
+         |FROM tt LEFT JOIN p USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // HLL mirror: same 60-bit hash, low-8-bit bucket, 53 - len(bin(h >> 8))
+    // rank (bin() is minimal-width in both engines), per-source MAX
+    // registers max-merged into __all, fixed-point Z, one float division.
+    "q158_hll_registers" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |bi AS (
+         |  SELECT source,
+         |    unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram
+         |  FROM t WHERE len(toks) >= 2),
+         |h AS (SELECT source, bigram,
+         |        CAST('0x' || substr(md5(bigram), 1, 15) AS BIGINT) AS h FROM bi),
+         |r AS (SELECT source, h & 255 AS idx,
+         |        CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - len(bin(h >> 8)) END AS rho
+         |      FROM h),
+         |ps AS (SELECT source, idx, MAX(rho) AS reg FROM r GROUP BY 1, 2),
+         |gm AS (SELECT '__all' AS source, idx, MAX(reg) AS reg FROM ps GROUP BY idx),
+         |au AS (SELECT * FROM ps UNION ALL SELECT * FROM gm),
+         |sk AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nonzero,
+         |         CAST(SUM(1::BIGINT << CAST(53 - reg AS INTEGER)) AS BIGINT) AS zpart
+         |       FROM au GROUP BY source),
+         |zt AS (SELECT source, nonzero,
+         |         CAST(zpart + (256 - nonzero) * 9007199254740992 AS BIGINT) AS z
+         |       FROM sk),
+         |ex AS (SELECT source, CAST(COUNT(DISTINCT bigram) AS BIGINT) AS exact
+         |       FROM bi GROUP BY source
+         |       UNION ALL
+         |       SELECT '__all', CAST(COUNT(DISTINCT bigram) AS BIGINT) FROM bi)
+         |SELECT zt.source, nonzero, z,
+         |  (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+         |    / CAST(z AS DOUBLE) AS est,
+         |  exact
+         |FROM zt JOIN ex USING (source) ORDER BY source""".stripMargin,
+
+    // Histogram quantiles: same 64-bin width-16 grid, counter-wise merge
+    // into __all, ceil(q·N) rank rule on BOTH the histogram cumulative and
+    // the exact row_number twin.
+    "q160_histogram_quantiles" ->
+      s"""WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+         |b AS (SELECT source,
+         |        LEAST(CAST(FLOOR(n_chars / 16) AS BIGINT), 63) AS bin FROM d),
+         |ps AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+         |gm AS (SELECT '__all' AS source, bin, CAST(SUM(c) AS BIGINT) AS c
+         |       FROM ps GROUP BY bin),
+         |hist AS (SELECT * FROM ps UNION ALL SELECT * FROM gm),
+         |cum AS (SELECT source, bin, c,
+         |          SUM(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+         |          SUM(c) OVER (PARTITION BY source) AS total
+         |        FROM hist),
+         |qt AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+         |est AS (
+         |  SELECT source, q, CAST(CEIL(q * total) AS BIGINT) AS target,
+         |         MIN(bin) AS qbin
+         |  FROM cum CROSS JOIN qt
+         |  WHERE cum >= CEIL(q * total)
+         |  GROUP BY 1, 2, 3),
+         |e2 AS (SELECT source, q, target,
+         |         CAST((qbin + 1) * 16 AS BIGINT) AS est_edge FROM est),
+         |rk AS (SELECT source, n_chars,
+         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn
+         |       FROM (SELECT source, doc_id, n_chars FROM d
+         |             UNION ALL SELECT '__all', doc_id, n_chars FROM d) u),
+         |ex AS (SELECT rk.source, q, MIN(n_chars) AS exact
+         |       FROM rk JOIN e2 ON e2.source = rk.source AND rk.rn = e2.target
+         |       GROUP BY 1, 2)
+         |SELECT e2.source, e2.q AS q, target, est_edge,
+         |       CAST(exact AS BIGINT) AS exact
+         |FROM e2 JOIN ex ON ex.source = e2.source AND ex.q = e2.q
+         |ORDER BY e2.source, e2.q""".stripMargin
   )
 
   /** q136's split oracle — shared verbatim by q146 (the artifact-consuming

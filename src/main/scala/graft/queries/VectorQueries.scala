@@ -392,6 +392,37 @@ object VectorQueries {
           sigFn = (c, n) => call_function("lsh_signature", c, lit(n)),
           cosineFn = (a, b) => call_function("cosine_sim", a, b))
         .orderBy(col("ia"), col("ib"))
+    }),
+
+    // HARD-NEGATIVE MINING — the contrastive-training prep op: for each
+    // query vector, the top-5 most-similar vectors carrying a DIFFERENT
+    // label (the "looks alike, isn't" pairs an embedding model trains
+    // against). Exact-baseline contract (the q25/q149 pattern): a
+    // deterministic 1/50 query slice broadcast against the full corpus
+    // with the label-mismatch predicate IN the join (never a post-filter
+    // over an unlabeled top-k — a hub vector with many same-label
+    // neighbors would starve), native codegen cosine, windowed top-5. At
+    // 100 TB the same label predicate composes with any ANN tier's
+    // candidate join (q27/q54/q100 blocking), so this baseline is also
+    // that path's recall oracle.
+    "q159_hard_negatives" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val e = emb(s, d)
+      val q = broadcast(e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb")))
+      e.select(col("vec_id").as("neg_id"), col("label").as("n_label"),
+          col("embedding").as("c_emb"))
+        .join(q, col("n_label") =!= col("q_label"))
+        .withColumn("cosine",
+          call_function("cosine_sim", col("q_emb"), col("c_emb")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("neg_id").asc)))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("neg_id"), col("cosine"), col("rn"))
+        .orderBy(col("query_id"), col("rn"))
     }))
 
   /** DuckDB mirror of VectorOps.dot: sequential left-fold of per-element
@@ -906,7 +937,24 @@ object VectorQueries {
          |FROM bsig a JOIN bsig b
          |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.9
-         |ORDER BY ia, ib""".stripMargin
+         |ORDER BY ia, ib""".stripMargin,
+
+    // Hard negatives: q25's windowed-top-k discipline with the
+    // label-mismatch predicate in the join.
+    "q159_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+         |                  embedding AS q_emb
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |s AS (
+         |  SELECT query_id, e.vec_id AS neg_id,
+         |         ${cosSql("q_emb", "e.embedding")} AS cosine
+         |  FROM q JOIN embeddings e ON e.label <> q.q_label),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosine DESC, neg_id ASC) AS rn
+         |  FROM s)
+         |SELECT query_id, neg_id, cosine, CAST(rn AS INTEGER) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
   )
 
   /** Shared DuckDB mirror of [[VectorOps.hashEmbedLong]] at dim 64

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Hll, TextOps}
+
+/** Semantic invariants for the round-12 operators (q157–q160) plus the
+  * algebraic laws of the new [[graft.text.Hll]] sketch. The DuckDB gate
+  * pins exact values at sf0.01; these pin the properties that must hold on
+  * ANY corpus.
+  */
+class R12QueriesSpec extends SparkSuite {
+  import SparkSpec.sf0001
+
+  // ---- Hll laws ------------------------------------------------------------
+
+  test("Hll.rho matches the JVM leading-zero reference on seeded hashes") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val hs = Seq.fill(2000)(rnd.nextLong().abs % (1L << 60)) ++
+      Seq(0L, 255L, 256L, (1L << 60) - 1, 1L << 8, (1L << 8) - 1)
+    val got = hs.toDF("h")
+      .select(col("h"), Hll.idx(col("h")).as("idx"), Hll.rho(col("h")).as("rho"))
+      .collect()
+    got.foreach { r =>
+      val h = r.getAs[Long]("h")
+      val v = h >>> 8
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      assert(r.getAs[Long]("idx") === (h & 255L))
+      assert(r.getAs[Long]("rho") === 53L - bitlen, s"h=$h v=$v")
+    }
+  }
+
+  test("Hll merge law: registers(A ∪ B) == max-merge(registers(A), registers(B))") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val a = Seq.fill(3000)(rnd.nextLong().abs % (1L << 60)).toDF("h")
+    val b = Seq.fill(3000)(rnd.nextLong().abs % (1L << 60)).toDF("h")
+    val direct = Hll.registers(a.union(b).withColumn("g", lit("g")), "h", "g")
+    val merged = Hll.registers(a.withColumn("g", lit("g")), "h", "g")
+      .union(Hll.registers(b.withColumn("g", lit("g")), "h", "g"))
+      .groupBy(col("g"), col("idx")).agg(max(col("reg")).as("reg"))
+    assert(direct.select("idx", "reg").except(merged.select("idx", "reg")).count() === 0)
+    assert(merged.select("idx", "reg").except(direct.select("idx", "reg")).count() === 0)
+  }
+
+  test("Hll estimate is within 20% of truth at n >> m (seeded)") {
+    val s = spark
+    import s.implicits._
+    // 5000 distinct strings hashed through the production 60-bit hash
+    val df = (0 until 5000).map(i => s"item_$i").toDF("t")
+      .select(lit("g").as("g"), TextOps.tokenHash60(col("t")).as("h"))
+    val z = Hll.zTable(Hll.registers(df, "h", "g"), "g")
+      .select(Hll.estimate(col("z")).as("est")).collect().head.getAs[Double]("est")
+    assert(math.abs(z - 5000.0) / 5000.0 < 0.2, s"est=$z")
+  }
+
+  // ---- q157 ----------------------------------------------------------------
+
+  test("q157: coverage bounded by doc length, exact-dup docs fully covered") {
+    val r = SparkEntry.queries("q157_dup_span_coverage")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val cov = row.getAs[Long]("dup_tokens")
+      val n = row.getAs[Long]("n_toks")
+      assert(cov >= 0L && cov <= n, s"row $row")
+      val f = row.getAs[Double]("dup_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // the synthetic corpus repeats phrases heavily — coverage must fire
+    assert(r.exists(_.getAs[Long]("dup_tokens") > 0L))
+  }
+
+  test("q157 coverage law on a synthetic corpus: dup twins =1, unique doc =0") {
+    val s = spark
+    import s.implicits._
+    val twin = (1 to 12).map(i => s"w$i").mkString(" ")
+    val unique = (1 to 12).map(i => s"u$i").mkString(" ")
+    val d = Seq((1L, twin), (2L, twin), (3L, unique)).toDF("doc_id", "text")
+    val cov = graft.dedup.DedupOps.repeatedSpans(d, "doc_id", "text", 8)
+      .groupBy("doc_id").agg(sum(col("span_end") - col("span_start")).as("c"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("c")).toMap
+    assert(cov.get(1L).contains(12L) && cov.get(2L).contains(12L))
+    assert(!cov.contains(3L))
+  }
+
+  // ---- q158 ----------------------------------------------------------------
+
+  test("q158: register count ≤ m, z within bounds, exact ≤ corpus bigrams") {
+    val r = SparkEntry.queries("q158_hll_registers")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    val all = r.filter(_.getAs[String]("source") == "__all")
+    assert(all.length === 1)
+    r.foreach { row =>
+      val nz = row.getAs[Long]("nonzero")
+      assert(nz >= 1L && nz <= Hll.m.toLong)
+      val z = row.getAs[Long]("z")
+      // z ∈ (0, m·2^53]: every register contributes at most 2^53
+      assert(z > 0L && z <= Hll.m.toLong * Hll.zScale)
+      assert(row.getAs[Double]("est") > 0.0)
+      assert(row.getAs[Long]("exact") >= 1L)
+    }
+    // the merged sketch covers at least as many registers as any source
+    val maxSrc = r.filter(_.getAs[String]("source") != "__all")
+      .map(_.getAs[Long]("nonzero")).max
+    assert(all.head.getAs[Long]("nonzero") >= maxSrc)
+    // union cardinality at least the per-source max
+    val maxExact = r.filter(_.getAs[String]("source") != "__all")
+      .map(_.getAs[Long]("exact")).max
+    assert(all.head.getAs[Long]("exact") >= maxExact)
+  }
+
+  // ---- q159 ----------------------------------------------------------------
+
+  test("q159: negatives never share the query's label; ranks contiguous, cosine sorted") {
+    val r = SparkEntry.queries("q159_hard_negatives")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    val labels = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label")).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Int]("label")).toMap
+    r.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rn"))
+      assert(sorted.map(_.getAs[Int]("rn")).toSeq === (1 to rows.length))
+      // descending cosine within the query group
+      val cos = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      rows.foreach { row =>
+        assert(labels(row.getAs[Long]("neg_id")) !== labels(qid),
+          s"neg shares label for query $qid")
+      }
+    }
+  }
+
+  // ---- q160 ----------------------------------------------------------------
+
+  test("q160 sandwich law: est_edge − 16 ≤ exact < est_edge; targets = ceil(q·N)") {
+    val r = SparkEntry.queries("q160_histogram_quantiles")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val est = row.getAs[Long]("est_edge")
+      val exact = row.getAs[Long]("exact")
+      assert(exact >= est - 16 && exact < est, s"row $row")
+    }
+    // the __all rows exist and their target is the global ceil(q·N)
+    val n = Tables.documents(spark, sf0001).count()
+    val all = r.filter(_.getAs[String]("source") == "__all")
+    assert(all.length === 3)
+    all.foreach { row =>
+      val q = row.getAs[Double]("q")
+      assert(row.getAs[Long]("target") === math.ceil(q * n).toLong)
+    }
+  }
+}
