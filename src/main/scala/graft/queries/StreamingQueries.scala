@@ -159,6 +159,30 @@ object StreamingQueries {
         .orderBy(col("w_start"), col("segment"))
     }),
 
+    // STREAMING SKETCH STATE — per-hour distinct-user HLL registers
+    // maintained BY THE STREAMING ENGINE (StateStore max-aggregation, ≤ 256
+    // longs per window — the bounded-state production shape for streaming
+    // cardinality), finalized batch-side from the sink (Z, α·m²/Z) with the
+    // exact per-window distinct alongside; the oracle recomputes the
+    // registers from batch rows, so streaming state maintenance is proven
+    // equivalent to the batch sketch bit-for-bit (q60's stream/batch twin
+    // contract, q158's portability discipline).
+    "q162_stream_hll" -> ((s, d) => {
+      import graft.text.Hll
+      val regs = runToTable(
+        StreamOps.hllRegisterAgg(eventsStream(s, d), "1 hour", "1 hour"),
+        "q162_stream_hll", "complete")
+      val sk = Hll.zTable(regs, "w_start")
+      val exact = graft.Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(countDistinct(col("user_id")).as("exact"))
+        .select(col("w.start").as("w_start"), col("exact"))
+      sk.join(exact, Seq("w_start"))
+        .select(col("w_start"), col("nonzero"), col("z"),
+          Hll.estimate(col("z")).as("est"), col("exact"))
+        .orderBy(col("w_start"))
+    }),
+
     // STREAM-STREAM interval join (errors ⋈ clicks of the same user within
     // 4 hours after the error) — real symmetric-hash join state, append
     // mode; all data lands in batch 0 so the emitted match set equals the
@@ -500,6 +524,31 @@ object StreamingQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    // Streaming HLL registers == batch-recomputed registers (q158's
+    // portable-rank discipline over md5(user_id)).
+    "q162_stream_hll" ->
+      """WITH h AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+        |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT w_start, h & 255 AS idx,
+        |        CASE WHEN (h >> 8) = 0 THEN 53 ELSE 53 - len(bin(h >> 8)) END AS rho
+        |      FROM h),
+        |rg AS (SELECT w_start, idx, MAX(rho) AS reg FROM r GROUP BY 1, 2),
+        |sk AS (SELECT w_start, CAST(COUNT(*) AS BIGINT) AS nonzero,
+        |         CAST(SUM(1::BIGINT << CAST(53 - reg AS INTEGER)) AS BIGINT) AS zpart
+        |       FROM rg GROUP BY 1),
+        |zt AS (SELECT w_start, nonzero,
+        |         CAST(zpart + (256 - nonzero) * 9007199254740992 AS BIGINT) AS z
+        |       FROM sk),
+        |ex AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
+        |         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact
+        |       FROM events GROUP BY 1)
+        |SELECT zt.w_start, nonzero, z,
+        |  (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 9007199254740992.0
+        |    / CAST(z AS DOUBLE) AS est,
+        |  exact
+        |FROM zt JOIN ex USING (w_start) ORDER BY w_start""".stripMargin,
     "q142_stream_static_enrich" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start,
         |  c.c_mktsegment AS segment, COUNT(*) AS n,

@@ -1269,6 +1269,41 @@ object TextQueries {
         .select(col("source"), col("q"), col("target"), col("est_edge"),
           col("exact"))
         .orderBy(col("source"), col("q"))
+    }),
+
+    // DUP-SPAN TRIM — q157's ACTING twin (the step Lee et al. 2021 actually
+    // apply): REMOVE every token position covered by a corpus-duplicated
+    // 8-gram and re-emit the trimmed document text, hash-gated STRING
+    // against the oracle's reassembly. Deliberately aggressive contract
+    // (all occurrences trimmed, not all-but-one — deterministic with no
+    // "which copy survives" arrival-order question; the keep-one policy is
+    // the dedup family's q52/q137 canonical selection at doc granularity).
+    // Scale shape: covered positions come from exploding
+    // [[DedupOps.repeatedSpans]]' MERGED islands (disjoint by construction,
+    // so no distinct) — linear in covered positions, one anti equi-join,
+    // one per-doc sorted reassembly, nothing quadratic. Fully-covered docs
+    // survive as empty strings (left join), so the output is total over
+    // the corpus.
+    "q161_dup_span_trim" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"),
+        TextOps.tokens(col("text")).as("toks"))
+      val pos = t.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos", "token")))
+      val covered = DedupOps.repeatedSpans(docs(s, d), "doc_id", "text", 8)
+        .select(col("doc_id"),
+          explode(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
+      val kept = pos.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+              x => x.getField("token")), " ").as("trimmed_text"))
+      t.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("kept"), lit(0L)).as("kept"),
+          coalesce(col("trimmed_text"), lit("")).as("trimmed_text"))
+        .orderBy(col("doc_id"))
     }))
 
   // ---- q116 staged prefixes (Bench stage-level timing) ---------------------
@@ -2531,7 +2566,35 @@ object TextQueries {
          |SELECT e2.source, e2.q AS q, target, est_edge,
          |       CAST(exact AS BIGINT) AS exact
          |FROM e2 JOIN ex ON ex.source = e2.source AND ex.q = e2.q
-         |ORDER BY e2.source, e2.q""".stripMargin
+         |ORDER BY e2.source, e2.q""".stripMargin,
+
+    // Dup-span trim: covered = dup-window starts × their 8 offsets
+    // (DISTINCT — the oracle needn't merge islands to agree on the covered
+    // SET), anti-join on position, ordered string_agg reassembly.
+    "q161_dup_span_trim" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |p AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+         |             unnest(toks) AS token FROM t),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, greatest(len(toks) - 7, 0))) AS st,
+         |    unnest([md5(array_to_string(toks[i:i+7], ' '))
+         |            for i in range(1, len(toks) - 6)]) AS gh
+         |  FROM t),
+         |ds AS (SELECT doc_id, st FROM (
+         |  SELECT doc_id, st, COUNT(*) OVER (PARTITION BY gh) AS cnt FROM g) x
+         |  WHERE cnt > 1),
+         |cov AS (SELECT DISTINCT doc_id, st + o AS pos
+         |        FROM ds CROSS JOIN range(0, 8) r(o)),
+         |k AS (
+         |  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS kept,
+         |         string_agg(token, ' ' ORDER BY pos) AS trimmed_text
+         |  FROM p ANTI JOIN cov ON cov.doc_id = p.doc_id AND cov.pos = p.pos
+         |  GROUP BY p.doc_id),
+         |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM t)
+         |SELECT n.doc_id, n_toks, COALESCE(kept, 0) AS kept,
+         |  COALESCE(trimmed_text, '') AS trimmed_text
+         |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 
   /** q136's split oracle — shared verbatim by q146 (the artifact-consuming

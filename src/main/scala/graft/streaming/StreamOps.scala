@@ -37,6 +37,27 @@ object StreamOps {
       .select(col("w.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming per-window HyperLogLog register maintenance
+    * ([[graft.text.Hll]]): the cardinality-sketch STATE SHAPE a production
+    * stream actually keeps — ≤ 256 longs per window regardless of how many
+    * distinct keys arrive, vs. the unbounded per-window key set an exact
+    * streaming countDistinct would hold. The register update is MAX —
+    * idempotent and commutative, so micro-batch replays and out-of-order
+    * arrivals cannot inflate the state (the same property that makes the
+    * registers re-mergeable across windows/streams downstream). Emits the
+    * raw register table (w_start, idx, reg); finalization (Z, estimate) is
+    * per-window expression work for the consumer. */
+  def hllRegisterAgg(events: DataFrame, width: String, watermark: String): DataFrame = {
+    import graft.text.{Hll, TextOps}
+    events.withWatermark("ts", watermark)
+      .select(col("ts"),
+        TextOps.tokenHash60(col("user_id").cast("string")).as("h"))
+      .select(col("ts"), Hll.idx(col("h")).as("idx"), Hll.rho(col("h")).as("rho"))
+      .groupBy(window(col("ts"), width).as("w"), col("idx"))
+      .agg(max(col("rho")).as("reg"))
+      .select(col("w.start").as("w_start"), col("idx"), col("reg"))
+  }
+
   /** STREAM–STATIC enrichment: the streaming side joins a batch dimension
     * (user → attribute) stateLESSLY — Spark replans the static side every
     * micro-batch, so no join state accumulates and dimension updates are

@@ -133,6 +133,67 @@ class R12QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q161 ----------------------------------------------------------------
+
+  test("q161 complements q157 exactly: kept + dup_tokens == n_toks, text length matches") {
+    val trim = SparkEntry.queries("q161_dup_span_trim")(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("kept"), r.getAs[String]("trimmed_text")))
+      .toMap
+    val cov = SparkEntry.queries("q157_dup_span_coverage")(spark, sf0001).collect()
+    assert(cov.nonEmpty && trim.nonEmpty)
+    cov.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      val (n, kept, text) = trim(id)
+      assert(n === row.getAs[Long]("n_toks"))
+      assert(kept + row.getAs[Long]("dup_tokens") === n, s"doc $id")
+      // the reassembled string holds exactly `kept` tokens
+      val nTokens = text.split("\\s+").count(_.nonEmpty)
+      assert(nTokens.toLong === kept, s"doc $id: '$text'")
+    }
+  }
+
+  test("q161 law on a synthetic corpus: twins trimmed to empty, unique doc untouched") {
+    val s = spark
+    import s.implicits._
+    val twin = (1 to 10).map(i => s"w$i").mkString(" ")
+    val unique = (1 to 10).map(i => s"u$i").mkString(" ")
+    val d = Seq((1L, twin), (2L, twin), (3L, unique)).toDF("doc_id", "text")
+    val pos = d.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "token")))
+    val covered = graft.dedup.DedupOps.repeatedSpans(d, "doc_id", "text", 8)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
+    val kept = pos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("k")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("k")).toMap
+    assert(!kept.contains(1L) && !kept.contains(2L)) // fully trimmed
+    assert(kept.get(3L).contains(10L))               // untouched
+  }
+
+  // ---- q162 ----------------------------------------------------------------
+
+  test("q162: streaming HLL windows match batch windows; exact = batch countDistinct") {
+    val r = SparkEntry.queries("q162_stream_hll")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    val batch = Tables.events(spark, sf0001)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+      .select(col("w.start").as("w_start"), col("exact")).collect()
+      .map(x => x.getAs[java.sql.Timestamp]("w_start") -> x.getAs[Long]("exact"))
+      .toMap
+    assert(r.length === batch.size)
+    r.foreach { row =>
+      val w = row.getAs[java.sql.Timestamp]("w_start")
+      assert(batch(w) === row.getAs[Long]("exact"))
+      val nz = row.getAs[Long]("nonzero")
+      assert(nz >= 1L && nz <= Hll.m.toLong)
+      // ≤ m distinct keys can set at most `exact` registers
+      assert(nz <= row.getAs[Long]("exact"))
+      assert(row.getAs[Double]("est") > 0.0)
+    }
+  }
+
   // ---- q160 ----------------------------------------------------------------
 
   test("q160 sandwich law: est_edge − 16 ≤ exact < est_edge; targets = ceil(q·N)") {
