@@ -1304,6 +1304,92 @@ object TextQueries {
           coalesce(col("kept"), lit(0L)).as("kept"),
           coalesce(col("trimmed_text"), lit("")).as("trimmed_text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // SOURCE-SIMILARITY MATRIX — corpus-level dedup diagnostics: pairwise
+    // shingle-set Jaccard between SOURCES, estimated from per-source
+    // 32-hash MinHash signatures with the exact Jaccard alongside — est vs
+    // exact per pair is the MinHash accuracy contract as gated NUMBERS.
+    // The permutations are SALTED md5 (q151's salt idiom), NOT q52's cheap
+    // linear family: (2i+1)·hs with tiny odd multipliers is near-monotone
+    // over small base hashes, so the globally-minimal shingle (shared by
+    // every source drawing from a common vocabulary) wins most
+    // permutations and inflates disjoint-set estimates to ~0.65 (measured)
+    // — harmless for q52's ≥0.5 near-dup verify, fatal for low-Jaccard
+    // ESTIMATION. Salted md5 is min-wise independent for practical
+    // purposes; it costs k md5s per distinct shingle, which the
+    // source-grain distinct keeps linear in the corpus. Scale: a source's
+    // signature is 32 longs regardless of corpus size, so the matrix costs
+    // a shingle scan + a |sources|²-bounded join of tiny signatures; the
+    // exact columns (shingle-set self-join) are the oracle baseline,
+    // bounded by shingle sharing, not N².
+    "q163_source_similarity" -> ((s, d) => {
+      val ss = docs(s, d)
+        .select(col("source"),
+          explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+        .distinct()
+      val sig = ss
+        .select(col("source"), explode(sequence(lit(0), lit(31))).as("i"),
+          col("shingle"))
+        .select(col("source"), col("i"),
+          TextOps.tokenHash60(concat_ws("|", col("i"), col("shingle"))).as("h"))
+        .groupBy(col("source"), col("i")).agg(min(col("h")).as("mh"))
+      val m = sig.as("a").join(sig.as("b"),
+          col("a.i") === col("b.i") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(sum(when(col("a.mh") === col("b.mh"), 1L).otherwise(0L))
+          .as("matches"))
+      val sz = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val it = ss.as("a").join(ss.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("n_inter"))
+      val pairs = sz.as("a").join(sz.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("sa"), col("b.source").as("sb"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"))
+      pairs.join(m, Seq("sa", "sb"))
+        .join(it, Seq("sa", "sb"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+        .select(col("sa"), col("sb"), col("n_a"), col("n_b"),
+          col("n_inter"), col("n_union"),
+          (col("n_inter").cast("double") / col("n_union")).as("jaccard"),
+          (col("matches").cast("double") / lit(32.0)).as("est_jaccard"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
+    // PER-SOURCE KL DRIFT — data-mixing diagnostics: KL(P_source ∥
+    // P_corpus) over unigram distributions, INTEGER-EXACT: each term
+    // c_s·[iln(c_s) + iln(N) − iln(N_s) − iln(c)] is a product of exact
+    // int64s (IntLn's fixed-point ln — the q114/q139 discipline), summed
+    // through DECIMAL(38,0) so both engines hold the sum exactly (Spark
+    // long would wrap where DuckDB widens to int128); kl_fp — the gated
+    // integer — converts to the nats value by two pinned float divisions.
+    // The global distribution is aggregated FROM the per-source counts
+    // (merge in-plan, q158's discipline). KL ≥ 0 law spec-pinned.
+    "q164_source_kl_drift" -> ((s, d) => {
+      import graft.functions.IntLn
+      val cs = docs(s, d)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_s"))
+      val ct = cs.groupBy(col("token")).agg(sum(col("c_s")).as("c"))
+      val ns = cs.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
+      val nTot = ct.agg(sum(col("c")).as("n"))
+      val terms = cs.join(ct, Seq("token"))
+        .join(broadcast(ns), Seq("source"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("term_fp", col("c_s") *
+          (IntLn.iln1e9(col("c_s")) + IntLn.iln1e9(col("n"))
+            - IntLn.iln1e9(col("n_s")) - IntLn.iln1e9(col("c"))))
+      terms.groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_s"),
+          sum(col("term_fp").cast("decimal(38,0)")).as("kl_fp_dec"))
+        .select(col("source"), col("n_s"),
+          col("kl_fp_dec").cast("double").as("kl_fp"),
+          ((col("kl_fp_dec").cast("double") / lit(1.0e9))
+            / col("n_s").cast("double")).as("kl"))
+        .orderBy(col("source"))
     }))
 
   // ---- q116 staged prefixes (Bench stage-level timing) ---------------------
@@ -2594,7 +2680,64 @@ object TextQueries {
          |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM t)
          |SELECT n.doc_id, n_toks, COALESCE(kept, 0) AS kept,
          |  COALESCE(trimmed_text, '') AS trimmed_text
-         |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Source-similarity matrix: salted-md5 minhash permutations (q151's
+    // salt idiom) at source grain, the exact shingle-set Jaccard alongside.
+    "q163_source_similarity" ->
+      s"""WITH ss AS (SELECT DISTINCT source, shingle FROM (
+         |  SELECT source,
+         |    unnest([array_to_string(w[i:i+2], '|') for i in range(1, len(w) - 1)]) AS shingle
+         |  FROM (SELECT source, $toksSql AS w FROM documents) t0) t1),
+         |sig AS (SELECT source, i,
+         |          MIN(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || shingle), 1, 15) AS BIGINT)) AS mh
+         |        FROM ss CROSS JOIN range(0, 32) t(i) GROUP BY 1, 2),
+         |m AS (SELECT a.source AS sa, b.source AS sb,
+         |        SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS matches
+         |      FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+         |      GROUP BY 1, 2),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ss GROUP BY 1),
+         |it AS (SELECT a.source AS sa, b.source AS sb,
+         |         CAST(COUNT(*) AS BIGINT) AS n_inter
+         |       FROM ss a JOIN ss b
+         |         ON a.shingle = b.shingle AND a.source < b.source
+         |       GROUP BY 1, 2),
+         |pairs AS (SELECT a.source AS sa, b.source AS sb,
+         |            a.n AS n_a, b.n AS n_b
+         |          FROM sz a JOIN sz b ON a.source < b.source)
+         |SELECT p.sa, p.sb, n_a, n_b,
+         |  CAST(COALESCE(n_inter, 0) AS BIGINT) AS n_inter,
+         |  CAST(n_a + n_b - COALESCE(n_inter, 0) AS BIGINT) AS n_union,
+         |  CAST(COALESCE(n_inter, 0) AS DOUBLE)
+         |    / (n_a + n_b - COALESCE(n_inter, 0)) AS jaccard,
+         |  CAST(matches AS DOUBLE) / 32.0 AS est_jaccard
+         |FROM pairs p
+         |JOIN m ON m.sa = p.sa AND m.sb = p.sb
+         |LEFT JOIN it ON it.sa = p.sa AND it.sb = p.sb
+         |ORDER BY p.sa, p.sb""".stripMargin,
+
+    // KL drift: the same iln1e9 cascade, exact integer term sums (HUGEINT
+    // on this side, DECIMAL(38,0) on Spark's), two pinned float divisions.
+    "q164_source_kl_drift" ->
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS token FROM documents),
+         |cs AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_s
+         |       FROM tok GROUP BY 1, 2),
+         |ct AS (SELECT token, CAST(SUM(c_s) AS BIGINT) AS c FROM cs GROUP BY 1),
+         |ns AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s FROM cs GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ct),
+         |terms AS (
+         |  SELECT cs.source, cs.c_s * (
+         |      ${graft.functions.IntLn.iln1e9Sql("c_s")}
+         |      + ${graft.functions.IntLn.iln1e9Sql("n")}
+         |      - ${graft.functions.IntLn.iln1e9Sql("n_s")}
+         |      - ${graft.functions.IntLn.iln1e9Sql("c")}) AS term_fp
+         |  FROM cs JOIN ct USING (token) JOIN ns USING (source) CROSS JOIN nt)
+         |SELECT t.source, ns.n_s,
+         |  CAST(SUM(term_fp) AS DOUBLE) AS kl_fp,
+         |  (CAST(SUM(term_fp) AS DOUBLE) / 1e9) / CAST(ns.n_s AS DOUBLE) AS kl
+         |FROM terms t JOIN ns ON ns.source = t.source
+         |GROUP BY t.source, ns.n_s
+         |ORDER BY t.source""".stripMargin
   )
 
   /** q136's split oracle — shared verbatim by q146 (the artifact-consuming

@@ -194,6 +194,41 @@ class R12QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q163 ----------------------------------------------------------------
+
+  test("q163: set identities hold and MinHash estimate tracks exact Jaccard") {
+    val r = SparkEntry.queries("q163_source_similarity")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (na, nb) = (row.getAs[Long]("n_a"), row.getAs[Long]("n_b"))
+      val inter = row.getAs[Long]("n_inter")
+      val union = row.getAs[Long]("n_union")
+      assert(inter >= 0L && inter <= math.min(na, nb))
+      assert(union === na + nb - inter && union >= math.max(na, nb))
+      val j = row.getAs[Double]("jaccard")
+      val e = row.getAs[Double]("est_jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      // k=32 signature ⇒ estimate quantized to 1/32 steps
+      assert(e >= 0.0 && e <= 1.0 && math.abs(e * 32 - math.round(e * 32)) < 1e-9)
+      // 32-hash MinHash std ≤ 0.09; deterministic data, generous 4σ bound
+      assert(math.abs(e - j) <= 0.35, s"pair ${row.getAs[String]("sa")}/${row.getAs[String]("sb")}: est=$e exact=$j")
+    }
+  }
+
+  // ---- q164 ----------------------------------------------------------------
+
+  test("q164: KL ≥ 0 (up to fixed-point rounding), kl consistent with kl_fp") {
+    val r = SparkEntry.queries("q164_source_kl_drift")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val kl = row.getAs[Double]("kl")
+      val klFp = row.getAs[Double]("kl_fp")
+      val ns = row.getAs[Long]("n_s")
+      assert(kl >= -1e-6, s"row $row") // Gibbs' inequality, iln rounding slack
+      assert(math.abs(kl - klFp / 1e9 / ns) < 1e-12)
+    }
+  }
+
   // ---- q160 ----------------------------------------------------------------
 
   test("q160 sandwich law: est_edge − 16 ≤ exact < est_edge; targets = ceil(q·N)") {
