@@ -1390,6 +1390,34 @@ object TextQueries {
           ((col("kl_fp_dec").cast("double") / lit(1.0e9))
             / col("n_s").cast("double")).as("kl"))
         .orderBy(col("source"))
+    }),
+
+    // SOURCE NOVELTY — marginal-contribution accounting for corpus
+    // curation: in a pinned (alphabetical) source order, a shingle is NEW
+    // at the first source that carries it; per source, distinct-shingle
+    // count, newly-contributed count, their ratio, and the cumulative
+    // distinct curve. This is the "what does adding source S actually buy"
+    // number (diminishing-returns planning — the same question dedup
+    // ratios answer post-hoc, answered BEFORE mixing). Scale: one distinct
+    // shingle scan + one groupBy(shingle) min — both linear, shuffled on
+    // shingle; the window sum runs over |sources| rows, not the corpus.
+    "q166_source_novelty" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ss = docs(s, d)
+        .select(col("source"),
+          explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+        .distinct()
+      val firsts = ss.groupBy(col("shingle"))
+        .agg(min(col("source")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_new"))
+      ss.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
+        .join(firsts, Seq("source"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("novelty",
+          col("n_new").cast("double") / col("n_shingles"))
+        .withColumn("cum_distinct",
+          sum(col("n_new")).over(Window.orderBy(col("source"))))
+        .orderBy(col("source"))
     }))
 
   // ---- q116 staged prefixes (Bench stage-level timing) ---------------------
@@ -2737,7 +2765,27 @@ object TextQueries {
          |  (CAST(SUM(term_fp) AS DOUBLE) / 1e9) / CAST(ns.n_s AS DOUBLE) AS kl
          |FROM terms t JOIN ns ON ns.source = t.source
          |GROUP BY t.source, ns.n_s
-         |ORDER BY t.source""".stripMargin
+         |ORDER BY t.source""".stripMargin,
+
+    // Source novelty: first-seen source per shingle in alphabetical order,
+    // per-source marginal contribution + cumulative distinct curve.
+    "q166_source_novelty" ->
+      s"""WITH ss AS (SELECT DISTINCT source, shingle FROM (
+         |  SELECT source,
+         |    unnest([array_to_string(w[i:i+2], '|') for i in range(1, len(w) - 1)]) AS shingle
+         |  FROM (SELECT source, $toksSql AS w FROM documents) t0) t1),
+         |f AS (SELECT shingle, MIN(source) AS source FROM ss GROUP BY 1),
+         |nn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new
+         |       FROM f GROUP BY 1),
+         |nt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles
+         |       FROM ss GROUP BY 1)
+         |SELECT nt.source, n_shingles,
+         |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+         |  CAST(COALESCE(n_new, 0) AS DOUBLE) / n_shingles AS novelty,
+         |  CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY nt.source)
+         |       AS BIGINT) AS cum_distinct
+         |FROM nt LEFT JOIN nn ON nn.source = nt.source
+         |ORDER BY nt.source""".stripMargin
   )
 
   /** q136's split oracle — shared verbatim by q146 (the artifact-consuming

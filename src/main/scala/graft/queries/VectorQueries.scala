@@ -287,15 +287,7 @@ object VectorQueries {
     "q120_embedding_outliers" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = emb(s, d)
-      val cents = e.select(col("label"), posexplode(col("embedding")))
-        .groupBy(col("label"), col("pos"))
-        .agg((sum(floor(col("col").cast("double") * lit(1e9)).cast("long"))
-          .cast("double") / lit(1e9) / count(lit(1))).as("mean"))
-        .groupBy(col("label"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("mean")))),
-          el => el.getField("mean")).as("centroid"))
-        .withColumnRenamed("label", "cell")
+      val cents = fixedPointLabelCentroids(e)
       e.join(broadcast(cents), col("label") === col("cell"))
         .select(col("vec_id"), col("label"),
           VectorOps.cosine(col("embedding"), col("centroid")).as("cos_centroid"))
@@ -423,7 +415,73 @@ object VectorQueries {
         .filter(col("rn") <= 5)
         .select(col("query_id"), col("neg_id"), col("cosine"), col("rn"))
         .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // LABEL-CENTROID SIMILARITY MATRIX — class-confusability diagnostics
+    // for contrastive training (q159's planning twin): pairwise cosine
+    // between per-label centroids, with both labels' populations
+    // alongside. High-cosine label pairs are where hard negatives live
+    // and where a classifier head will bleed — this 45-row matrix is the
+    // artifact a curriculum/mining pass consumes. Scale: centroids are
+    // FIXED-POINT per-dimension means ([[fixedPointLabelCentroids]] — one
+    // narrow (label, pos) shuffle, corpus scanned once); floor(x·1e9)
+    // int64 sums, NOT DECIMAL(28,12) (decimal CASTs round half-up on one
+    // engine and to-nearest on the other, and near-orthogonal centroids
+    // amplify that 1e-12 mean wobble through the canceling dot product —
+    // measured 1e-11 relative drift at sf0.01). The pair join is
+    // |labels|²-bounded over k·d doubles, nothing corpus-sized.
+    "q165_label_centroid_sim" -> ((s, d) => {
+      val e = emb(s, d)
+      val cnt = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      val c = fixedPointLabelCentroids(e)
+        .join(cnt, col("cell") === col("label"))
+        .select(col("label"), col("n"), col("centroid"))
+      c.as("a").join(c.as("b"), col("a.label") < col("b.label"))
+        .select(col("a.label").as("la"), col("b.label").as("lb"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"),
+          VectorOps.cosine(col("a.centroid"), col("b.centroid"))
+            .as("cos_centroid"))
+        .orderBy(col("la"), col("lb"))
+    }),
+
+    // LABEL-COHESION REPORT — q120's aggregate twin (same fixed-point
+    // centroids): per label, the fixed-point MEAN member→centroid cosine
+    // plus exact min/max — the intra-class tightness number that ranks
+    // which labels are diffuse (candidates for relabeling or splitting)
+    // the way q120 ranks which MEMBERS are outliers. The mean is a
+    // floor(cos·1e9) int64 sum (partition-order-independent) divided
+    // once; min/max are exact double comparisons. One corpus scan against
+    // a broadcast codebook, one |labels|-row aggregate — nothing shuffles
+    // at corpus grain.
+    "q167_label_cohesion" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = fixedPointLabelCentroids(e)
+      e.join(broadcast(cents), col("label") === col("cell"))
+        .select(col("label"),
+          VectorOps.cosine(col("embedding"), col("centroid")).as("cos"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("cos") * lit(1e9)).cast("long")).cast("double")
+            / lit(1e9) / count(lit(1))).as("mean_cos"),
+          min(col("cos")).as("min_cos"),
+          max(col("cos")).as("max_cos"))
+        .orderBy(col("label"))
     }))
+
+  /** Per-label centroids with fixed-point (floor(x·1e9) int64) per-dimension
+    * means — partition-order-independent without decimal casts; shared by
+    * q120 (member outliers) and q167 (label cohesion). Output (cell,
+    * centroid array<double>). */
+  private def fixedPointLabelCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(floor(col("col").cast("double") * lit(1e9)).cast("long"))
+        .cast("double") / lit(1e9) / count(lit(1))).as("mean"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean")))),
+        el => el.getField("mean")).as("centroid"))
+      .withColumnRenamed("label", "cell")
 
   /** DuckDB mirror of VectorOps.dot: sequential left-fold of per-element
     * double products (1-indexed lists). */
@@ -954,7 +1012,48 @@ object VectorQueries {
          |    ORDER BY cosine DESC, neg_id ASC) AS rn
          |  FROM s)
          |SELECT query_id, neg_id, cosine, CAST(rn AS INTEGER) AS rn
-         |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    // Label-centroid similarity: fixed-point per-dim means (q120's floor
+    // 1e9 cent CTE — portable, no decimal rounding-mode dependence),
+    // pairwise sequential-fold cosine.
+    "q165_label_centroid_sim" ->
+      s"""WITH d AS (
+         |  SELECT label, i - 1 AS pos,
+         |    CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT))
+         |         AS DOUBLE) / 1e9 / COUNT(*) AS mean
+         |  FROM embeddings CROSS JOIN range(1, 65) t(i) GROUP BY 1, 2),
+         |c AS (SELECT label, list(mean ORDER BY pos) AS centroid
+         |      FROM d GROUP BY label),
+         |n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM embeddings GROUP BY 1)
+         |SELECT a.label AS la, b.label AS lb, na.n AS n_a, nb.n AS n_b,
+         |  ${cosSql("a.centroid", "b.centroid")} AS cos_centroid
+         |FROM c a JOIN c b ON a.label < b.label
+         |JOIN n na ON na.label = a.label
+         |JOIN n nb ON nb.label = b.label
+         |ORDER BY la, lb""".stripMargin,
+
+    // Label cohesion: q120's fixed-point centroids, then a fixed-point
+    // mean of member→centroid cosines (floor(cos·1e9) BIGINT sum).
+    "q167_label_cohesion" ->
+      s"""WITH cent AS (
+         |  SELECT label, i - 1 AS pos,
+         |    CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT))
+         |         AS DOUBLE) / 1e9 / COUNT(*) AS mean
+         |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+         |  GROUP BY 1, 2),
+         |cl AS (SELECT label, list(mean ORDER BY pos) AS centroid
+         |       FROM cent GROUP BY label),
+         |sc AS (
+         |  SELECT e.label,
+         |    ${cosSql("e.embedding", "c.centroid")} AS cos
+         |  FROM embeddings e JOIN cl c USING (label))
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(floor(cos * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+         |    / COUNT(*) AS mean_cos,
+         |  MIN(cos) AS min_cos, MAX(cos) AS max_cos
+         |FROM sc GROUP BY label ORDER BY label""".stripMargin
   )
 
   /** Shared DuckDB mirror of [[VectorOps.hashEmbedLong]] at dim 64

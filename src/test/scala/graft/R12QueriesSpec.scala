@@ -229,6 +229,66 @@ class R12QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q165 ----------------------------------------------------------------
+
+  test("q165: full C(L,2) matrix, cosines bounded, every label on L−1 rows") {
+    val r = SparkEntry.queries("q165_label_centroid_sim")(spark, sf0001).collect()
+    val labels = (r.map(_.getAs[Int]("la")) ++ r.map(_.getAs[Int]("lb"))).distinct
+    val l = labels.length
+    assert(r.length === l * (l - 1) / 2)
+    labels.foreach { lb =>
+      assert(r.count(x => x.getAs[Int]("la") == lb || x.getAs[Int]("lb") == lb) === l - 1)
+    }
+    r.foreach { row =>
+      assert(row.getAs[Int]("la") < row.getAs[Int]("lb"))
+      assert(row.getAs[Long]("n_a") > 0L && row.getAs[Long]("n_b") > 0L)
+      val c = row.getAs[Double]("cos_centroid")
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+    }
+  }
+
+  // ---- q166 ----------------------------------------------------------------
+
+  test("q166: novelty laws — first source all-new, cum curve hits the global distinct") {
+    val r = SparkEntry.queries("q166_source_novelty")(spark, sf0001)
+      .orderBy(col("source")).collect()
+    assert(r.nonEmpty)
+    // the alphabetically-first source contributes only new shingles
+    assert(r.head.getAs[Double]("novelty") === 1.0)
+    assert(r.head.getAs[Long]("n_new") === r.head.getAs[Long]("n_shingles"))
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_new") <= row.getAs[Long]("n_shingles"))
+      val nv = row.getAs[Double]("novelty")
+      assert(nv >= 0.0 && nv <= 1.0)
+    }
+    // cumulative curve is the running sum and ends at the global distinct count
+    var acc = 0L
+    r.foreach { row =>
+      acc += row.getAs[Long]("n_new")
+      assert(row.getAs[Long]("cum_distinct") === acc)
+    }
+    val globalDistinct = Tables.documents(spark, sf0001)
+      .select(explode(TextOps.shingles(col("text"), 3)).as("sh"))
+      .distinct().count()
+    assert(acc === globalDistinct)
+  }
+
+  // ---- q167 ----------------------------------------------------------------
+
+  test("q167: cohesion laws — min ≤ mean ≤ max, populations cover the corpus") {
+    val r = SparkEntry.queries("q167_label_cohesion")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (mn, mc, mx) = (row.getAs[Double]("min_cos"),
+        row.getAs[Double]("mean_cos"), row.getAs[Double]("max_cos"))
+      // mean is floor(cos·1e9)-rounded ⇒ up to 1e-9 downward bias
+      assert(mn - 1e-9 <= mc && mc <= mx + 1e-9, s"row $row")
+      assert(mx <= 1.0 + 1e-12)
+    }
+    val total = r.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.embeddings(spark, sf0001).count())
+  }
+
   // ---- q160 ----------------------------------------------------------------
 
   test("q160 sandwich law: est_edge − 16 ≤ exact < est_edge; targets = ceil(q·N)") {
