@@ -68,8 +68,15 @@ object ScaleBench {
       "q121_containment_pairs", "q126_corpus_report",
       "q139_weighted_sample", "q145_bpe_corpus_tokens",
       // the in-engine hash-embed chain (r12): q148 is the embed itself
-      // (one tf shuffle + Heaps-law df join — must grow ~M), q150 the
-      // embed→banded-LSH scale path; both are ×100-decade members
+      // (one tf shuffle + Heaps-law df join — must grow ~M) and a
+      // ×100-decade member. q150 (embed→banded-LSH) is observed at
+      // ×10/×30 ONLY: hashed tf-idf vectors of a shared synthetic
+      // vocabulary are genuinely correlated, so within-replica candidate
+      // mass grows ~M·N₀² by fixture geometry (the q154/q155 rule — the
+      // first attempted ×100 run spilled >230 GB of verify-join shuffle
+      // and filled the disk). The md5-plane fix (lshSignatureSalted) cut
+      // the ×10 candidate mass 5.5×; the residual is vector similarity
+      // the engine must pay to verify, not blocking waste.
       "q148_hash_embed", "q150_hash_embed_lsh"),
     "event" -> Seq(
       "q32_asof_join", "q87_rolling_actives", "q140_transition_probs"))

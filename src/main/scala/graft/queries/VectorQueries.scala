@@ -365,23 +365,29 @@ object VectorQueries {
     // embed → ANN path with no model anywhere, end-to-end under the hash
     // gate. Same first-collision-band emission, but a WIDER banding dial
     // than q100: 64 planes in 4 bands = 16-bit band keys (65,536 buckets
-    // per band). The bucket width is the quadratic dial of banded LSH —
-    // the candidate join carries an N²/2^bits collision term even between
-    // unrelated vectors, so 8-bit keys (256 buckets) that are harmless on
-    // a few thousand docs cost N²/256 at corpus scale (measured: 165 s at
-    // ×10 replication, 429 s at ×30 — quadratic). 16-bit keys push the
-    // same curve down 256×; identical near-dup vectors (the θ = 0.9
-    // TARGET of this query) still collide in every band regardless of
-    // width, so the dial trades tail recall for the scale law — and the
-    // oracle mirrors the exact banding, so the trade is hash-gated, not
-    // asserted.
+    // per band) — the quadratic dial of banded LSH, since the candidate
+    // join carries an N²·P(band collision) term even between unrelated
+    // vectors. The 64 planes come from the SALTED-md5 family
+    // ([[VectorOps.lshSignatureSalted]]), NOT the congruential
+    // `planeWeight`: at 64 planes the linear family's lattice collapses
+    // the signature to ~9 effective hyperplanes, so the 16-bit keys
+    // behaved like ~4-bit keys — measured on the ×10 ScaleBench corpus as
+    // 35.1M candidate pairs (top bucket 2,460 of 50k docs, visibly
+    // periodic keys) vs 6.4M with md5 planes. The residual mass is
+    // genuine vector correlation (hashed tf-idf of a shared vocabulary),
+    // which is why this query is observed at ×10/×30 and excluded from
+    // the ×100 decade alongside q154/q155 (pair mass grows with fixture
+    // geometry, not blocking quality). Identical near-dup vectors (the
+    // θ = 0.9 TARGET) collide in every band regardless of key width, and
+    // the oracle mirrors the exact banding + md5 weights, so the whole
+    // dial is hash-gated, not asserted.
     "q150_hash_embed_lsh" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       val e = VectorOps.hashEmbed(Tables.documents(s, d), "doc_id", "text", 64)
         .select(col("doc_id").as("vec_id"), col("embedding"))
         .localCheckpoint() // referenced 3× (signature + both verify sides)
       VectorOps.lshNeighborPairsBanded(e, 64, 4, 0.9,
-          sigFn = (c, n) => call_function("lsh_signature", c, lit(n)),
+          sigFn = (c, n) => VectorOps.lshSignatureSalted(c, n, 64),
           cosineFn = (a, b) => call_function("cosine_sim", a, b))
         .orderBy(col("ia"), col("ib"))
     }),
@@ -510,6 +516,15 @@ object VectorQueries {
       ")), (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END), '')"
 
   private val sigSql = sigSqlN(8)
+
+  /** DuckDB mirror of VectorOps.lshSignatureSalted: weights recomputed
+    * from md5("pl|p|d") — the engine folds the same values in as literals. */
+  private def saltedSigSqlN(nPlanes: Int) =
+    s"array_to_string(list_transform(range(0, $nPlanes), p -> CASE WHEN " +
+      "list_reduce(list_prepend(0.0, list_transform(range(1, len(embedding)+1), " +
+      "i -> CAST(embedding[i] AS DOUBLE) * " +
+      "((CAST(CAST('0x' || substr(md5('pl|' || CAST(p AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) % 10007 AS DOUBLE) / 10007.0) * 2.0 - 1.0)" +
+      ")), (acc, x) -> acc + x) >= 0 THEN '1' ELSE '0' END), '')"
 
   /** DuckDB mirror of VectorOps.quantizeInt8 / cosineInt8: integer dot of
     * int8 codes, double only at the final sqrt/divide. */
@@ -985,7 +1000,7 @@ object VectorQueries {
          |earr AS (SELECT doc_id AS vec_id, list(val ORDER BY pos) AS embedding
          |         FROM hemb GROUP BY doc_id),
          |sig AS (
-         |  SELECT vec_id, embedding, ${sigSqlN(64)} AS bucket FROM earr),
+         |  SELECT vec_id, embedding, ${saltedSigSqlN(64)} AS bucket FROM earr),
          |bsig AS (
          |  SELECT vec_id, embedding, b AS band,
          |         substr(bucket, b * 16 + 1, 16) AS key

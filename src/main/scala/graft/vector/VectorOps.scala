@@ -56,6 +56,42 @@ object VectorOps {
     (((p.cast("long") * 73856093L + d.cast("long") * 19349663L) % 10007L)
       .cast("double") / 10007.0) * 2.0 - 1.0
 
+  /** Salted-md5 hyperplane weights for WIDE signatures — the q163 lesson
+    * applied to sign-LSH. [[planeWeight]]'s linear congruence has lattice
+    * structure: the weight rows of planes p and p′ are the SAME sawtooth
+    * orbit offset by 4433·(p−p′) mod 10007, so planes 9 apart differ by
+    * only 131/10007 ≈ 1.3 % — at 64 planes the family collapses to ~9
+    * effective hyperplanes and 16-bit band keys behave like ~4-bit keys
+    * (measured on the ×10 ScaleBench corpus: 35.1M candidate pairs vs
+    * 6.4M with this family — 5.5×, and the periodic band keys like
+    * `1010101101010101` disappear). Harmless at the ≤ 8 planes q27/q100
+    * use (offsets stay ≥ 2151/10007); fatal at 64. Weights are derived
+    * from md5("pl|p|d") exactly as the DuckDB mirror recomputes them, then
+    * folded into the plan as literals (4096 doubles — the q53 gazetteer
+    * literal discipline), so the signature stays one codegen'd per-row
+    * projection with no join. */
+  def saltedPlaneWeights(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"pl|$p|$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      (h % 10007L).toDouble / 10007.0 * 2.0 - 1.0
+    }
+
+  /** Sign-LSH signature over the salted-md5 plane family — use for wide
+    * (≥ 16-plane) signatures where [[lshSignature]]'s congruential family
+    * is lattice-correlated. Same fold discipline, same output shape. */
+  def lshSignatureSalted(vec: Column, nPlanes: Int, dim: Int): Column = {
+    val w = saltedPlaneWeights(nPlanes, dim)
+    val bits = (0 until nPlanes).map { p =>
+      val wRow = array(w(p).map(x => lit(x)): _*)
+      when(aggregate(zip_with(vec, wRow, (x, ww) => x.cast("double") * ww),
+        lit(0.0), (acc, v) => acc + v) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
   /** Sign-LSH signature: an `nPlanes`-char '0'/'1' string, bit p = sign of
     * the projection of `vec` onto pseudo-random hyperplane p. Computed
     * entirely per-row (sequential folds) — no shuffle, codegen-friendly. */

@@ -229,6 +229,28 @@ class R12QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- plane-family independence (the q150 lattice fix) --------------------
+
+  test("salted plane family has no near-duplicate planes; the LCG family does at 64") {
+    def rowCos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def maxPairCos(w: Array[Array[Double]]): Double =
+      (for (p <- w.indices; q <- p + 1 until w.length)
+        yield math.abs(rowCos(w(p), w(q)))).max
+    // salted md5 planes: pairwise weight-row cosines stay far from ±1
+    val salted = graft.vector.VectorOps.saltedPlaneWeights(64, 64)
+    assert(maxPairCos(salted) < 0.8)
+    // the congruential family at 64 planes: lattice offsets (4433·Δp mod
+    // 10007) produce near-identical weight rows — the failure q150 hit
+    val lcg = Array.tabulate(64, 64) { (p, d) =>
+      ((p.toLong * 73856093L + d.toLong * 19349663L) % 10007L).toDouble /
+        10007.0 * 2.0 - 1.0
+    }
+    assert(maxPairCos(lcg) > 0.95)
+  }
+
   // ---- q165 ----------------------------------------------------------------
 
   test("q165: full C(L,2) matrix, cosines bounded, every label on L−1 rows") {
