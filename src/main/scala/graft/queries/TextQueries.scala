@@ -1418,6 +1418,163 @@ object TextQueries {
         .withColumn("cum_distinct",
           sum(col("n_new")).over(Window.orderBy(col("source"))))
         .orderBy(col("source"))
+    }),
+
+    // IN-ENGINE QUALITY-CLASSIFIER TRAINING — the fastText/CCNet move
+    // (train a cheap linear filter on rule-derived labels, then score at
+    // corpus scale) expressed as distributed full-batch gradient descent:
+    // 5 epochs of logistic regression over 4 engineered features, labels =
+    // q118's Gopher keep rule. Every epoch is ONE map-side-combinable
+    // aggregate over a narrow cached projection (4 doubles + label per
+    // doc) returning k·d = 4 gradient sums — the classic MLlib GD shape:
+    // model state lives on the driver (4 doubles), data never moves, and
+    // at 100 TB an epoch costs one scan of a ~40 B/doc columnar cache.
+    // Cross-engine exactness is by construction, not tolerance: the
+    // sigmoid is the rational fast-sigmoid 0.5 + z/(2(1+|z|)) (+,*,/,|·|
+    // only — no exp, whose libm rounding differs across engines), and
+    // gradient sums are fixed-point floor(g·1e9) BIGINTs (the module's
+    // quantization discipline), so the weight trajectory is bit-identical
+    // in DuckDB's unrolled-CTE twin. The 1e9 quantum bounds each epoch sum
+    // by n·|x|·1e9 — at ~1e12 docs that approaches BIGINT range, and the
+    // production dial is a coarser quantum (1e6), traded off in the
+    // Scaladoc rather than silently. Train accuracy (z ≥ 0 decision) rides
+    // in the gated output: 97.0 % at sf0.01 — the learned separator, not
+    // the majority class (55.4 %).
+    "q168_quality_classifier" -> ((s, d) => {
+      val en = TextOps.langStopwords.toMap.apply("en")
+      val t = docs(s, d).select(col("doc_id"),
+        TextOps.tokens(col("text")).as("toks"))
+      val nWords = size(col("toks"))
+      val sumLen = aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w))
+      val meanLen = sumLen.cast("double") / greatest(nWords, lit(1)).cast("double")
+      val alphaWords = size(filter(col("toks"), w => w.rlike("[a-z]")))
+      val stopHits = TextOps.langScore(col("toks"), en)
+      val feats = t.select(col("doc_id"),
+          ((nWords.cast("double") - lit(50.0)) / lit(100.0)).as("x1"),
+          ((meanLen - lit(4.0)) / lit(10.0)).as("x2"),
+          (stopHits.cast("double") / greatest(nWords, lit(1)).cast("double")
+            - lit(0.1)).as("x3"),
+          lit(1.0).as("x4"),
+          when(nWords.between(lit(50), lit(100000)) &&
+              meanLen.between(lit(3.0), lit(10.0)) &&
+              (alphaWords.cast("double")
+                / greatest(nWords, lit(1)).cast("double")) > lit(0.8) &&
+              stopHits >= lit(2), lit(1.0)).otherwise(lit(0.0)).as("y"))
+        .localCheckpoint() // 6 scans (5 epochs + accuracy) of the cache
+      val lr = 4.0
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      def zOf(ws: Array[Double]): Column =
+        lit(ws(0)) * col("x1") + lit(ws(1)) * col("x2") +
+          lit(ws(2)) * col("x3") + lit(ws(3)) * col("x4")
+      for (_ <- 1 to 5) {
+        val z = zOf(w)
+        val p = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+        val gs = (1 to 4).map(j =>
+          sum(floor((p - col("y")) * col(s"x$j") * lit(1e9)).cast("long"))
+            .as(s"g$j"))
+        val row = feats.agg(gs.head, gs.tail :+ count(lit(1)).as("n"): _*).head()
+        val n = row.getLong(4).toDouble
+        w = Array.tabulate(4)(j =>
+          w(j) - lr * ((row.getLong(j).toDouble / 1e9) / n))
+      }
+      val zf = zOf(w)
+      val accRow = feats.agg(
+        sum(when((zf >= lit(0.0)) === (col("y") === lit(1.0)), 1L)
+          .otherwise(0L)).as("correct"),
+        count(lit(1)).as("n")).head()
+      val acc = accRow.getLong(0).toDouble / accRow.getLong(1).toDouble
+      val names = Seq("x1_n_words", "x2_mean_word_len", "x3_stop_frac", "x4_bias")
+      import s.implicits._
+      names.zip(w).map { case (f, wt) => (f, wt, acc, accRow.getLong(1)) }
+        .toDF("feature", "weight", "train_acc", "n_docs")
+        .orderBy(col("feature"))
+    }),
+
+    // PER-SOURCE QUANTILE QUALITY GATE — the FineWeb-style curation step
+    // "keep each source's top-p% by quality" WITHOUT a per-source sort of
+    // the corpus: quality (q20's composite score) is binned into 64
+    // fixed-width counters per source, the per-source threshold bin is
+    // read from the descending cumulative histogram (first bin set whose
+    // mass reaches ceil(0.25·n_source)), and docs join back against the
+    // |sources|-row broadcast threshold table. The gate is BIN-GRANULAR by
+    // contract (keeps AT LEAST the top 25 % — boundary-bin ties all
+    // survive); the dial is bin width, not a sort. Scale shape: one
+    // 64-counter-per-source aggregate + one broadcast join — no global or
+    // per-source sort anywhere, so a skewed giant source costs its scan,
+    // not its sort. Oracle mirrors the binning and threshold rule exactly.
+    "q169_source_quality_gate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dd = docs(s, d).select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val binned = dd.withColumn("bin",
+        least(floor(col("quality") * lit(64.0)).cast("long"), lit(63L)))
+      val hist = binned.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val thr = hist
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("bin").desc)))
+        .withColumn("total", sum(col("c")).over(
+          Window.partitionBy(col("source"))))
+        .withColumn("target",
+          ceil(col("total").cast("double") * lit(0.25)).cast("long"))
+        .filter(col("cum") >= col("target"))
+        .groupBy(col("source")).agg(max(col("bin")).as("thr_bin"))
+      binned.join(broadcast(thr), Seq("source"))
+        .select(col("doc_id"), col("source"), col("quality"), col("bin"),
+          col("thr_bin"), (col("bin") >= col("thr_bin")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // TOKENIZER FERTILITY / COMPRESSION REPORT — the budget-planning
+    // numbers behind every mixing decision (token counts per source are
+    // what temperature mixing q124 and quota planning actually consume):
+    // per source and globally, words, BPE-ish tokens, chars, fertility =
+    // tokens/word and chars/token. Pure per-row expression counts + one
+    // |sources|-key aggregate (the global row aggregated FROM the
+    // per-source counters in-plan — the q151/q160 distributivity shape);
+    // at 100 TB this is one corpus scan and a 21-row result.
+    "q171_tokenizer_fertility" -> ((s, d) => {
+      val per = docs(s, d).select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("w"),
+          TextOps.bpeishTokenCount(col("text")).cast("long").as("b"),
+          length(col("text")).cast("long").as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+          sum(col("b")).as("n_bpe_tokens"), sum(col("c")).as("n_chars"))
+      val all = per.groupBy()
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(lit("__all").as("source"), col("n_docs"), col("n_words"),
+          col("n_bpe_tokens"), col("n_chars"))
+      per.select(col("source"), col("n_docs"), col("n_words"),
+          col("n_bpe_tokens"), col("n_chars")).union(all)
+        .withColumn("fertility", col("n_bpe_tokens").cast("double")
+          / greatest(col("n_words"), lit(1L)).cast("double"))
+        .withColumn("chars_per_token", col("n_chars").cast("double")
+          / greatest(col("n_bpe_tokens"), lit(1L)).cast("double"))
+        .orderBy(col("source"))
+    }),
+
+    // CROSS-SOURCE DUPLICATION MATRIX — which source pairs share near-dup
+    // documents (the CommonCrawl-vs-C4 overlap question that decides
+    // whether two feeds are worth ingesting together): q23's MinHash pair
+    // machinery with both endpoints resolved to sources, counted per
+    // UNORDERED source pair (least/greatest canonicalization — da < db is
+    // id order, not source order). Within-source dups land on the
+    // diagonal. Scale: the pair set is the q52-priced LSH output; the
+    // doc→source resolution is two narrow equi-joins on doc_id, and the
+    // final aggregate is |sources|²-bounded.
+    "q173_cross_source_dup_matrix" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = DedupOps.minhashPairs(dd, "doc_id", "text", 3, 32, 4, 0.5)
+      val sa = dd.select(col("doc_id").as("da"), col("source").as("src_a"))
+      val sb = dd.select(col("doc_id").as("db"), col("source").as("src_b"))
+      pairs.join(sa, Seq("da")).join(sb, Seq("db"))
+        .select(least(col("src_a"), col("src_b")).as("sa"),
+          greatest(col("src_a"), col("src_b")).as("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("sa"), col("sb"))
     }))
 
   // ---- q116 staged prefixes (Bench stage-level timing) ---------------------
@@ -1461,6 +1618,35 @@ object TextQueries {
     "s2_dedup" -> ((s, d) => corpusDeduped(s, d)),
     "s3_decontam" -> ((s, d) => corpusSurvivors(s, d)),
     "s4_pack" -> ((s, d) => queries("q116_corpus_flagship")(s, d)))
+
+  /** Shared q23 MinHash-pair CTE chain (shingles → 32 universal hashes →
+    * 8×4 bands → candidates → signature-agreement estimate). q23 selects
+    * from `est` directly; q173 aggregates the surviving pairs by source. */
+  private lazy val minhashEstCte =
+    s"""$shingleCte,
+       |hs AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 268435456 AS hs
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id, i,
+       |    MIN(((2 * i + 1) * hs + 7919 * i) % 268435456) AS minhash
+       |  FROM hs CROSS JOIN range(32) t(i) GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY i)) AS bucket
+       |  FROM mh GROUP BY doc_id, i // 4),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT da, db,
+       |    CAST(SUM(CASE WHEN ha.minhash = hb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
+       |  FROM cands
+       |  JOIN mh ha ON ha.doc_id = da
+       |  JOIN mh hb ON hb.doc_id = db AND hb.i = ha.i
+       |  GROUP BY da, db)""".stripMargin
 
   /** DuckDB mirror of TextOps.tokens. */
   private val toksSql =
@@ -2414,30 +2600,7 @@ object TextQueries {
          |WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
          |ORDER BY da, db""".stripMargin,
     "q23_minhash_pairs" ->
-      s"""WITH $shingleCte,
-         |hs AS (
-         |  SELECT doc_id,
-         |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 268435456 AS hs
-         |  FROM sh),
-         |mh AS (
-         |  SELECT doc_id, i,
-         |    MIN(((2 * i + 1) * hs + 7919 * i) % 268435456) AS minhash
-         |  FROM hs CROSS JOIN range(32) t(i) GROUP BY doc_id, i),
-         |bands AS (
-         |  SELECT doc_id, i // 4 AS band,
-         |    md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY i)) AS bucket
-         |  FROM mh GROUP BY doc_id, i // 4),
-         |cands AS (
-         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |est AS (
-         |  SELECT da, db,
-         |    CAST(SUM(CASE WHEN ha.minhash = hb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
-         |  FROM cands
-         |  JOIN mh ha ON ha.doc_id = da
-         |  JOIN mh hb ON hb.doc_id = db AND hb.i = ha.i
-         |  GROUP BY da, db)
+      s"""WITH $minhashEstCte
          |SELECT da, db, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY da, db""".stripMargin,
     "q55_chunking" ->
@@ -2785,8 +2948,133 @@ object TextQueries {
          |  CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY nt.source)
          |       AS BIGINT) AS cum_distinct
          |FROM nt LEFT JOIN nn ON nn.source = nt.source
-         |ORDER BY nt.source""".stripMargin
+         |ORDER BY nt.source""".stripMargin,
+
+    // Logistic-regression training: the oracle replays the identical
+    // 5-epoch trajectory as an unrolled CTE chain — each wk CTE derives
+    // the next weights from the previous gradient CTE's fixed-point BIGINT
+    // sums, so the weight sequence (and hence the final decision boundary
+    // and accuracy) is bit-identical without the SQL ever seeing the
+    // engine's learned values.
+    "q168_quality_classifier" -> logregOracleSql,
+
+    // Per-source quantile gate: identical 64-bin histogram, descending
+    // cumulative threshold rule, bin-granular keep.
+    "q169_source_quality_gate" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+         |  + 0.3 * (CAST(${langScoreSql(TextOps.langStopwords.toMap.apply("en"))} AS DOUBLE) / greatest(len(toks), 1))
+         |  + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+         |  + 0.2 * (1.0 - least((CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(toks, w -> CAST(length(w) AS BIGINT)))) AS DOUBLE) / greatest(len(toks), 1)) / 10.0, 1.0)) AS quality
+         |  FROM t),
+         |b AS (SELECT doc_id, source, quality,
+         |        least(CAST(floor(quality * 64.0) AS BIGINT), 63) AS bin FROM q),
+         |h AS (SELECT source, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+         |cm AS (SELECT source, bin,
+         |         SUM(c) OVER (PARTITION BY source ORDER BY bin DESC) AS cum,
+         |         SUM(c) OVER (PARTITION BY source) AS total
+         |       FROM h),
+         |thr AS (SELECT source, MAX(bin) AS thr_bin FROM cm
+         |        WHERE cum >= CAST(ceil(CAST(total AS DOUBLE) * 0.25) AS BIGINT)
+         |        GROUP BY source)
+         |SELECT b.doc_id, b.source, b.quality, b.bin, thr.thr_bin,
+         |  b.bin >= thr.thr_bin AS keep
+         |FROM b JOIN thr ON thr.source = b.source
+         |ORDER BY b.doc_id""".stripMargin,
+
+    // Tokenizer fertility: integer count sums per source, global row
+    // aggregated from the per-source counters, two IEEE divisions.
+    "q171_tokenizer_fertility" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS n_words,
+         |    CAST(SUM(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)) AS BIGINT) AS n_bpe_tokens,
+         |    CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars
+         |  FROM documents GROUP BY source),
+         |u AS (
+         |  SELECT source, n_docs, n_words, n_bpe_tokens, n_chars FROM per
+         |  UNION ALL
+         |  SELECT '__all', CAST(SUM(n_docs) AS BIGINT),
+         |         CAST(SUM(n_words) AS BIGINT),
+         |         CAST(SUM(n_bpe_tokens) AS BIGINT),
+         |         CAST(SUM(n_chars) AS BIGINT) FROM per)
+         |SELECT source, n_docs, n_words, n_bpe_tokens, n_chars,
+         |  CAST(n_bpe_tokens AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS fertility,
+         |  CAST(n_chars AS DOUBLE) / CAST(greatest(n_bpe_tokens, 1) AS DOUBLE) AS chars_per_token
+         |FROM u ORDER BY source""".stripMargin,
+
+    // Cross-source dup matrix: q23's pair chain, endpoints resolved to
+    // sources, unordered-pair canonicalization, per-pair counts.
+    "q173_cross_source_dup_matrix" ->
+      s"""WITH $minhashEstCte,
+         |p AS (SELECT da, db FROM est WHERE est_jaccard >= 0.5),
+         |j AS (
+         |  SELECT least(a.source, b.source) AS sa,
+         |         greatest(a.source, b.source) AS sb
+         |  FROM p JOIN documents a ON a.doc_id = p.da
+         |         JOIN documents b ON b.doc_id = p.db)
+         |SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM j GROUP BY sa, sb ORDER BY sa, sb""".stripMargin
   )
+
+  /** q168's oracle: the full 5-epoch GD trajectory unrolled into CTEs.
+    * Feature/label expressions mirror the Spark plan (q118's proven
+    * fragments); the fast-sigmoid and fixed-point gradient quantization
+    * make every intermediate bit-identical across engines. */
+  private lazy val logregOracleSql: String = {
+    val stop = langScoreSql(TextOps.langStopwords.toMap.apply("en"))
+    val mwl = "(CAST(list_sum(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(toks, w -> CAST(length(w) AS BIGINT)))) AS DOUBLE) " +
+      "/ CAST(greatest(len(toks), 1) AS DOUBLE))"
+    val feats =
+      s"""feats AS (
+         |  SELECT doc_id,
+         |    (CAST(len(toks) AS DOUBLE) - 50.0) / 100.0 AS x1,
+         |    ($mwl - 4.0) / 10.0 AS x2,
+         |    CAST($stop AS DOUBLE) / CAST(greatest(len(toks), 1) AS DOUBLE) - 0.1 AS x3,
+         |    1.0 AS x4,
+         |    CASE WHEN len(toks) BETWEEN 50 AND 100000
+         |      AND $mwl BETWEEN 3.0 AND 10.0
+         |      AND CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+         |           / CAST(greatest(len(toks), 1) AS DOUBLE) > 0.8
+         |      AND $stop >= 2
+         |    THEN 1.0 ELSE 0.0 END AS y
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents) t0)""".stripMargin
+    def z(ws: Seq[String]) =
+      s"(${ws(0)}*x1 + ${ws(1)}*x2 + ${ws(2)}*x3 + ${ws(3)}*x4)"
+    def sig(zz: String) = s"(0.5 + $zz/(2.0*(1.0+abs($zz))))"
+    val steps = (1 to 5).map { k =>
+      val ws =
+        if (k == 1) Seq("0.0", "0.0", "0.0", "0.0")
+        else (1 to 4).map(j => s"w${k - 1}.w$j")
+      val p = sig(z(ws))
+      val from = if (k == 1) "feats" else s"feats, w${k - 1}"
+      val gSums = (1 to 4).map(j =>
+        s"SUM(CAST(floor(($p - y)*x$j*1e9) AS BIGINT)) AS g$j").mkString(", ")
+      val prev = (1 to 4).map(j =>
+        if (k == 1) "0.0" else s"w${k - 1}.w$j")
+      val wFrom = if (k == 1) s"g${k}c" else s"g${k}c, w${k - 1}"
+      val wSel = (1 to 4).map(j =>
+        s"${prev(j - 1)} - 4.0*((CAST(g${k}c.g$j AS DOUBLE)/1e9)/CAST(g${k}c.n AS DOUBLE)) AS w$j").mkString(", ")
+      s"""g${k}c AS (SELECT $gSums, COUNT(*) AS n FROM $from),
+         |w$k AS (SELECT $wSel FROM $wFrom)""".stripMargin
+    }.mkString(",\n")
+    val zf = z((1 to 4).map(j => s"w5.w$j"))
+    s"""WITH $feats,
+       |$steps,
+       |a AS (SELECT CAST(SUM(CASE WHEN ($zf >= 0.0) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / CAST(COUNT(*) AS DOUBLE) AS train_acc,
+       |      CAST(COUNT(*) AS BIGINT) AS n_docs FROM feats, w5)
+       |SELECT f.feature,
+       |  CASE f.feature WHEN 'x1_n_words' THEN w5.w1
+       |    WHEN 'x2_mean_word_len' THEN w5.w2
+       |    WHEN 'x3_stop_frac' THEN w5.w3 ELSE w5.w4 END AS weight,
+       |  a.train_acc, a.n_docs
+       |FROM (SELECT unnest(['x1_n_words', 'x2_mean_word_len',
+       |        'x3_stop_frac', 'x4_bias']) AS feature) f, w5, a
+       |ORDER BY f.feature""".stripMargin
+  }
 
   /** q136's split oracle — shared verbatim by q146 (the artifact-consuming
     * twin: the Spark side reads the persisted closure, the oracle recomputes

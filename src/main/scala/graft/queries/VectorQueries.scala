@@ -310,6 +310,50 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // IVF-PQ top-5 — the FAISS production composition (IndexIVFPQ,
+    // by_residual=false): q28/q54's coarse-list pruning (WHICH lists a
+    // query reads) stacked on q113's PQ compression (WHAT is read — m
+    // codes, never raw floats). nprobe=2 probes the two nearest per-label
+    // coarse cells; ADC ranks only inside the probed lists, so both
+    // approximations — list pruning and quantization error — land in the
+    // gated ranked output as exact numbers. At 100 TB the candidate set is
+    // the probed fraction OF the compressed code table; coarse book,
+    // probe pairs and per-query ADC tables all broadcast.
+    "q170_ivfpq_knn" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = VectorOps.centroids(e, "label")
+      VectorOps.ivfPqTopK(e.filter(col("vec_id") < 8), e, cents, 4, 64, 5,
+          nprobe = 2)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
+    // MATRYOSHKA TRUNCATION EVAL — the MRL question (can we serve ANN on a
+    // 4×-truncated prefix of the embedding?) answered as a gated retrieval
+    // metric, not a vibe: per query, top-5 by full 64-dim cosine vs top-5
+    // by first-16-dims cosine, overlap counted; queries with zero overlap
+    // survive via the left join. The decision number for
+    // prefix-dimension index tiering (store/scan 16 dims, rerank the
+    // shortlist at 64): at 100 TB a 4× narrower scan is 4× less I/O on
+    // the brute tier and 4× smaller LSH/IVF inputs on the blocked tiers.
+    // Exact by the module's fold discipline on both widths.
+    "q172_matryoshka_overlap" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 8)
+      def trunc(df: DataFrame) = df.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val full = VectorOps.knnBruteForce(q, e, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val low = VectorOps.knnBruteForce(trunc(q), trunc(e), 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val overlap = full.join(low, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+      q.select(col("vec_id").as("query_id"))
+        .join(overlap, Seq("query_id"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .withColumn("overlap_frac", col("n_overlap").cast("double") / lit(5.0))
+        .orderBy(col("query_id"))
+    }),
+
     "q100_lsh_banded_pairs" -> ((s, d) => {
       // native codegen'd twins of the HOF signature + cosine (law-equal,
       // ExtensionsSpec/CosineSimilaritySpec) — the 32-plane × 64-dim
@@ -765,6 +809,94 @@ object VectorQueries {
          |  FROM adc)
          |SELECT query_id, neighbor_id, adc, CAST(rn AS INTEGER) AS rn
          |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // IVF-PQ: q113's codebook/encoding/ADC CTEs verbatim, plus q54's
+    // coarse probe (nprobe=2 per-label centroids) restricting the ADC join
+    // to probed lists — both approximation levels unrolled exactly.
+    "q170_ivfpq_knn" ->
+      s"""WITH dims AS (
+         |  SELECT label AS ccell, i - 1 AS pos,
+         |         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |           / COUNT(*) AS mean
+         |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+         |  GROUP BY label, i),
+         |ccents AS (
+         |  SELECT ccell, list(mean ORDER BY pos) AS centroid
+         |  FROM dims GROUP BY ccell),
+         |qv AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |       FROM embeddings WHERE vec_id < 8),
+         |ad AS (
+         |  SELECT query_id, ccell,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY ${l2Sql("q_emb", "centroid")} ASC, ccell ASC) AS crn
+         |  FROM qv CROSS JOIN ccents),
+         |assigned AS (SELECT query_id, ccell FROM ad WHERE crn <= 2),
+         |books AS (
+         |  SELECT sub, label AS cell, i - 1 AS pos,
+         |    CAST(SUM(CAST(CAST(embedding[sub * 16 + i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |      / COUNT(*) AS mean
+         |  FROM embeddings CROSS JOIN range(0, 4) s(sub)
+         |                  CROSS JOIN range(1, 17) t(i)
+         |  GROUP BY sub, label, i),
+         |cents AS (
+         |  SELECT sub, cell, list(mean ORDER BY pos) AS centroid
+         |  FROM books GROUP BY sub, cell),
+         |sl AS (
+         |  SELECT vec_id, label AS ccell, sub,
+         |         embedding[sub * 16 + 1 : sub * 16 + 16] AS emb
+         |  FROM embeddings CROSS JOIN range(0, 4) s(sub)),
+         |enc AS (
+         |  SELECT vec_id, ccell, sub, cell FROM (
+         |    SELECT sl.vec_id, sl.ccell, sl.sub, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.sub
+         |        ORDER BY ${l2sqSql("sl.emb", "c.centroid")} ASC, c.cell ASC) AS rn
+         |    FROM sl JOIN cents c ON c.sub = sl.sub) t
+         |  WHERE rn = 1),
+         |qd AS (
+         |  SELECT sl.vec_id AS query_id, sl.sub, c.cell,
+         |    CAST(floor(${l2sqSql("sl.emb", "c.centroid")} * 1e9) AS BIGINT) AS d2_fp
+         |  FROM sl JOIN cents c ON c.sub = sl.sub
+         |  WHERE sl.vec_id < 8),
+         |adc AS (
+         |  SELECT q.query_id, e.ccell, e.vec_id AS neighbor_id,
+         |         SUM(q.d2_fp) AS adc_fp
+         |  FROM enc e
+         |  JOIN assigned a ON a.ccell = e.ccell AND e.vec_id <> a.query_id
+         |  JOIN qd q ON q.query_id = a.query_id AND q.sub = e.sub
+         |           AND q.cell = e.cell
+         |  GROUP BY 1, 2, 3),
+         |r AS (
+         |  SELECT query_id, ccell, neighbor_id,
+         |    CAST(adc_fp AS DOUBLE) / 1e9 AS adc,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adc_fp ASC, neighbor_id ASC) AS rn
+         |  FROM adc)
+         |SELECT query_id, ccell, neighbor_id, adc, CAST(rn AS INTEGER) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // Matryoshka overlap: two exact rankings (full 64 dims / first 16
+    // dims), intersection counted per query, zero-overlap queries kept.
+    "q172_matryoshka_overlap" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |           FROM embeddings WHERE vec_id < 8),
+         |fs AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY ${cosSql("q_emb", "e.embedding")} DESC, e.vec_id ASC) AS rn
+         |  FROM q JOIN embeddings e ON e.vec_id <> query_id),
+         |ls AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY ${cosSql("q_emb[1:16]", "e.embedding[1:16]")} DESC, e.vec_id ASC) AS rn
+         |  FROM q JOIN embeddings e ON e.vec_id <> query_id),
+         |ov AS (
+         |  SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+         |  FROM (SELECT query_id, neighbor_id FROM fs WHERE rn <= 5) f
+         |  JOIN (SELECT query_id, neighbor_id FROM ls WHERE rn <= 5) l
+         |    ON l.query_id = f.query_id AND l.neighbor_id = f.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q.query_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+         |  CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / 5.0 AS overlap_frac
+         |FROM q LEFT JOIN ov ON ov.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin,
     "q38_cosine_hof" ->
       s"""SELECT a.vec_id AS ia, b.vec_id AS ib,
          |       ${cosSql("a.embedding", "b.embedding")} AS cosine

@@ -501,8 +501,27 @@ object VectorOps {
   def pqTopK(queries: DataFrame, corpus: DataFrame, m: Int, dim: Int,
              k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
     val subLen = dim / m
+    val bookRow = pqBookRow(corpus, m, subLen)
+    val codes = pqCodes(corpus, bookRow, m, subLen)
+    val qd = pqQueryDists(queries, bookRow, subLen)
+    codes.join(broadcast(qd), Seq("sub", "cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2_fp")).as("adc_fp"))
+      .withColumn("adc", col("adc_fp").cast("double") / lit(1e9))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc_fp").asc, col("neighbor_id").asc)))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rn"))
+  }
+
+  /** PQ codebooks collapsed to ONE broadcast row (sub, cell, centroid):
+    * per-subspace label-cell DECIMAL means — see [[pqTopK]]. */
+  private def pqBookRow(corpus: DataFrame, m: Int, subLen: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     def subSlice(j: Column) =
       slice(col("embedding"), j * lit(subLen) + 1, lit(subLen))
     val dec = DecimalType(28, 12)
@@ -518,26 +537,40 @@ object VectorOps {
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("mean")))),
         e => e.getField("mean")).as("centroid"))
-    // ONE broadcast row holds the whole (sub, cell, centroid) codebook, so
-    // encoding is per-row argmin expression work — array_min over
-    // (d², cell) structs per subspace, the tie-break in the struct order —
-    // and the corpus is scanned, never shuffled or fanned out, to encode.
-    val bookRow = books.agg(
+    books.agg(
       collect_list(struct(col("sub"), col("cell"), col("centroid"))).as("book"))
+  }
+
+  /** PQ corpus encoding: ONE broadcast row holds the whole codebook, so
+    * encoding is per-row argmin expression work — array_min over (d², cell)
+    * structs per subspace, the tie-break in the struct order — and the
+    * corpus is scanned, never shuffled or fanned out, to encode.
+    * `carry` names passthrough corpus columns (e.g. the coarse cell). */
+  private def pqCodes(corpus: DataFrame, bookRow: DataFrame, m: Int,
+                      subLen: Int, carry: Seq[String] = Nil): DataFrame = {
+    def subSlice(j: Column) =
+      slice(col("embedding"), j * lit(subLen) + 1, lit(subLen))
     def subBook(j: Column) =
       filter(col("book"), b => b.getField("sub") === j)
-    val codes = corpus.crossJoin(broadcast(bookRow))
-      .select(col("vec_id"),
+    corpus.crossJoin(broadcast(bookRow))
+      .select(col("vec_id") +: carry.map(col) :+
         explode(transform(sequence(lit(0), lit(m - 1)), j =>
           struct(j.as("sub"),
             array_min(transform(subBook(j), b =>
               struct(l2Sq(subSlice(j), b.getField("centroid")).as("d2"),
                 b.getField("cell").as("cell")))).getField("cell").as("cell"))))
-          .as("c"))
-      .select(col("vec_id"), col("c.sub").as("sub"), col("c.cell").as("cell"))
-    // per-query ADC lookup table: exact d² from the query's sub-vector to
-    // EVERY codebook entry — Q·m·cells rows, broadcast onto the code scan
-    val qd = queries.crossJoin(broadcast(bookRow))
+          .as("c"): _*)
+      .select(col("vec_id") +: carry.map(col) :+
+        col("c.sub").as("sub") :+ col("c.cell").as("cell"): _*)
+  }
+
+  /** Per-query ADC lookup table: exact d² from the query's sub-vector to
+    * EVERY codebook entry — Q·m·cells rows, broadcast onto the code scan. */
+  private def pqQueryDists(queries: DataFrame, bookRow: DataFrame,
+                           subLen: Int): DataFrame = {
+    def subSlice(j: Column) =
+      slice(col("embedding"), j * lit(subLen) + 1, lit(subLen))
+    queries.crossJoin(broadcast(bookRow))
       .select(col("vec_id").as("query_id"),
         explode(transform(col("book"), b =>
           struct(b.getField("sub").as("sub"), b.getField("cell").as("cell"),
@@ -545,17 +578,56 @@ object VectorOps {
               * lit(1e9)).cast("long").as("d2_fp")))).as("q"))
       .select(col("query_id"), col("q.sub").as("sub"),
         col("q.cell").as("cell"), col("q.d2_fp").as("d2_fp"))
-    codes.join(broadcast(qd), Seq("sub", "cell"))
+  }
+
+  /** IVF-PQ — the FAISS production composition (IndexIVFPQ with
+    * by_residual=false): the coarse IVF quantizer prunes WHICH inverted
+    * lists a query reads (never the corpus), and PQ compresses WHAT is
+    * read (m codes per vector, never raw floats). Coarse lists are keyed
+    * by label (the module's deterministic stand-in codebook, as q28/q54);
+    * queries probe their `nprobe` nearest per-label centroids by L2, and
+    * ADC ranking runs only inside the probed lists.
+    *
+    * Scale shape: both prunings COMPOSE — the candidate set is
+    * |probed lists| · (codes join), so a 100 TB float corpus is read as
+    * the probed fraction of a ~(m/dim)/4-compressed code table; the
+    * coarse book, probe pairs and per-query distance tables all broadcast.
+    * Determinism: coarse argmin is an exact L2 fold with (dist, cell)
+    * tie-break; ADC is [[pqTopK]]'s fixed-point sum — the oracle unrolls
+    * both levels exactly.
+    *
+    * @return (query_id, ccell, neighbor_id, adc, rn) — rn by (adc asc,
+    *         neighbor asc) within query, over probed lists only */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, cents: DataFrame,
+                m: Int, dim: Int, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subLen = dim / m
+    val assigned = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", l2Dist(col("q_emb"), col("centroid")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("cell").as("ccell"))
+    val bookRow = pqBookRow(corpus, m, subLen)
+    val codes = pqCodes(corpus.withColumn("ccell", col("label")), bookRow, m,
+      subLen, carry = Seq("ccell"))
+    val qd = pqQueryDists(queries, bookRow, subLen)
+    codes.join(broadcast(assigned), Seq("ccell"))
       .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(qd), Seq("query_id", "sub", "cell"))
       .withColumnRenamed("vec_id", "neighbor_id")
-      .groupBy(col("query_id"), col("neighbor_id"))
+      .groupBy(col("query_id"), col("ccell"), col("neighbor_id"))
       .agg(sum(col("d2_fp")).as("adc_fp"))
       .withColumn("adc", col("adc_fp").cast("double") / lit(1e9))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("adc_fp").asc, col("neighbor_id").asc)))
       .filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rn"))
+      .select(col("query_id"), col("ccell"), col("neighbor_id"), col("adc"),
+        col("rn"))
   }
 
   /** IN-ENGINE text → vector embedding: FEATURE-HASHED tf·idf (the

@@ -330,4 +330,136 @@ class R12QueriesSpec extends SparkSuite {
       assert(row.getAs[Long]("target") === math.ceil(q * n).toLong)
     }
   }
+
+  // ---- q168 ----------------------------------------------------------------
+
+  test("q168: GD learns the separator — acc beats majority, x1 dominates") {
+    val r = SparkEntry.queries("q168_quality_classifier")(spark, sf0001).collect()
+    assert(r.length === 4)
+    val n = Tables.documents(spark, sf0001).count()
+    val acc = r.head.getAs[Double]("train_acc")
+    assert(r.forall(_.getAs[Double]("train_acc") == acc))
+    assert(r.forall(_.getAs[Long]("n_docs") == n))
+    assert(acc > 0.5 && acc <= 1.0, s"acc=$acc")
+    val w = r.map(x => x.getAs[String]("feature") -> x.getAs[Double]("weight")).toMap
+    // the label is (essentially) a threshold on n_words: the centered
+    // n_words feature must carry the largest positive weight
+    assert(w("x1_n_words") > 0.0)
+    assert(w.values.map(math.abs).max === math.abs(w("x1_n_words")))
+  }
+
+  test("q168 majority baseline: learned accuracy beats always-predict-1") {
+    val docs = Tables.documents(spark, sf0001)
+    val toks = TextOps.tokens(col("text"))
+    val pos = docs.filter(size(toks).between(50, 100000)).count().toDouble
+    val n = docs.count().toDouble
+    val majority = math.max(pos, n - pos) / n
+    val acc = SparkEntry.queries("q168_quality_classifier")(spark, sf0001)
+      .collect().head.getAs[Double]("train_acc")
+    assert(acc >= majority - 0.05, s"acc=$acc majority=$majority")
+  }
+
+  // ---- q170 ----------------------------------------------------------------
+
+  test("q170 degeneracy law: nprobe = |cells| makes IVF-PQ equal flat PQ") {
+    import graft.vector.VectorOps
+    val e = Tables.embeddings(spark, sf0001)
+    val cents = VectorOps.centroids(e, "label")
+    val nCells = cents.count().toInt
+    val q = e.filter(col("vec_id") < 8)
+    val full = VectorOps.ivfPqTopK(q, e, cents, 4, 64, 5, nprobe = nCells)
+      .select("query_id", "neighbor_id", "adc", "rn")
+    val flat = VectorOps.pqTopK(q, e, 4, 64, 5)
+      .select("query_id", "neighbor_id", "adc", "rn")
+    assert(full.except(flat).count() === 0)
+    assert(flat.except(full).count() === 0)
+  }
+
+  test("q170: probed cells are each query's nprobe nearest coarse centroids") {
+    import graft.vector.VectorOps
+    val e = Tables.embeddings(spark, sf0001)
+    val cents = VectorOps.centroids(e, "label")
+    val r = SparkEntry.queries("q170_ivfpq_knn")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    // recompute the 2 nearest cells per query via the same exact fold
+    val near = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", VectorOps.l2Dist(col("q_emb"), col("centroid")))
+      .withColumn("crn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("dist").asc, col("cell").asc)))
+      .filter(col("crn") <= 2)
+      .select(col("query_id"), col("cell")).collect()
+      .map(x => (x.getLong(0), x.getInt(1))).toSet
+    r.foreach { row =>
+      val pair = (row.getAs[Long]("query_id"), row.getAs[Int]("ccell"))
+      assert(near.contains(pair), s"unprobed cell in output: $pair")
+    }
+  }
+
+  // ---- q171 ----------------------------------------------------------------
+
+  test("q171: __all row equals the sum of per-source rows; fertility >= 1") {
+    val r = SparkEntry.queries("q171_tokenizer_fertility")(spark, sf0001).collect()
+    val all = r.filter(_.getAs[String]("source") == "__all")
+    assert(all.length === 1)
+    val per = r.filter(_.getAs[String]("source") != "__all")
+    Seq("n_docs", "n_words", "n_bpe_tokens", "n_chars").foreach { c =>
+      assert(all.head.getAs[Long](c) === per.map(_.getAs[Long](c)).sum, c)
+    }
+    // BPE-ish pretokenization only ever splits whitespace words further
+    r.foreach { row =>
+      assert(row.getAs[Double]("fertility") >= 1.0, s"row $row")
+      assert(row.getAs[Double]("chars_per_token") > 0.0)
+    }
+  }
+
+  // ---- q172 ----------------------------------------------------------------
+
+  test("q172: every query present once, overlap in [0,5], frac consistent") {
+    val r = SparkEntry.queries("q172_matryoshka_overlap")(spark, sf0001).collect()
+    assert(r.length === 8)
+    assert(r.map(_.getAs[Long]("query_id")).toSet === (0L until 8L).toSet)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_overlap")
+      assert(n >= 0L && n <= 5L)
+      assert(row.getAs[Double]("overlap_frac") === n.toDouble / 5.0)
+    }
+  }
+
+  // ---- q173 ----------------------------------------------------------------
+
+  test("q173: matrix counts sum to the q23 pair count; pairs canonical") {
+    val pairs = SparkEntry.queries("q23_minhash_pairs")(spark, sf0001).count()
+    val r = SparkEntry.queries("q173_cross_source_dup_matrix")(spark, sf0001)
+      .collect()
+    assert(r.map(_.getAs[Long]("n_pairs")).sum === pairs)
+    r.foreach { row =>
+      assert(row.getAs[String]("sa") <= row.getAs[String]("sb"), s"row $row")
+    }
+  }
+
+  // ---- q169 ----------------------------------------------------------------
+
+  test("q169: per-source gate keeps >= 25% and is bin-minimal") {
+    val r = SparkEntry.queries("q169_source_quality_gate")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    val bySrc = r.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (src, rows) =>
+      val n = rows.length
+      val target = math.ceil(n * 0.25).toLong
+      val kept = rows.count(_.getAs[Boolean]("keep"))
+      assert(kept >= target, s"$src kept=$kept target=$target")
+      // minimality at bin granularity: dropping the threshold bin's docs
+      // must fall below the target
+      val thr = rows.head.getAs[Long]("thr_bin")
+      val keptAbove = rows.count(x => x.getAs[Long]("bin") > thr)
+      assert(keptAbove < target, s"$src keptAbove=$keptAbove target=$target")
+      // keep flag is exactly bin >= thr_bin
+      rows.foreach { x =>
+        assert(x.getAs[Boolean]("keep") === (x.getAs[Long]("bin") >= thr))
+      }
+    }
+  }
 }
