@@ -398,6 +398,22 @@ class R12QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- connectedComponentsDF partition self-tuning --------------------------
+
+  test("CC loop restores the session shuffle-partition setting, result unchanged") {
+    val s = spark
+    import s.implicits._
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "17")
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+      val comp = graft.graph.GraphOps.connectedComponentsDF(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      assert(s.conf.get("spark.sql.shuffle.partitions") === "17")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // ---- q171 ----------------------------------------------------------------
 
   test("q171: __all row equals the sum of per-source rows; fertility >= 1") {
