@@ -1556,6 +1556,32 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // DEDUP THRESHOLD SENSITIVITY SWEEP — "what does tightening θ cost"
+    // answered from ONE signature/candidate pass: the q23 pair machinery
+    // runs once at the blocking floor (0.5, where the 8×4 banding is
+    // tuned), then five thresholds 0.5…0.9 read the SAME estimate column —
+    // per θ, surviving pair count and distinct docs touched. The dial
+    // report every dedup rollout wants (pairs removed vs θ) without five
+    // re-blockings; candidates are localCheckpointed so the sweep costs
+    // five broadcast-filter-aggregates over the pair set, not five corpus
+    // scans. Inherits q23's blocking contract (candidates must share a
+    // band — sweeping UP from the floor only ever filters).
+    "q175_dedup_threshold_sweep" -> ((s, d) => {
+      val sig = DedupOps.minhashSignatureArray(
+        DedupOps.shingleTable(docs(s, d), "doc_id", "text", 3), 32)
+      val pairs = DedupOps.minhashPairsFromSignatures(sig, 32, 4, 0.5)
+        .localCheckpoint()
+      val thr = s.range(5).select(
+        (lit(0.5) + col("id").cast("double") * lit(0.1)).as("threshold"))
+      val filt = pairs.crossJoin(broadcast(thr))
+        .filter(col("est_jaccard") >= col("threshold"))
+      val np = filt.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+      val nd = filt
+        .select(col("threshold"), explode(array(col("da"), col("db"))).as("doc"))
+        .groupBy(col("threshold")).agg(countDistinct(col("doc")).as("n_docs"))
+      np.join(nd, Seq("threshold")).orderBy(col("threshold"))
+    }),
+
     // CROSS-SOURCE DUPLICATION MATRIX — which source pairs share near-dup
     // documents (the CommonCrawl-vs-C4 overlap question that decides
     // whether two feeds are worth ingesting together): q23's MinHash pair
@@ -3003,6 +3029,24 @@ object TextQueries {
          |  CAST(n_bpe_tokens AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS fertility,
          |  CAST(n_chars AS DOUBLE) / CAST(greatest(n_bpe_tokens, 1) AS DOUBLE) AS chars_per_token
          |FROM u ORDER BY source""".stripMargin,
+
+    // Threshold sweep: q23's est chain once, five thresholds filter the
+    // same estimates; pair counts + distinct docs per dial.
+    "q175_dedup_threshold_sweep" ->
+      s"""WITH $minhashEstCte,
+         |p AS (SELECT da, db, est_jaccard FROM est WHERE est_jaccard >= 0.5),
+         |thr AS (SELECT 0.5 + CAST(i AS DOUBLE) * 0.1 AS threshold
+         |        FROM range(5) t(i)),
+         |f AS (SELECT threshold, da, db FROM p, thr
+         |      WHERE est_jaccard >= threshold),
+         |np AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |       FROM f GROUP BY 1),
+         |nd AS (SELECT threshold, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+         |       FROM (SELECT threshold, unnest([da, db]) AS doc FROM f) t0
+         |       GROUP BY 1)
+         |SELECT np.threshold, np.n_pairs, nd.n_docs
+         |FROM np JOIN nd ON nd.threshold = np.threshold
+         |ORDER BY np.threshold""".stripMargin,
 
     // Cross-source dup matrix: q23's pair chain, endpoints resolved to
     // sources, unordered-pair canonicalization, per-pair counts.

@@ -327,6 +327,34 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // EMBEDDING-SPACE CONFUSION MATRIX — q165's acting twin: where q165
+    // reports which label CENTROIDS look alike, this assigns every VECTOR
+    // to its nearest centroid (L2, the IVF assignment rule) and counts
+    // (label, pred) pairs — the label-noise / split-candidate diagnostic a
+    // curation pass reads before trusting labels for hard-negative mining
+    // (q159) or stratified eval. Off-diagonal mass = members sitting in
+    // another label's cell. One corpus scan against the broadcast 1-row
+    // codebook (the kmeansAssign argmin pattern — zero shuffle before the
+    // |labels|²-bounded aggregate); fractions are per-label row shares.
+    "q174_centroid_confusion" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = VectorOps.centroids(e, "label")
+      val book = cents.agg(
+        collect_list(struct(col("cell"), col("centroid"))).as("book"))
+      val assigned = e.crossJoin(broadcast(book))
+        .select(col("vec_id"), col("label"),
+          array_min(transform(col("book"), b =>
+            struct(VectorOps.l2Dist(col("embedding"), b.getField("centroid"))
+              .as("dist"), b.getField("cell").as("cell"))))
+            .getField("cell").as("pred"))
+      val totals = assigned.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+      assigned.groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+        .join(totals, Seq("label"))
+        .select(col("label"), col("pred"), col("n"),
+          (col("n").cast("double") / col("n_label").cast("double")).as("frac"))
+        .orderBy(col("label"), col("pred"))
+    }),
+
     // MATRYOSHKA TRUNCATION EVAL — the MRL question (can we serve ANN on a
     // 4×-truncated prefix of the embedding?) answered as a gated retrieval
     // metric, not a vibe: per query, top-5 by full 64-dim cosine vs top-5
@@ -872,6 +900,33 @@ object VectorQueries {
          |  FROM adc)
          |SELECT query_id, ccell, neighbor_id, adc, CAST(rn AS INTEGER) AS rn
          |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // Confusion matrix: per-label centroids (the q28 dims/cents CTEs),
+    // per-vector argmin by (L2 asc, cell asc), (label, pred) counts with
+    // per-label row shares.
+    "q174_centroid_confusion" ->
+      s"""WITH dims AS (
+         |  SELECT label AS cell, i - 1 AS pos,
+         |         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |           / COUNT(*) AS mean
+         |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+         |  GROUP BY label, i),
+         |cents AS (
+         |  SELECT cell, list(mean ORDER BY pos) AS centroid
+         |  FROM dims GROUP BY cell),
+         |asg AS (
+         |  SELECT e.vec_id, e.label, c.cell AS pred,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${l2Sql("e.embedding", "c.centroid")} ASC, c.cell ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cents c),
+         |a AS (SELECT vec_id, label, pred FROM asg WHERE rn = 1),
+         |t AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+         |      FROM a GROUP BY 1),
+         |m AS (SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM a GROUP BY 1, 2)
+         |SELECT m.label, m.pred, m.n,
+         |  CAST(m.n AS DOUBLE) / CAST(t.n_label AS DOUBLE) AS frac
+         |FROM m JOIN t ON t.label = m.label
+         |ORDER BY m.label, m.pred""".stripMargin,
     // Matryoshka overlap: two exact rankings (full 64 dims / first 16
     // dims), intersection counted per query, zero-overlap queries kept.
     "q172_matryoshka_overlap" ->

@@ -456,6 +456,36 @@ class R12QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q174 ----------------------------------------------------------------
+
+  test("q174: per-label counts conserve, row fractions sum to 1") {
+    val r = SparkEntry.queries("q174_centroid_confusion")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    val e = Tables.embeddings(spark, sf0001)
+    val totals = e.groupBy(col("label")).count().collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    r.groupBy(_.getAs[Int]("label")).foreach { case (lab, rows) =>
+      assert(rows.map(_.getAs[Long]("n")).sum === totals(lab))
+      val fsum = rows.map(_.getAs[Double]("frac")).sum
+      assert(math.abs(fsum - 1.0) < 1e-9, s"label $lab fsum=$fsum")
+    }
+  }
+
+  // ---- q175 ----------------------------------------------------------------
+
+  test("q175: counts non-increasing in threshold; floor row equals q23") {
+    val r = SparkEntry.queries("q175_dedup_threshold_sweep")(spark, sf0001)
+      .collect().sortBy(_.getAs[Double]("threshold"))
+    assert(r.nonEmpty)
+    val np = r.map(_.getAs[Long]("n_pairs"))
+    val nd = r.map(_.getAs[Long]("n_docs"))
+    assert(np.zip(np.tail).forall { case (a, b) => a >= b })
+    assert(nd.zip(nd.tail).forall { case (a, b) => a >= b })
+    val q23 = SparkEntry.queries("q23_minhash_pairs")(spark, sf0001).count()
+    assert(r.head.getAs[Double]("threshold") === 0.5)
+    assert(np.head === q23)
+  }
+
   // ---- q169 ----------------------------------------------------------------
 
   test("q169: per-source gate keeps >= 25% and is bin-minimal") {
