@@ -104,6 +104,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSim)
+    ext.injectFunction(GraftFunctions.lshSignatureSalted)
     ext.injectFunction(AcFunctions.acSpans)
     ext.injectFunction(CounterMapFunctions.counterMap)
   }
@@ -120,10 +121,18 @@ object GraftFunctions {
       new ExpressionInfo(classOf[LshSignature].getName, "lsh_signature"),
       (children: Seq[Expression]) => LshSignature(children(0), children(1)))
 
+  val lshSignatureSalted: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("lsh_signature_salted"),
+      new ExpressionInfo(classOf[LshSignatureSalted].getName,
+        "lsh_signature_salted"),
+      (children: Seq[Expression]) => LshSignatureSalted(children(0), children(1)))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(cosineSim._1, cosineSim._2, cosineSim._3)
     spark.sessionState.functionRegistry
       .registerFunction(lshSignature._1, lshSignature._2, lshSignature._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      lshSignatureSalted._1, lshSignatureSalted._2, lshSignatureSalted._3)
   }
 }

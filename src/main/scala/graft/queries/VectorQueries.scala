@@ -458,8 +458,12 @@ object VectorQueries {
       val e = VectorOps.hashEmbed(Tables.documents(s, d), "doc_id", "text", 64)
         .select(col("doc_id").as("vec_id"), col("embedding"))
         .localCheckpoint() // referenced 3× (signature + both verify sides)
+      // native codegen twin of VectorOps.lshSignatureSalted (law-equal,
+      // R12QueriesSpec): the HOF form folds 64×64 = 4096 literal weights
+      // into the plan; the native expression memoizes the matrix
+      // per-executor and fuses the 64-plane fold into one loop per row
       VectorOps.lshNeighborPairsBanded(e, 64, 4, 0.9,
-          sigFn = (c, n) => VectorOps.lshSignatureSalted(c, n, 64),
+          sigFn = (c, n) => call_function("lsh_signature_salted", c, lit(n)),
           cosineFn = (a, b) => call_function("cosine_sim", a, b))
         .orderBy(col("ia"), col("ib"))
     }),

@@ -251,6 +251,26 @@ class R12QueriesSpec extends SparkSuite {
     assert(maxPairCos(lcg) > 0.95)
   }
 
+  test("native lsh_signature_salted equals the HOF salted fold on real vectors") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf0001)
+    val both = e.select(
+      graft.vector.VectorOps.lshSignatureSalted(col("embedding"), 64, 64)
+        .as("hof"),
+      call_function("lsh_signature_salted", col("embedding"), lit(64))
+        .as("native"))
+    assert(both.filter(col("hof") =!= col("native")).count() === 0)
+    // and on a null-element vector both emit all zeros
+    val s = spark
+    import s.implicits._
+    val nullVec = Seq(Tuple1(Array[java.lang.Float](1.0f, null, 2.0f)))
+      .toDF("embedding")
+    val r = nullVec.select(
+      call_function("lsh_signature_salted", col("embedding"), lit(8)).as("sig"))
+      .collect().head.getString(0)
+    assert(r === "0" * 8)
+  }
+
   // ---- q165 ----------------------------------------------------------------
 
   test("q165: full C(L,2) matrix, cosines bounded, every label on L−1 rows") {
