@@ -77,7 +77,13 @@ object ScaleBench {
       // and filled the disk). The md5-plane fix (lshSignatureSalted) cut
       // the ×10 candidate mass 5.5×; the residual is vector similarity
       // the engine must pay to verify, not blocking waste.
-      "q148_hash_embed", "q150_hash_embed_lsh"),
+      "q148_hash_embed", "q150_hash_embed_lsh",
+      // r12 additions: the GD trainer (6 scans of a narrow cache — must
+      // grow ~M), the histogram quality gate (64-counter aggregate +
+      // broadcast join-back — must grow ~M), and the threshold sweep
+      // (one q23-priced candidate pass + 5 pair-set aggregates)
+      "q168_quality_classifier", "q169_source_quality_gate",
+      "q175_dedup_threshold_sweep"),
     "event" -> Seq(
       "q32_asof_join", "q87_rolling_actives", "q140_transition_probs"))
 

@@ -1556,6 +1556,32 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // LENGTH-BUCKETED PADDING-WASTE REPORT — q101's complement: concat-
+    // and-chop has zero waste but splits documents; pipelines that must
+    // keep examples INTACT (SFT, contrastive batches) pad instead, and the
+    // standard trick is power-of-2 length bucketing. Per bucket (smallest
+    // 2^k ≥ n_tok, integer-exact via the bit length of n_tok − 1 — no
+    // float log2 at the boundary): docs, real tokens, padded tokens,
+    // waste. Every doc in bucket b > 1 is longer than b/2, so waste_frac
+    // < 0.5 by construction (law-pinned) — the report quantifies how far
+    // below. One scan, |buckets| ≤ 64 rows out; the curation dial is
+    // bucket granularity vs batch-shape uniformity.
+    "q176_padding_waste" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("bitlen", when(col("n_tok") === 1, lit(0))
+          .otherwise(length(bin(col("n_tok") - 1))))
+        .withColumn("bucket", expr("shiftleft(CAST(1 AS BIGINT), bitlen)"))
+      t.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+        .withColumn("padded_tok", col("bucket") * col("n_docs"))
+        .withColumn("waste_tok", col("padded_tok") - col("sum_tok"))
+        .withColumn("waste_frac",
+          col("waste_tok").cast("double") / col("padded_tok").cast("double"))
+        .orderBy(col("bucket"))
+    }),
+
     // DEDUP THRESHOLD SENSITIVITY SWEEP — "what does tightening θ cost"
     // answered from ONE signature/candidate pass: the q23 pair machinery
     // runs once at the blocking floor (0.5, where the 8×4 banding is
@@ -3029,6 +3055,28 @@ object TextQueries {
          |  CAST(n_bpe_tokens AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS fertility,
          |  CAST(n_chars AS DOUBLE) / CAST(greatest(n_bpe_tokens, 1) AS DOUBLE) AS chars_per_token
          |FROM u ORDER BY source""".stripMargin,
+
+    // Padding waste: identical integer bit-length bucketing (bin() string
+    // length on both engines), integer sums, one IEEE division.
+    "q176_padding_waste" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(1 AS BIGINT) << (CASE WHEN n_tok = 1 THEN 0
+         |      ELSE length(bin(n_tok - 1)) END) AS bucket
+         |  FROM t WHERE n_tok > 0),
+         |g AS (
+         |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+         |  FROM f GROUP BY 1)
+         |SELECT bucket, n_docs, sum_tok,
+         |  bucket * n_docs AS padded_tok,
+         |  bucket * n_docs - sum_tok AS waste_tok,
+         |  CAST(bucket * n_docs - sum_tok AS DOUBLE)
+         |    / CAST(bucket * n_docs AS DOUBLE) AS waste_frac
+         |FROM g ORDER BY bucket""".stripMargin,
 
     // Threshold sweep: q23's est chain once, five thresholds filter the
     // same estimates; pair counts + distinct docs per dial.

@@ -506,6 +506,24 @@ class R12QueriesSpec extends SparkSuite {
     assert(np.head === q23)
   }
 
+  // ---- q176 ----------------------------------------------------------------
+
+  test("q176: buckets are powers of 2, docs conserve, waste_frac < 0.5") {
+    val r = SparkEntry.queries("q176_padding_waste")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    val nDocs = Tables.documents(spark, sf0001)
+      .filter(size(graft.text.TextOps.tokens(col("text"))) > 0).count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    r.foreach { row =>
+      val b = row.getAs[Long]("bucket")
+      assert((b & (b - 1)) === 0L && b > 0L, s"bucket $b not a power of 2")
+      val wf = row.getAs[Double]("waste_frac")
+      assert(wf >= 0.0 && wf < 0.5, s"row $row")
+      assert(row.getAs[Long]("waste_tok")
+        === row.getAs[Long]("padded_tok") - row.getAs[Long]("sum_tok"))
+    }
+  }
+
   // ---- q169 ----------------------------------------------------------------
 
   test("q169: per-source gate keeps >= 25% and is bin-minimal") {
