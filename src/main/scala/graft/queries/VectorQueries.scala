@@ -512,6 +512,48 @@ object VectorQueries {
     // amplify that 1e-12 mean wobble through the canceling dot product —
     // measured 1e-11 relative drift at sf0.01). The pair join is
     // |labels|²-bounded over k·d doubles, nothing corpus-sized.
+    // PER-SOURCE EMBEDDING DRIFT — q164's embedding-space sibling: where
+    // q164 measures how each source's UNIGRAM distribution diverges from
+    // the corpus (KL), this measures how its EMBEDDING mass does — cosine
+    // between the source's hash-embed centroid and the global centroid.
+    // The domain-coverage dashboard number: a source drifting toward 0 is
+    // contributing geometry the rest of the corpus doesn't have (or noise
+    // — q120/q167 disambiguate). Fixed-point discipline throughout:
+    // per-(source, pos) floor(val·1e9) int64 sums, the GLOBAL centroid
+    // aggregated FROM the per-source sums in-plan (the q151/q160
+    // distributivity shape — no second corpus scan), one division per
+    // mean, sequential-fold cosine. Scale: one embed pass + one
+    // (sources × 64)-key aggregate; the centroid tables are tiny.
+    "q177_source_embed_drift" -> ((s, d) => {
+      val e = VectorOps.hashEmbedLong(Tables.documents(s, d), "doc_id", "text", 64)
+      val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val ns = src.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val sv = e.join(src, Seq("doc_id"))
+        .groupBy(col("source"), col("pos"))
+        .agg(sum(floor(col("val") * lit(1e9)).cast("long")).as("s_fp"))
+      val sc = sv.join(ns, Seq("source"))
+        .select(col("source"),
+          struct(col("pos"),
+            ((col("s_fp").cast("double") / lit(1e9)) / col("n")).as("mean"))
+            .as("pm"))
+        .groupBy(col("source"))
+        .agg(transform(array_sort(collect_list(col("pm"))),
+          x => x.getField("mean")).as("centroid"))
+      val gv = sv.groupBy(col("pos")).agg(sum(col("s_fp")).as("g_fp"))
+      val nt = ns.agg(sum(col("n")).as("nt"))
+      val gc = gv.crossJoin(nt)
+        .select(struct(col("pos"),
+          ((col("g_fp").cast("double") / lit(1e9)) / col("nt")).as("mean"))
+          .as("pm"))
+        .agg(transform(array_sort(collect_list(col("pm"))),
+          x => x.getField("mean")).as("g_centroid"))
+      sc.join(ns, Seq("source")).crossJoin(broadcast(gc))
+        .select(col("source"), col("n").as("n_docs"),
+          VectorOps.cosine(col("centroid"), col("g_centroid"))
+            .as("cos_to_global"))
+        .orderBy(col("source"))
+    }),
+
     "q165_label_centroid_sim" -> ((s, d) => {
       val e = emb(s, d)
       val cnt = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
@@ -1158,6 +1200,30 @@ object VectorQueries {
          |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
          |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.2
          |ORDER BY ia, ib""".stripMargin,
+
+    // Source drift: per-(source, pos) fixed-point sums over the hemb
+    // mirror, global centroid aggregated from the per-source sums, one
+    // division per mean, the same sequential-fold cosine.
+    "q177_source_embed_drift" ->
+      s"""$hashEmbCte,
+         |sv AS (SELECT d.source, h.pos,
+         |         CAST(SUM(CAST(floor(h.val * 1e9) AS BIGINT)) AS BIGINT) AS s_fp
+         |       FROM hemb h JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM documents GROUP BY 1),
+         |sc AS (SELECT sv.source,
+         |         list((CAST(s_fp AS DOUBLE) / 1e9) / n ORDER BY pos) AS centroid
+         |       FROM sv JOIN ns ON ns.source = sv.source GROUP BY sv.source),
+         |gv AS (SELECT pos, CAST(SUM(s_fp) AS BIGINT) AS g_fp
+         |       FROM sv GROUP BY 1),
+         |nt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM ns),
+         |gc AS (SELECT list((CAST(g_fp AS DOUBLE) / 1e9) / nt.nt ORDER BY pos)
+         |         AS g_centroid
+         |       FROM gv, nt)
+         |SELECT sc.source, ns.n AS n_docs,
+         |  ${cosSql("sc.centroid", "gc.g_centroid")} AS cos_to_global
+         |FROM sc JOIN ns ON ns.source = sc.source CROSS JOIN gc
+         |ORDER BY sc.source""".stripMargin,
 
     // Feature-hashing embedder mirror: pos = h % 64, sign = bit 6 of the
     // portable 60-bit md5 hash; exact int64 signed counts, 0..63 zero-fill,

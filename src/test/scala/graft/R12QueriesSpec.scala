@@ -506,6 +506,21 @@ class R12QueriesSpec extends SparkSuite {
     assert(np.head === q23)
   }
 
+  // ---- q177 ----------------------------------------------------------------
+
+  test("q177: one row per source, docs conserve, cosine bounded") {
+    val r = SparkEntry.queries("q177_source_embed_drift")(spark, sf0001).collect()
+    val srcs = Tables.documents(spark, sf0001)
+      .select("source").distinct().count()
+    assert(r.length === srcs)
+    assert(r.map(_.getAs[Long]("n_docs")).sum
+      === Tables.documents(spark, sf0001).count())
+    r.foreach { row =>
+      val c = row.getAs[Double]("cos_to_global")
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12, s"row $row")
+    }
+  }
+
   // ---- q176 ----------------------------------------------------------------
 
   test("q176: buckets are powers of 2, docs conserve, waste_frac < 0.5") {
