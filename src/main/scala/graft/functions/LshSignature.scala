@@ -61,8 +61,9 @@ case class LshSignature(left: Expression, right: Expression)
   * [[graft.vector.VectorOps.saltedPlaneWeights]]: at 64 planes it collapses
   * to ~9 effective hyperplanes). BIT-IDENTICAL to the HOF form
   * [[graft.vector.VectorOps.lshSignatureSalted]] (same weights, same
-  * sequential fold, same `>= 0` bit rule, same all-zeros null-element
-  * parity — law-pinned in R12QueriesSpec), but the weight matrix lives in
+  * sequential fold, same `>= 0` bit rule, same null parity — '0' bits for
+  * null ELEMENTS, NULL output for a NULL array, law-pinned in
+  * R12QueriesSpec), but the weight matrix lives in
   * a per-executor memo instead of nPlanes·dim literal doubles folded into
   * every plan tree that uses it: the HOF form at 64×64 carries 4096
   * literals through analysis/optimization and re-evaluates a 64-element

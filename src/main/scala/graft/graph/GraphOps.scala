@@ -131,9 +131,12 @@ object GraphOps {
     * 475k docs, conf at 800 partitions): steady wall is MONOTONIC in the
     * inherited partition count — 46.2 s at 400 / 72.4 s at 800 / 100.8 s
     * at 1600 — pure scheduling overhead, not spill (more partitions made
-    * it worse) and not the algorithm (output identical). The override is
-    * save/restored around the materializing loop (every shuffle inside is
-    * forced by the per-round localCheckpoint, so nothing lazy escapes).
+    * it worse) and not the algorithm (output identical). The override
+    * lives in a CHILD session (`newSession`: shared SparkContext, private
+    * SQLConf), so concurrent queries and streaming micro-batches on the
+    * caller's session never see the shrunken setting — every shuffle
+    * inside the loop is forced by the per-round localCheckpoint, so
+    * nothing lazy escapes the child session either.
     *
     * @param edges any edge list (symmetrized internally); isolated
     *              vertices don't appear (no edges ⇒ no rows), matching the
@@ -149,11 +152,15 @@ object GraphOps {
       spark.sessionState.conf.numShufflePartitions,
       math.max(spark.sparkContext.defaultParallelism,
         (sym.count() / 100000L).toInt + 1))
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
-      connectedComponentsLoop(sym, maxRounds)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // thread-safety: the override goes into a throwaway child session's
+    // private SQLConf, never the caller's. The checkpointed edge RDD is
+    // re-wrapped on each side (cheap — label tables are working-set
+    // sized); the loop's shuffles all run under the child conf.
+    val loopSession = spark.newSession()
+    loopSession.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    val symLoop = loopSession.createDataFrame(sym.rdd, sym.schema)
+    val res = connectedComponentsLoop(symLoop, maxRounds)
+    spark.createDataFrame(res.rdd, res.schema)
   }
 
   /** The label-propagation fixpoint loop of [[connectedComponentsDF]] —

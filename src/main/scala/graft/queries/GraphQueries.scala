@@ -10,10 +10,11 @@ import graft.pipeline.Erkg
   * graph derived from the test tables (see [[graft.pipeline.Erkg]]).
   *
   * q13/q17 have exact DuckDB oracles (fixed k → explicit join unrolling;
-  * recursive CTE for components). q15 PageRank is float-iterative and
-  * partition-order-sensitive in its sums, so it ships without an oracle
-  * (driver records the weaker rows-only check) but is cross-checked against
-  * a hand-rolled power iteration in ScalaTest.
+  * recursive CTE for components). q15 PageRank is hash-gated too: the
+  * [[graft.graph.GraphOps.pageRankDeterministic]] twin makes every
+  * per-vertex sum partition-order-independent (sorted sequential fold), so
+  * its unrolled-CTE oracle matches bit-for-bit — and it is additionally
+  * cross-checked against a hand-rolled power iteration in ScalaTest.
   */
 object GraphQueries {
 

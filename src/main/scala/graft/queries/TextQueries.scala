@@ -1379,12 +1379,18 @@ object TextQueries {
       val terms = cs.join(ct, Seq("token"))
         .join(broadcast(ns), Seq("source"))
         .crossJoin(broadcast(nTot))
-        .withColumn("term_fp", col("c_s") *
+        // the per-term PRODUCT is widened too, not just the sum: in
+        // LongType c_s · |Σiln| wraps past 2^63 once a term reaches
+        // ~1.6e8 occurrences (|Σiln| ≤ ~5.6e10 worst case) — at corpus
+        // scale Spark would silently emit wrapped KL while the DuckDB
+        // twin (widened the same way, below) stays exact
+        .withColumn("term_fp", col("c_s").cast("decimal(38,0)") *
           (IntLn.iln1e9(col("c_s")) + IntLn.iln1e9(col("n"))
-            - IntLn.iln1e9(col("n_s")) - IntLn.iln1e9(col("c"))))
+            - IntLn.iln1e9(col("n_s")) - IntLn.iln1e9(col("c")))
+            .cast("decimal(38,0)"))
       terms.groupBy(col("source"))
         .agg(max(col("n_s")).as("n_s"),
-          sum(col("term_fp").cast("decimal(38,0)")).as("kl_fp_dec"))
+          sum(col("term_fp")).cast("decimal(38,0)").as("kl_fp_dec"))
         .select(col("source"), col("n_s"),
           col("kl_fp_dec").cast("double").as("kl_fp"),
           ((col("kl_fp_dec").cast("double") / lit(1.0e9))
@@ -2810,7 +2816,7 @@ object TextQueries {
          |g AS (
          |  SELECT doc_id,
          |    unnest(range(0, greatest(len(toks) - 7, 0))) AS st,
-         |    unnest([CAST('0x' || substr(md5(array_to_string(toks[i:i+7], '|')), 1, 15) AS BIGINT)
+         |    unnest([CAST('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 15) AS BIGINT)
          |            for i in range(1, len(toks) - 6)]) AS gh
          |  FROM tt),
          |ds AS (SELECT doc_id, st FROM (
@@ -2969,7 +2975,7 @@ object TextQueries {
          |ns AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS n_s FROM cs GROUP BY 1),
          |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM ct),
          |terms AS (
-         |  SELECT cs.source, cs.c_s * (
+         |  SELECT cs.source, CAST(cs.c_s AS HUGEINT) * (
          |      ${graft.functions.IntLn.iln1e9Sql("c_s")}
          |      + ${graft.functions.IntLn.iln1e9Sql("n")}
          |      - ${graft.functions.IntLn.iln1e9Sql("n_s")}

@@ -468,6 +468,38 @@ object VectorQueries {
         .orderBy(col("ia"), col("ib"))
     }),
 
+    // MATERIALIZED embed artifact ([[graft.sources.EmbedArtifact]]) — the
+    // write-once/read-many production shape of q148: the embed runs ONCE
+    // per corpus snapshot (it is the corpus's dominant token shuffle) and
+    // persists BUCKETED BY vec_id; consumers locate it by a driver-side
+    // file-metadata fingerprint (zero Spark jobs — the q146/q147
+    // staleness contract, EmbedArtifactSpec pins it). Output is the long
+    // (vec_id, pos, val) columnar form so the oracle re-derives every
+    // value from the raw text — the artifact is hash-gated end to end,
+    // parquet round-trip included.
+    "q178_embed_artifact" -> ((s, d) => {
+      val art = graft.sources.EmbedArtifact.read(s, Tables.documents(s, d), d)
+      art.select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").as("val"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
+    // q150's banded LSH near-dup pairs CONSUMING the artifact — the embed
+    // stage (token shuffle + two doc-keyed aggregations) disappears from
+    // the consumer plan entirely, replaced by a bucketed scan; the
+    // signature projection and the banded candidate join are unchanged,
+    // and the oracle is q150's verbatim (same pairs, same cosines — the
+    // artifact is value-identical to the in-plan embed).
+    "q179_artifact_lsh" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = graft.sources.EmbedArtifact.read(s, Tables.documents(s, d), d)
+      VectorOps.lshNeighborPairsBanded(e, 64, 4, 0.9,
+          sigFn = (c, n) => call_function("lsh_signature_salted", c, lit(n)),
+          cosineFn = (a, b) => call_function("cosine_sim", a, b))
+        .orderBy(col("ia"), col("ib"))
+    }),
+
     // HARD-NEGATIVE MINING — the contrastive-training prep op: for each
     // query vector, the top-5 most-similar vectors carrying a DIFFERENT
     // label (the "looks alike, isn't" pairs an embedding model trains
@@ -1252,22 +1284,18 @@ object VectorQueries {
     // q100's banded sign-LSH mirror with the embeddings sourced from the
     // hash-embed CTE instead of the parquet table, at q150's wider dial:
     // 64 planes, 4 bands of 16 bits.
-    "q150_hash_embed_lsh" ->
-      s"""$hashEmbCte,
-         |earr AS (SELECT doc_id AS vec_id, list(val ORDER BY pos) AS embedding
-         |         FROM hemb GROUP BY doc_id),
-         |sig AS (
-         |  SELECT vec_id, embedding, ${saltedSigSqlN(64)} AS bucket FROM earr),
-         |bsig AS (
-         |  SELECT vec_id, embedding, b AS band,
-         |         substr(bucket, b * 16 + 1, 16) AS key
-         |  FROM sig CROSS JOIN range(0, 4) t(b))
-         |SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib,
-         |       ${cosSql("a.embedding", "b.embedding")} AS cosine
-         |FROM bsig a JOIN bsig b
-         |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.9
-         |ORDER BY ia, ib""".stripMargin,
+    "q150_hash_embed_lsh" -> hashEmbedLshSql,
+
+    // q178 re-derives the artifact's every value from the raw text — the
+    // materialize/read cycle must be a no-op on values.
+    "q178_embed_artifact" ->
+      s"""$hashEmbCte
+         |SELECT doc_id AS vec_id, pos, val FROM hemb
+         |ORDER BY vec_id, pos""".stripMargin,
+
+    // q179 = q150's oracle verbatim: the artifact-consuming plan must
+    // emit the identical pair set and cosines.
+    "q179_artifact_lsh" -> hashEmbedLshSql,
 
     // Hard negatives: q25's windowed-top-k discipline with the
     // label-mismatch predicate in the join.
@@ -1330,7 +1358,28 @@ object VectorQueries {
 
   /** Shared DuckDB mirror of [[VectorOps.hashEmbedLong]] at dim 64
     * (q148/q149/q150): `hemb` = (doc_id, pos, val) — hashed tf·idf with
-    * IntLn idf, fixed-point signed bucket sums, fixed-point norm. */
+    * IntLn idf, fixed-point signed bucket sums, fixed-point norm.
+    *
+    * `hashEmbedLshSql` below is q150's full oracle — shared verbatim by
+    * q179 (the artifact-consuming twin must emit the identical pair set
+    * and cosines). */
+  private lazy val hashEmbedLshSql =
+    s"""$hashEmbCte,
+       |earr AS (SELECT doc_id AS vec_id, list(val ORDER BY pos) AS embedding
+       |         FROM hemb GROUP BY doc_id),
+       |sig AS (
+       |  SELECT vec_id, embedding, ${saltedSigSqlN(64)} AS bucket FROM earr),
+       |bsig AS (
+       |  SELECT vec_id, embedding, b AS band,
+       |         substr(bucket, b * 16 + 1, 16) AS key
+       |  FROM sig CROSS JOIN range(0, 4) t(b))
+       |SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib,
+       |       ${cosSql("a.embedding", "b.embedding")} AS cosine
+       |FROM bsig a JOIN bsig b
+       |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.9
+       |ORDER BY ia, ib""".stripMargin
+
   private lazy val hashEmbCte =
     s"""WITH tok AS (
       |  SELECT doc_id,

@@ -65,48 +65,17 @@ object DedupClosure {
     * (DedupClosureSpec pins that a post-materialize read runs zero jobs).
     * Frames with no file lineage (in-memory test data) fall back to the
     * content fingerprint (count, Σ doc_id) — one pruned scan. */
-  def tableName(docs: DataFrame, dir: String): String = {
-    val files = docs.inputFiles
-    val key =
-      if (files.nonEmpty) {
-        val hconf = docs.sparkSession.sparkContext.hadoopConfiguration
-        files.sorted.map { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          val st = p.getFileSystem(hconf).getFileStatus(p)
-          s"$f|${st.getLen}|${st.getModificationTime}"
-        }.mkString("\n")
-      } else {
-        val row = docs.agg(count(lit(1)), sum(col("doc_id"))).collect()(0)
-        s"${row.getLong(0)}|${row.getLong(1)}"
-      }
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$key".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    s"graft_dedup_closure_$fp"
-  }
+  def tableName(docs: DataFrame, dir: String): String =
+    s"graft_dedup_closure_${Artifacts.sourceFingerprint(docs, dir, "doc_id")}"
 
   /** Write-once materialization: build + persist the closure bucketed by
     * doc_id unless the fingerprinted table already exists. Returns the
     * table name. `buckets` follows [[Bucketing]]'s sizing rule (one bucket
     * of the closure ≈ one comfortable task). */
   def materialize(spark: SparkSession, docs: DataFrame, dir: String,
-                  buckets: Int = 8): String = {
-    val t = tableName(docs, dir)
-    if (!spark.catalog.tableExists(t)) {
-      // The default (in-memory) catalog is per-session but the warehouse
-      // directory persists: a previous session may have left the table's
-      // LOCATION behind with no catalog entry carrying its bucketing
-      // metadata. Orphaned data without metadata is unreadable as a
-      // bucketed table, so clear it and rebuild rather than fail on
-      // LOCATION_ALREADY_EXISTS.
-      val warehouse = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t)
-      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(warehouse)) fs.delete(warehouse, true)
-      Bucketing.writeBucketed(closure(docs), t, "doc_id", buckets)
-    }
-    t
-  }
+                  buckets: Int = 8): String =
+    Artifacts.materializeBucketed(spark, tableName(docs, dir), "doc_id",
+      buckets)(closure(docs))
 
   /** The artifact as a DataFrame (doc_id, canonical), building it on first
     * use — every subsequent consumer pays one fingerprint scan plus a

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.vector.VectorOps
+
+/** MATERIALIZED hash-embedding artifact — the write-once/read-many
+  * production shape of q148's (vec_id → embedding) table, completing the
+  * [[DedupClosure]] boundary for the vector family.
+  *
+  * The reference persists its vector KB as a columnar table and every
+  * retrieval call scans the persisted copy, never re-embedding
+  * (/root/reference/dev.ipynb cell 91 ≈L4600 — the LanceDB table is built
+  * once from the entity descriptions, then queried); the engine's q149/q150
+  * oracle queries deliberately recompute q148's embed inside the plan (each
+  * q-entry is a self-contained plan, the cache-hygiene discipline). In
+  * production the embed runs ONCE per corpus snapshot — it is the corpus's
+  * dominant token-stream shuffle — and is persisted BUCKETED BY vec_id so
+  * every consumer equi-joining on vec_id (label joins, metadata enrich,
+  * incremental upserts) runs with no exchange on the artifact side, while
+  * ANN consumers simply skip the embed stage. This object is that boundary:
+  *
+  *  - [[embed]] — q148's plan: [[VectorOps.hashEmbed]] (64-dim hashed
+  *    tf-idf, exact int64 fixed-point arithmetic) renamed to the
+  *    `embeddings`-table shape (vec_id, embedding array<double>);
+  *  - [[materialize]] — write-once via [[Artifacts.materializeBucketed]],
+  *    keyed by [[Artifacts.sourceFingerprint]] over the SOURCE-FILE
+  *    METADATA backing `docs` (driver-side FS listing — zero Spark jobs to
+  *    locate the artifact on re-read, the q146/q147 staleness contract);
+  *  - [[read]] — the artifact as a DataFrame, building it only if absent.
+  */
+object EmbedArtifact {
+
+  /** Hashed-embedding dimension — matches q148/q149/q150 so the artifact
+    * is value-identical to their in-plan embed stage (hash-gated). */
+  val Dim = 64
+
+  /** q148's embed plan over `docs` (doc_id, text), in the `embeddings`
+    * table's (vec_id, embedding) shape. */
+  def embed(docs: DataFrame): DataFrame =
+    VectorOps.hashEmbed(docs, "doc_id", "text", Dim)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+
+  /** Fingerprinted artifact name — same staleness contract as
+    * [[DedupClosure.tableName]] (shared [[Artifacts]] machinery). */
+  def tableName(docs: DataFrame, dir: String): String =
+    s"graft_hash_embed_${Artifacts.sourceFingerprint(docs, dir, "doc_id")}"
+
+  /** Write-once materialization bucketed by vec_id. Returns the table
+    * name. `buckets` follows [[Bucketing]]'s sizing rule. */
+  def materialize(spark: SparkSession, docs: DataFrame, dir: String,
+                  buckets: Int = 8): String =
+    Artifacts.materializeBucketed(spark, tableName(docs, dir), "vec_id",
+      buckets)(embed(docs))
+
+  /** The artifact as a DataFrame (vec_id, embedding), building it on first
+    * use — every subsequent consumer pays a driver-side file listing plus
+    * a bucketed (exchange-free on this side) read. */
+  def read(spark: SparkSession, docs: DataFrame, dir: String): DataFrame =
+    spark.table(materialize(spark, docs, dir))
+}

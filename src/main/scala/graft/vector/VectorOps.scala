@@ -81,7 +81,12 @@ object VectorOps {
 
   /** Sign-LSH signature over the salted-md5 plane family — use for wide
     * (≥ 16-plane) signatures where [[lshSignature]]'s congruential family
-    * is lattice-correlated. Same fold discipline, same output shape. */
+    * is lattice-correlated. Same fold discipline, same output shape.
+    * A NULL input array yields NULL (not all-zeros): without the guard the
+    * per-bit `when(null >= 0, '1').otherwise('0')` would emit '0' for every
+    * plane, silently bucketing all null-embedding rows together — and it
+    * would diverge from the native [[graft.functions.LshSignatureSalted]]
+    * twin (nullSafeEval), whose bit-identity this guard completes. */
   def lshSignatureSalted(vec: Column, nPlanes: Int, dim: Int): Column = {
     val w = saltedPlaneWeights(nPlanes, dim)
     val bits = (0 until nPlanes).map { p =>
@@ -89,7 +94,7 @@ object VectorOps {
       when(aggregate(zip_with(vec, wRow, (x, ww) => x.cast("double") * ww),
         lit(0.0), (acc, v) => acc + v) >= 0, lit("1")).otherwise(lit("0"))
     }
-    concat(bits: _*)
+    when(vec.isNotNull, concat(bits: _*))
   }
 
   /** Sign-LSH signature: an `nPlanes`-char '0'/'1' string, bit p = sign of
