@@ -49,15 +49,14 @@ object ScaleBench {
       // the toy scale (the broadcast it replaced would hide its cost in
       // driver memory instead)
       "q66_bm25_candidates",
-      // multimodal near-dup banded joins (r12). CAVEAT on their curves:
-      // the q154/q155 fixtures derive media bytes from doc_id % 251 alone,
-      // so token-suffix replication CANNOT break their similarity — every
-      // replica of group g encodes byte-identical media, group sizes grow
-      // ~M and true pairs ~M² BY FIXTURE GEOMETRY. The honest metric for
-      // them is wall per OUTPUT row (the q100 rule: the engine pays for
-      // rows, not blocking), so observe them at ×10/×30 and exclude them
-      // from the ×100 decade where the clique output would dominate the
-      // entire run.
+      // multimodal near-dup banded joins. r13: the fixtures switched to
+      // BLOCK-LOCAL groups (g = doc_id/20, ~20-doc groups at any corpus
+      // size), so the id-strided replicas land in disjoint group spaces —
+      // replication is similarity-breaking for media exactly like the
+      // token-suffix trick is for text: true pairs grow ~M (one fixed dup
+      // rate), never ~M², and both queries are ×100-decade eligible
+      // (r12's % 251 geometry merged groups across replicas and the ~M²
+      // clique output swamped the blocking signal).
       "q154_image_phash_pairs", "q155_audio_fp_pairs"),
     "graph" -> Seq(
       "q13_two_hop_network", "q17_suspicious_aliases",

@@ -104,6 +104,45 @@ object MediaQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL AVI (RIFF) container demux + raw-DIB decode — video's second
+    // container/codec pair next to q144's animated GIF, and the engine's
+    // OWN demuxer (the RIFF chunk walker in MultimodalOps — ImageIO never
+    // touches the container). Each document becomes a deterministic
+    // multi-frame 24-bpp uncompressed AVI (frame k's pixel (x,y) luma =
+    // (7·id + 13·k + 31·x + 17·y) % 256 — a per-frame GRADIENT, so the
+    // bottom-up scanline order and the 4-byte row padding are actually
+    // exercised, not just solid fills), the batched mapPartitions decode
+    // demuxes hdrl/strf/movi and accumulates exact integer channel sums,
+    // and the oracle predicts every pixel arithmetically (raw DIB is
+    // lossless). MJPEG-in-AVI — a real lossy codec through the same
+    // demuxer — is law-pinned in MultimodalSpec instead (JPEG
+    // quantization is decoder-exact but not SQL-predictable). MP4/H.264
+    // stay the documented engine boundary: no JVM codec exists.
+    "q180_avi_video_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = Tables.documents(s, d)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = (2 + id % 5).toInt
+          val h = (1 + id % 4).toInt
+          val nf = (1 + id % 6).toInt
+          val frames = Array.tabulate(nf) { k =>
+            Array.tabulate(w * h) { idx =>
+              val y = idx / w
+              val x = idx % w
+              ((7L * id + 13L * k + 31L * x + 17L * y) % 256L).toInt
+            }
+          }
+          MultimodalOps.MediaRow(id, "video",
+            MultimodalOps.encodeAviRawGray(w, h, frames), "avi", w, h,
+            nf * 100L)
+        }
+      MultimodalOps.decodeAviVideos(media).toDF()
+        .select(col("doc_id"), col("decoded"), col("n_frames"),
+          col("vid_width"), col("vid_height"), col("mean_luma"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Frame-sampling MANIFEST (relational twin of MultimodalOps.sampleFrames'
     // schedule): one row per sampled frame of each video every 1000 ms —
     // the generate runs map-side off metadata; the byte-slicing stub decode
@@ -119,9 +158,9 @@ object MediaQueries {
         .orderBy(col("doc_id"), col("frame_id"))),
 
     // IMAGE NEAR-DUP DETECTION via REAL perceptual hashing: each document
-    // becomes a deterministic 9×8 grayscale-pattern PNG (group g = id%251
-    // sets the base pattern, variant v = (id/251)%2 perturbs one pixel),
-    // the batched mapPartitions decode computes the 64-bit dHash from
+    // becomes a deterministic 9×8 grayscale-pattern PNG (group g = id/20
+    // sets the base pattern, variant v = id%2 perturbs one pixel), the
+    // batched mapPartitions decode computes the 64-bit dHash from
     // losslessly-recovered pixels, and pairs within Hamming distance 3 are
     // found through 16-bit BAND BLOCKING that is EXACT by pigeonhole (3
     // differing bits touch ≤3 of the 4 bands, so every ≤3 pair shares a
@@ -135,8 +174,17 @@ object MediaQueries {
       val media = Tables.documents(s, d)
         .select(col("doc_id")).as[Long]
         .map { id =>
-          val g = (id % 251).toInt
-          val v = ((id / 251) % 2).toInt
+          // BLOCK-LOCAL groups (consecutive-id blocks of 20, ~constant
+          // group size at ANY corpus size) rather than a fixed modulus: a
+          // modulus fixes the group COUNT, so group sizes — and true-pair
+          // mass — grow quadratically with the corpus, and ScaleBench's
+          // id-strided replicas all land in the same groups (the ×M
+          // corpus degenerates to M× denser cliques, pairs ~M²). Block
+          // groups keep ~190 pairs per 20-doc block forever, and replicas
+          // in disjoint id ranges are automatically similarity-breaking —
+          // the honest "more data, same dup rate" shape.
+          val g = id / 20
+          val v = (id % 2).toInt
           // md5-derived per-pixel luma (first digest byte): genuinely
           // independent bits, so cross-group Hamming is ~Binomial(64, ½)
           // and never ≤3 — the near-dup set is exactly the within-group
@@ -178,8 +226,9 @@ object MediaQueries {
     // AUDIO NEAR-DUP DETECTION via REAL fingerprinting — q154's triangle
     // leg for sound, closing text (q52) / image (q154) / audio: each
     // document becomes a deterministic 260-sample mono PCM WAV (group
-    // g = id%251 sets the waveform, variant v = (id/251)%2 perturbs one
-    // sample of frame 0), the batched mapPartitions decode computes the
+    // g = id/20 sets the waveform — q154's block-local geometry, see the
+    // rationale there; variant v = id%2 perturbs one sample of frame 0),
+    // the batched mapPartitions decode computes the
     // 64-bit energy-envelope fingerprint from losslessly-recovered
     // samples (bit f = frame f+1's exact integer energy exceeds frame
     // f's), and pairs within Hamming distance 3 are found through the
@@ -194,8 +243,8 @@ object MediaQueries {
       val media = Tables.documents(s, d)
         .select(col("doc_id")).as[Long]
         .map { id =>
-          val g = (id % 251).toInt
-          val v = ((id / 251) % 2).toInt
+          val g = id / 20
+          val v = (id % 2).toInt
           val md = java.security.MessageDigest.getInstance("MD5")
           val samples = Array.tabulate[Short](65 * 4) { idx =>
             val f = idx / 4
@@ -302,12 +351,40 @@ object MediaQueries {
         |  CAST(unnest(range(0, n_frames)) AS BIGINT) AS frame_id,
         |  CAST(unnest(range(0, n_frames)) * 1000 AS BIGINT) AS offset_ms
         |FROM f ORDER BY doc_id, frame_id""".stripMargin,
+    // AVI raw-DIB mirror: uncompressed frames are lossless, so every pixel
+    // of the per-frame gradient — hence the exact channel sum and the
+    // decoder's sum/(3·npix) division — is predicted arithmetically.
+    "q180_avi_video_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    2 + doc_id % 5 AS w, 1 + doc_id % 4 AS h,
+        |    1 + doc_id % 6 AS nf
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, nf,
+        |    (7 * doc_id + 13 * k + 31 * x + 17 * y) % 256 AS l
+        |  FROM d
+        |  CROSS JOIN range(0, 6) tk(k)
+        |  CROSS JOIN range(0, 7) tx(x)
+        |  CROSS JOIN range(0, 4) ty(y)
+        |  WHERE k < nf AND x < w AND y < h),
+        |a AS (
+        |  SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+        |    any_value(nf) AS nf,
+        |    CAST(3 * SUM(l) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS npix
+        |  FROM px GROUP BY doc_id)
+        |SELECT doc_id, true AS decoded,
+        |  CAST(nf AS INTEGER) AS n_frames,
+        |  CAST(w AS INTEGER) AS vid_width, CAST(h AS INTEGER) AS vid_height,
+        |  CAST(s AS DOUBLE) / (3.0 * npix) AS mean_luma
+        |FROM a ORDER BY doc_id""".stripMargin,
+
     // dHash mirror: PNG is lossless, so every pixel of the pattern fixture
     // — hence every hash bit, band key, candidate, and Hamming distance —
     // is predicted arithmetically from (g, v).
     "q154_image_phash_pairs" ->
       """WITH d0 AS (
-        |  SELECT doc_id, doc_id % 251 AS g, (doc_id // 251) % 2 AS v
+        |  SELECT doc_id, doc_id // 20 AS g, doc_id % 2 AS v
         |  FROM documents),
         |bits AS (
         |  SELECT doc_id, (y * 8 + x) AS i,
@@ -349,7 +426,7 @@ object MediaQueries {
     // arithmetically from (g, v). Same band/hash/cand tail as q154.
     "q155_audio_fp_pairs" ->
       """WITH d0 AS (
-        |  SELECT doc_id, doc_id % 251 AS g, (doc_id // 251) % 2 AS v
+        |  SELECT doc_id, doc_id // 20 AS g, doc_id % 2 AS v
         |  FROM documents),
         |raw AS (
         |  SELECT doc_id, f, j, v,

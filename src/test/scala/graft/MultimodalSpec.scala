@@ -135,6 +135,39 @@ class MultimodalSpec extends SparkSuite {
     assert(!bad.decoded && bad.n_frames == -1)
   }
 
+  test("decodeAviVideoFeatures: RIFF demux + raw-DIB exact decode, MJPEG within JPEG tolerance") {
+    import MultimodalOps.MediaRow
+    // raw DIB, odd width (w=3 → stride 12, real row padding) + per-frame
+    // gradient: every pixel recovered exactly through the bottom-up layout
+    val w = 3; val h = 2
+    val frames = Array.tabulate(2) { k =>
+      Array.tabulate(w * h)(i => (40 * k + 10 * i) % 256)
+    }
+    val avi = MultimodalOps.encodeAviRawGray(w, h, frames)
+    val v = MultimodalOps.decodeAviVideoFeatures(
+      MediaRow(0L, "video", avi, "avi", w, h, 200L))
+    assert(v.decoded && v.n_frames == 2)
+    assert(v.vid_width == w && v.vid_height == h)
+    val want = frames.flatten.map(_.toLong).sum.toDouble / (w * h * 2)
+    assert(v.mean_luma == want)
+    // MJPEG through the SAME demuxer: a real lossy codec — frame count
+    // and dimensions exact, solid-frame luma within JPEG quantization
+    // tolerance (solid blocks quantize to near-DC-exact values)
+    val mj = MultimodalOps.encodeAviMjpeg(8, 8, Array(64, 128, 192))
+    val m = MultimodalOps.decodeAviVideoFeatures(
+      MediaRow(1L, "video", mj, "avi", 8, 8, 300L))
+    assert(m.decoded && m.n_frames == 3)
+    assert(m.vid_width == 8 && m.vid_height == 8)
+    assert(math.abs(m.mean_luma - 128.0) < 4.0, s"mjpeg luma ${m.mean_luma}")
+    // garbage bytes and non-AVI payloads: deterministic stub fallback
+    val bad = MultimodalOps.decodeAviVideoFeatures(
+      MediaRow(2L, "video", Array[Byte](9, 9, 9, 9), "avi", 0, 0, 0L))
+    assert(!bad.decoded && bad.n_frames == -1)
+    val gif = MultimodalOps.encodeAnimatedGif(2, 2, Array(0x101010), 10)
+    assert(!MultimodalOps.decodeAviVideoFeatures(
+      MediaRow(3L, "video", gif, "gif", 2, 2, 100L)).decoded)
+  }
+
   test("decodeDHash: bits match the encoded pattern exactly; strict 9x8 contract") {
     // a hand-built 9x8 pattern whose dHash is computable by eye per row:
     // row y alternates ramps so bit(x,y) = [lum(x+1,y) > lum(x,y)] is known
