@@ -144,7 +144,17 @@ object GraphOps {
     * @return (id, component) */
   def connectedComponentsDF(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
     val spark = edges.sparkSession
-    val sym = symmetrize(edges).localCheckpoint()
+    // thread-safety: the partition override goes into a throwaway child
+    // session's private SQLConf, never the caller's. The symmetrize plan's
+    // shuffles execute under the CALLER's (corpus-scale) conf via .rdd —
+    // correct, since the edge derivation is corpus-sized work — and the
+    // child-side wrap is localCheckpointed, so the edges are materialized
+    // ONCE (one Row conversion, single storage) before the loop scans
+    // them 2× per round.
+    val symPlan = symmetrize(edges)
+    val loopSession = spark.newSession()
+    val sym = loopSession.createDataFrame(symPlan.rdd, symPlan.schema)
+      .localCheckpoint()
     // ~100k edges per partition, floored at the cluster's core count,
     // never above the session setting (a conf tuned BELOW the default is
     // respected — the operator only ever shrinks its own stages)
@@ -152,14 +162,8 @@ object GraphOps {
       spark.sessionState.conf.numShufflePartitions,
       math.max(spark.sparkContext.defaultParallelism,
         (sym.count() / 100000L).toInt + 1))
-    // thread-safety: the override goes into a throwaway child session's
-    // private SQLConf, never the caller's. The checkpointed edge RDD is
-    // re-wrapped on each side (cheap — label tables are working-set
-    // sized); the loop's shuffles all run under the child conf.
-    val loopSession = spark.newSession()
     loopSession.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    val symLoop = loopSession.createDataFrame(sym.rdd, sym.schema)
-    val res = connectedComponentsLoop(symLoop, maxRounds)
+    val res = connectedComponentsLoop(sym, maxRounds)
     spark.createDataFrame(res.rdd, res.schema)
   }
 
