@@ -77,6 +77,12 @@ object ScaleBench {
       // the ×10 candidate mass 5.5×; the residual is vector similarity
       // the engine must pay to verify, not blocking waste.
       "q148_hash_embed", "q150_hash_embed_lsh",
+      // r13: the artifact-consuming twin of q150 — its WARM run builds the
+      // EmbedArtifact for the replica corpus (pays q148 once), its STEADY
+      // run is the production consumer shape: bucketed scan replaces the
+      // embed stage, so steady(q179) vs steady(q150) is the measured value
+      // of materializing the embed at each scale
+      "q179_artifact_lsh",
       // r12 additions: the GD trainer (6 scans of a narrow cache — must
       // grow ~M), the histogram quality gate (64-counter aggregate +
       // broadcast join-back — must grow ~M), and the threshold sweep
