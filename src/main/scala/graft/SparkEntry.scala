@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventQueries, GraphQueries, MediaQueries, NlpQueries, RelationalQueries, SenzingQueries, StreamingQueries, TextQueries, VectorQueries}
+import graft.queries.{CurationQueries, EventQueries, GraphQueries, LinkageQueries, MediaQueries, NlpQueries, RelationalQueries, SenzingQueries, StreamingQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +22,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ GraphQueries.queries ++ TextQueries.queries ++
       VectorQueries.queries ++ EventQueries.queries ++ NlpQueries.queries ++
-      MediaQueries.queries ++ SenzingQueries.queries ++ StreamingQueries.queries
+      MediaQueries.queries ++ SenzingQueries.queries ++
+      StreamingQueries.queries ++ LinkageQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ GraphQueries.oracles ++ TextQueries.oracles ++
       VectorQueries.oracles ++ EventQueries.oracles ++ NlpQueries.oracles ++
-      MediaQueries.oracles ++ SenzingQueries.oracles ++ StreamingQueries.oracles
+      MediaQueries.oracles ++ SenzingQueries.oracles ++
+      StreamingQueries.oracles ++ LinkageQueries.oracles ++
+      CurationQueries.oracles
 }

@@ -500,6 +500,32 @@ object VectorQueries {
         .orderBy(col("ia"), col("ib"))
     }),
 
+    // IN-ENGINE PCA: top principal component by an 8-step fixed-iteration
+    // power method ([[graft.ml.Pca]]), projections out — the SemDeDup-
+    // style whitening/ordering direction computed WITHOUT a linear-algebra
+    // library and bit-identical in the oracle. Determinism architecture
+    // (the q168 trainer discipline applied to second moments): moment
+    // sums are per-row fixed-point longs (order-independent), the
+    // covariance numerator is exact decimal/HUGEINT → ONE correctly-
+    // rounded double cast, and the iteration runs UN-normalized from the
+    // all-ones vector in a fixed fold order (normalizing needs sqrt —
+    // libm, the q114 caveat — while C⁸·1 is pure +/·; the uniform λ⁸
+    // scale is harmless to ordering/whitening consumers and mirrored
+    // exactly). Scale shape: ONE corpus pass for the d² moments (the
+    // double explode is map-side combined — each partition emits ≤ 4096
+    // partial rows, the shuffle is partitions×d², never rows×d²), d²
+    // longs of driver state (the LogReg bounded-model shape), one
+    // broadcast-literal projection pass. Exactness bound: |x| ≤ 1 ⇒
+    // int64 moment sums exact to ~9.2e9 rows (the LogReg bound).
+    "q185_embedding_pca" -> ((s, d) => {
+      val e = emb(s, d)
+      val (n, sums, m) = graft.ml.Pca.momentSums(e, "embedding", 64)
+      val w = graft.ml.Pca.powerIterate(graft.ml.Pca.covMatrix(n, sums, m), 8)
+      e.select(col("vec_id"),
+          graft.ml.Pca.projection(col("embedding"), w).as("pc1"))
+        .orderBy(col("vec_id"))
+    }),
+
     // HARD-NEGATIVE MINING — the contrastive-training prep op: for each
     // query vector, the top-5 most-similar vectors carrying a DIFFERENT
     // label (the "looks alike, isn't" pairs an embedding model trains
@@ -1353,8 +1379,60 @@ object VectorQueries {
          |  CAST(SUM(CAST(floor(cos * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    / COUNT(*) AS mean_cos,
          |  MIN(cos) AS min_cos, MAX(cos) AS max_cos
-         |FROM sc GROUP BY label ORDER BY label""".stripMargin
+         |FROM sc GROUP BY label ORDER BY label""".stripMargin,
+
+    // q185: the full fixed-point-moment → covariance → 8 un-normalized
+    // power steps → projection chain unrolled (the q168 trajectory
+    // pattern). Every fold runs in ascending index order — the same
+    // sequence of IEEE ops as ml.Pca's driver loop.
+    "q185_embedding_pca" -> pcaOracleSql
   )
+
+  /** q185's oracle: moments and covariance exactly as ml.Pca computes
+    * them (fixed-point longs, HUGEINT numerator, one double cast), then
+    * the 8 power steps as list-comprehension matrix·vector products with
+    * left-fold ascending-index summation. */
+  private lazy val pcaOracleSql: String = {
+    def matVec(mat: String, v: String) =
+      s"""[list_reduce(
+         |    list_prepend(0.0, list_transform(range(64),
+         |      j -> $mat[CAST(i AS INTEGER)+1][CAST(j AS INTEGER)+1]
+         |             * $v[CAST(j AS INTEGER)+1])),
+         |    (a, b) -> a + b) for i in range(64)]""".stripMargin
+    val steps = (1 to 8).map { k =>
+      s"v$k AS (SELECT ${matVec("mat", "v")} AS v FROM cm, v${k - 1})"
+    }.mkString(",\n")
+    s"""WITH mom AS (
+       |  SELECT i, j,
+       |    CAST(SUM(CAST(floor(CAST(embedding[CAST(i AS INTEGER)+1] AS DOUBLE)
+       |      * CAST(embedding[CAST(j AS INTEGER)+1] AS DOUBLE) * 1e9)
+       |      AS BIGINT)) AS BIGINT) AS s
+       |  FROM embeddings, range(64) ti(i), range(64) tj(j)
+       |  GROUP BY i, j),
+       |mm AS (
+       |  SELECT i,
+       |    CAST(SUM(CAST(floor(CAST(embedding[CAST(i AS INTEGER)+1] AS DOUBLE)
+       |      * 1e9) AS BIGINT)) AS BIGINT) AS m,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM embeddings, range(64) ti(i) GROUP BY i),
+       |c AS (
+       |  SELECT mom.i, mom.j,
+       |    (CAST(ma.n AS DOUBLE) * CAST(mom.s AS DOUBLE) * 1e9
+       |        - CAST(ma.m AS DOUBLE) * CAST(mb.m AS DOUBLE))
+       |      / (CAST(ma.n AS DOUBLE) * CAST(ma.n AS DOUBLE) * 1e18) AS cv
+       |  FROM mom JOIN mm ma ON ma.i = mom.i JOIN mm mb ON mb.i = mom.j),
+       |crow AS (SELECT i, list(cv ORDER BY j) AS vals FROM c GROUP BY i),
+       |cm AS (SELECT list(vals ORDER BY i) AS mat FROM crow),
+       |v0 AS (SELECT list_transform(range(64), x -> 1.0) AS v),
+       |$steps
+       |SELECT vec_id,
+       |  list_reduce(
+       |    list_prepend(0.0, list_transform(range(64),
+       |      i -> CAST(embedding[CAST(i AS INTEGER)+1] AS DOUBLE)
+       |             * v[CAST(i AS INTEGER)+1])),
+       |    (a, b) -> a + b) AS pc1
+       |FROM embeddings, v8 ORDER BY vec_id""".stripMargin
+  }
 
   /** Shared DuckDB mirror of [[VectorOps.hashEmbedLong]] at dim 64
     * (q148/q149/q150): `hemb` = (doc_id, pos, val) — hashed tf·idf with

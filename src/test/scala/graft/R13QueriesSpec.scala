@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-13 operators (q181–q184). The DuckDB
+  * gate pins exact values at sf0.01; these pin the properties that must
+  * hold on ANY corpus — the Fellegi–Sunter fixture arithmetic, the
+  * blocking-report identities, the snapshot-diff partition of the corpus,
+  * and the curriculum's monotonicity.
+  */
+class R13QueriesSpec extends SparkSuite {
+  import SparkSpec.sf0001
+
+  // ---- q181 ----------------------------------------------------------------
+
+  test("q181: only positive scores out; true-pair agreement vector matches the fixture arithmetic") {
+    val r = SparkEntry.queries("q181_fs_linkage")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getAs[Double]("score") > 0.0, s"row $row"))
+    // rows that ARE true pairs (ra = 2k even, rb = ra+1): the agreement
+    // booleans are predicted by the perturbation residues
+    val truePairs = r.filter(row =>
+      row.getAs[Long]("ra") % 2 == 0 &&
+        row.getAs[Long]("rb") == row.getAs[Long]("ra") + 1)
+    assert(truePairs.nonEmpty)
+    truePairs.foreach { row =>
+      val k = row.getAs[Long]("ra") / 2
+      assert(k % 3 == 0)
+      assert(row.getAs[Boolean]("name_eq") === (k % 6 != 0), s"k=$k")
+      assert(row.getAs[Boolean]("seg_eq") === (k % 12 != 0), s"k=$k")
+      assert(row.getAs[Boolean]("bal_close") === (k % 5 <= 2), s"k=$k")
+    }
+  }
+
+  test("q181: every fully-agreeing blocked true pair is in the output") {
+    val out = SparkEntry.queries("q181_fs_linkage")(spark, sf0001).collect()
+      .map(row => (row.getAs[Long]("ra"), row.getAs[Long]("rb"))).toSet
+    val n = Tables.customer(spark, sf0001).agg(max(col("c_custkey")))
+      .collect().head.getLong(0)
+    // k%3==0 (B exists), k%15!=0 (nation block holds), and all three
+    // fields agree → the FS score is the maximal pattern, necessarily > 0
+    val expect = (0L to n).filter(k =>
+      k % 3 == 0 && k % 15 != 0 && k % 6 != 0 && k % 12 != 0 && k % 5 <= 2)
+    assert(expect.nonEmpty)
+    expect.foreach(k => assert(out.contains((2 * k, 2 * k + 1)), s"k=$k"))
+  }
+
+  // ---- q182 ----------------------------------------------------------------
+
+  test("q182: name_block captures all true pairs; composite completeness equals nation's; candidate-mass ordering") {
+    val r = SparkEntry.queries("q182_blocking_quality")(spark, sf0001)
+      .collect().map(row => row.getAs[String]("scheme") -> row).toMap
+    assert(r.keySet === Set("nation", "name_block", "composite"))
+    r.values.foreach { row =>
+      val rr = row.getAs[Double]("reduction_ratio")
+      assert(rr >= 0.0 && rr <= 1.0)
+      assert(row.getAs[Long]("captured") <= row.getAs[Long]("true_pairs"))
+    }
+    // the ±5 name-digit flip never crosses a /200 block boundary
+    assert(r("name_block").getAs[Double]("pair_completeness") === 1.0)
+    // nation is broken exactly on the mod-15 set, name never — so the
+    // composite's misses are exactly nation's misses
+    assert(r("composite").getAs[Long]("captured") ===
+      r("nation").getAs[Long]("captured"))
+    assert(r("nation").getAs[Double]("pair_completeness") < 1.0)
+    // intersecting keys only shrinks blocks
+    assert(r("composite").getAs[Long]("candidate_pairs") <=
+      math.min(r("nation").getAs[Long]("candidate_pairs"),
+        r("name_block").getAs[Long]("candidate_pairs")))
+  }
+
+  // ---- q183 ----------------------------------------------------------------
+
+  test("q183: statuses partition both snapshots; counts match the residue arithmetic") {
+    val r = SparkEntry.queries("q183_snapshot_diff")(spark, sf0001).collect()
+    val byStatus = r.groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val ids = Tables.documents(spark, sf0001).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val removed = ids.count(_ % 13 == 0).toLong
+    val changed = ids.count(i => i % 7 == 0 && i % 13 != 0).toLong
+    val added = ids.count(_ % 11 == 0).toLong
+    assert(byStatus.getOrElse("removed", 0L) === removed)
+    assert(byStatus.getOrElse("changed", 0L) === changed)
+    assert(byStatus.getOrElse("added", 0L) === added)
+    assert(byStatus.getOrElse("unchanged", 0L) ===
+      ids.length - removed - changed)
+  }
+
+  // ---- q184 ----------------------------------------------------------------
+
+  test("q184: 4 stages per source covering every doc; rank order is avg-quality order; stages ordered within source") {
+    val r = SparkEntry.queries("q184_curriculum_order")(spark, sf0001).collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    val sources = r.map(_.getAs[String]("source")).distinct
+    sources.foreach { src =>
+      val stages = r.filter(_.getAs[String]("source") == src)
+        .sortBy(_.getAs[Int]("stage"))
+      assert(stages.map(_.getAs[Int]("stage")).toSeq === Seq(1, 2, 3, 4))
+      // ntile orders by quality ascending → stage means non-decreasing
+      val avgs = stages.map(_.getAs[Double]("avg_quality")).toSeq
+      assert(avgs === avgs.sorted, s"source $src: $avgs")
+    }
+    // curriculum_rank is the global easiest-first order
+    val ranked = r.sortBy(_.getAs[Int]("curriculum_rank"))
+      .map(_.getAs[Double]("avg_quality")).toSeq
+    assert(ranked === ranked.sorted.reverse)
+  }
+
+  // ---- q185 / ml.Pca ------------------------------------------------------
+
+  test("Pca: power iteration finds the dominant axis of a synthetic anisotropic cloud") {
+    val s = spark
+    import s.implicits._
+    // variance concentrated on dim 7: x7 = ±1 alternating, other dims a
+    // small deterministic ripple — the top principal axis is e7 up to sign
+    val rows = (0 until 200).map { r =>
+      (r.toLong, Array.tabulate(16) { i =>
+        if (i == 7) (if (r % 2 == 0) 1.0f else -1.0f)
+        else ((r * 31 + i * 17) % 7 - 3) / 100.0f
+      })
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val (n, sums, m) = graft.ml.Pca.momentSums(df, "embedding", 16)
+    assert(n === 200L)
+    val w = graft.ml.Pca.powerIterate(graft.ml.Pca.covMatrix(n, sums, m), 8)
+    val dom = math.abs(w(7))
+    val rest = w.zipWithIndex.filter(_._2 != 7).map(x => math.abs(x._1)).max
+    assert(dom > 50 * rest, s"w = ${w.mkString(",")}")
+    // projections recover the ±1 alternation ordering
+    val proj = df.select(col("vec_id"),
+        graft.ml.Pca.projection(col("embedding"), w).as("p"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("p"))
+    val even = proj.filter(_._1 % 2 == 0).map(_._2)
+    val odd = proj.filter(_._1 % 2 == 1).map(_._2)
+    assert(even.forall(p => odd.forall(q => (p > 0) != (q > 0))),
+      "even/odd rows must project to opposite signs")
+  }
+
+  test("q185: projections are non-degenerate and deterministic across runs") {
+    val a = SparkEntry.queries("q185_embedding_pca")(spark, sf0001).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.getAs[Double]("pc1")).distinct.length > 1)
+    val b = SparkEntry.queries("q185_embedding_pca")(spark, sf0001).collect()
+    assert(a.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      b.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+}
