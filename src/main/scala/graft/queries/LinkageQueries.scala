@@ -32,18 +32,17 @@ import graft.Tables
   */
 object LinkageQueries {
 
-  /** Dirty-duplicate record table: (rec_id, src, name, digits, nat, seg,
-    * bal). rec_id = 2·custkey (+1 for the B duplicate) keeps A/B ids
-    * disjoint and order-stable. `digits` is parsed back OUT of the name
-    * string (the blocking key must derive from the observed field, not the
-    * hidden key). */
-  private def records(s: SparkSession, d: String): DataFrame = {
-    val c = Tables.customer(s, d)
-    val a = c.select(
+  /** A-side records: the customers verbatim. */
+  private[queries] def aRecords(c: DataFrame): DataFrame =
+    c.select(
       (col("c_custkey") * 2).as("rec_id"), lit("A").as("src"),
       col("c_name").as("name"), col("c_nationkey").as("nat"),
       col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
-    // B-side field noise, all arithmetic in custkey
+
+  /** B-side dirty duplicates — field noise all arithmetic in custkey.
+    * Works on a batch OR streaming customer frame (pure projections), so
+    * q186 streams the same fixture the oracle re-derives. */
+  private[queries] def bRecords(c: DataFrame): DataFrame = {
     val k = col("c_custkey")
     val dLast = k % 10
     val nameNum = when(k % 6 === 0, k - dLast + (dLast + 5) % 10).otherwise(k)
@@ -54,7 +53,7 @@ object LinkageQueries {
         when(col("c_mktsegment") === sg,
           lit(segRing((i + 1) % segRing.length))).otherwise(acc)
     }
-    val b = c.filter(k % 3 === 0).select(
+    c.filter(k % 3 === 0).select(
       (k * 2 + 1).as("rec_id"), lit("B").as("src"),
       concat(lit("Customer#"),
         lpad(nameNum.cast("string"), 9, "0")).as("name"),
@@ -62,8 +61,53 @@ object LinkageQueries {
         .otherwise(col("c_nationkey")).as("nat"),
       when(k % 12 === 0, segNext).otherwise(col("c_mktsegment")).as("seg"),
       (col("c_acctbal") + (k % 5).cast("double") * 0.37).as("bal"))
-    a.unionByName(b)
-      .withColumn("digits", substring(col("name"), 10, 9).cast("long"))
+  }
+
+  /** Blocking keys: `digits` parsed back OUT of the name string (the
+    * blocking key must derive from the observed field, not the hidden
+    * key), `blk` = ⌊digits/200⌋. */
+  private[queries] def withKeys(r: DataFrame): DataFrame =
+    r.withColumn("digits", substring(col("name"), 10, 9).cast("long"))
+      .withColumn("blk", (col("digits") / 200).cast("long"))
+
+  /** Dirty-duplicate record table: (rec_id, src, name, nat, seg, bal,
+    * digits, blk). rec_id = 2·custkey (+1 for the B duplicate) keeps A/B
+    * ids disjoint and order-stable. */
+  private def records(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    withKeys(aRecords(c).unionByName(bRecords(c)))
+  }
+
+  /** Agreement projection for a blocked pair join: (ra, rb, name_eq,
+    * seg_eq, bal_close) from `a`-prefixed × `b`-prefixed field columns. */
+  private[queries] def agreementCols(df: DataFrame): DataFrame =
+    df.select(col("ra"), col("rb"),
+      (col("name_a") === col("name_b")).as("name_eq"),
+      (col("seg_a") === col("seg_b")).as("seg_eq"),
+      (abs(col("bal_a") - col("bal_b")) <= 1.0).as("bal_close"))
+
+  /** The six FS weights as a 1-row frame from a candidate comparison
+    * space: u_f counted from `cand` itself, m constants 9/10 (name),
+    * 19/20 (segment), 9/10 (balance); every ln an IntLn of a pair count. */
+  private[queries] def fsWeights(cand: DataFrame): DataFrame = {
+    val agg = cand.agg(
+      count(lit(1)).as("p"),
+      sum(when(col("name_eq"), 1L).otherwise(0L)).as("a_name"),
+      sum(when(col("seg_eq"), 1L).otherwise(0L)).as("a_seg"),
+      sum(when(col("bal_close"), 1L).otherwise(0L)).as("a_bal"))
+    def w(mNum: Long, mDen: Long, a: org.apache.spark.sql.Column) = (
+      IntLn.iln1e9(lit(mNum)) - IntLn.iln1e9(lit(mDen))
+        + IntLn.iln1e9(col("p")) - IntLn.iln1e9(greatest(a, lit(1L))),
+      IntLn.iln1e9(lit(mDen - mNum)) - IntLn.iln1e9(lit(mDen))
+        + IntLn.iln1e9(col("p"))
+        - IntLn.iln1e9(greatest(col("p") - a, lit(1L))))
+    val (wNameA, wNameD) = w(9, 10, col("a_name"))
+    val (wSegA, wSegD) = w(19, 20, col("a_seg"))
+    val (wBalA, wBalD) = w(9, 10, col("a_bal"))
+    agg.select(
+      wNameA.as("w_name_a"), wNameD.as("w_name_d"),
+      wSegA.as("w_seg_a"), wSegD.as("w_seg_d"),
+      wBalA.as("w_bal_a"), wBalD.as("w_bal_d"))
   }
 
   /** The records fixture as a DuckDB CTE (`rec`) — field-for-field the twin
@@ -116,39 +160,16 @@ object LinkageQueries {
     // bounds the iln domain at ~10^17 records — document-scale safe.
     "q181_fs_linkage" -> ((s, d) => {
       val r = records(s, d)
-        .withColumn("blk", (col("digits") / 200).cast("long"))
       val left = r.select(col("rec_id").as("ra"), col("blk"), col("nat"),
         col("name").as("name_a"), col("seg").as("seg_a"),
         col("bal").as("bal_a"))
       val right = r.select(col("rec_id").as("rb"), col("blk"), col("nat"),
         col("name").as("name_b"), col("seg").as("seg_b"),
         col("bal").as("bal_b"))
-      val cand = left.join(right, Seq("blk", "nat"))
-        .filter(col("ra") < col("rb"))
-        .select(col("ra"), col("rb"),
-          (col("name_a") === col("name_b")).as("name_eq"),
-          (col("seg_a") === col("seg_b")).as("seg_eq"),
-          (abs(col("bal_a") - col("bal_b")) <= 1.0).as("bal_close"))
+      val cand = agreementCols(
+        left.join(right, Seq("blk", "nat")).filter(col("ra") < col("rb")))
         .localCheckpoint() // scanned twice: u-estimation + scoring
-      val agg = cand.agg(
-        count(lit(1)).as("p"),
-        sum(when(col("name_eq"), 1L).otherwise(0L)).as("a_name"),
-        sum(when(col("seg_eq"), 1L).otherwise(0L)).as("a_seg"),
-        sum(when(col("bal_close"), 1L).otherwise(0L)).as("a_bal"))
-      def w(mNum: Long, mDen: Long, a: org.apache.spark.sql.Column) = (
-        IntLn.iln1e9(lit(mNum)) - IntLn.iln1e9(lit(mDen))
-          + IntLn.iln1e9(col("p")) - IntLn.iln1e9(greatest(a, lit(1L))),
-        IntLn.iln1e9(lit(mDen - mNum)) - IntLn.iln1e9(lit(mDen))
-          + IntLn.iln1e9(col("p"))
-          - IntLn.iln1e9(greatest(col("p") - a, lit(1L))))
-      val (wNameA, wNameD) = w(9, 10, col("a_name"))
-      val (wSegA, wSegD) = w(19, 20, col("a_seg"))
-      val (wBalA, wBalD) = w(9, 10, col("a_bal"))
-      val weights = agg.select(
-        wNameA.as("w_name_a"), wNameD.as("w_name_d"),
-        wSegA.as("w_seg_a"), wSegD.as("w_seg_d"),
-        wBalA.as("w_bal_a"), wBalD.as("w_bal_d"))
-      cand.crossJoin(broadcast(weights))
+      cand.crossJoin(broadcast(fsWeights(cand)))
         .withColumn("score_fp",
           when(col("name_eq"), col("w_name_a")).otherwise(col("w_name_d"))
             + when(col("seg_eq"), col("w_seg_a")).otherwise(col("w_seg_d"))
@@ -175,7 +196,6 @@ object LinkageQueries {
     // localCheckpointed record set.
     "q182_blocking_quality" -> ((s, d) => {
       val r = records(s, d)
-        .withColumn("blk", (col("digits") / 200).cast("long"))
         .localCheckpoint() // shared by 3 block counts + the truth join
       val n = r.count()
       val totalPairs = java.math.BigDecimal.valueOf(n)
@@ -218,6 +238,51 @@ object LinkageQueries {
         .orderBy(col("scheme"))
     }))
 
+  /** Agreement-count aggregate body (caller appends the source relation). */
+  private[queries] val aggFromSql =
+    """
+      |  SELECT COUNT(*) AS p,
+      |    SUM(CASE WHEN name_eq THEN 1 ELSE 0 END) AS a_name,
+      |    SUM(CASE WHEN seg_eq THEN 1 ELSE 0 END) AS a_seg,
+      |    SUM(CASE WHEN bal_close THEN 1 ELSE 0 END) AS a_bal
+      |  FROM""".stripMargin
+
+  /** The six-weight CTE over `agg` — the SQL twin of [[fsWeights]],
+    * shared by q181 (weights from the full candidate space) and q186
+    * (weights calibrated on the static A–A reference pairs). */
+  private[queries] val wCteSql =
+    s"""w AS (
+       |  SELECT
+       |    ${IntLn.iln1e9Sql("9")} - ${IntLn.iln1e9Sql("10")}
+       |      + ${IntLn.iln1e9Sql("p")}
+       |      - ${IntLn.iln1e9Sql("greatest(a_name, 1)")} AS w_name_a,
+       |    ${IntLn.iln1e9Sql("1")} - ${IntLn.iln1e9Sql("10")}
+       |      + ${IntLn.iln1e9Sql("p")}
+       |      - ${IntLn.iln1e9Sql("greatest(p - a_name, 1)")} AS w_name_d,
+       |    ${IntLn.iln1e9Sql("19")} - ${IntLn.iln1e9Sql("20")}
+       |      + ${IntLn.iln1e9Sql("p")}
+       |      - ${IntLn.iln1e9Sql("greatest(a_seg, 1)")} AS w_seg_a,
+       |    ${IntLn.iln1e9Sql("1")} - ${IntLn.iln1e9Sql("20")}
+       |      + ${IntLn.iln1e9Sql("p")}
+       |      - ${IntLn.iln1e9Sql("greatest(p - a_seg, 1)")} AS w_seg_d,
+       |    ${IntLn.iln1e9Sql("9")} - ${IntLn.iln1e9Sql("10")}
+       |      + ${IntLn.iln1e9Sql("p")}
+       |      - ${IntLn.iln1e9Sql("greatest(a_bal, 1)")} AS w_bal_a,
+       |    ${IntLn.iln1e9Sql("1")} - ${IntLn.iln1e9Sql("10")}
+       |      + ${IntLn.iln1e9Sql("p")}
+       |      - ${IntLn.iln1e9Sql("greatest(p - a_bal, 1)")} AS w_bal_d
+       |  FROM agg)""".stripMargin
+
+  /** FS score in 1e9 fixed point (the CASE sum both oracles filter and
+    * emit). */
+  private[queries] val scoreExprSql =
+    """CASE WHEN name_eq THEN w_name_a ELSE w_name_d END
+      |     + CASE WHEN seg_eq THEN w_seg_a ELSE w_seg_d END
+      |     + CASE WHEN bal_close THEN w_bal_a ELSE w_bal_d END""".stripMargin
+
+  /** The records CTE re-exported for the streaming twin's oracle. */
+  private[queries] def recordsCteSql: String = recordsSql
+
   def oracles: Map[String, String] = Map(
     "q181_fs_linkage" ->
       s"""WITH $recordsSql,
@@ -229,42 +294,12 @@ object LinkageQueries {
          |    abs(a.bal - b.bal) <= 1.0 AS bal_close
          |  FROM r a JOIN r b ON a.blk = b.blk AND a.nat = b.nat
          |    AND a.rec_id < b.rec_id),
-         |agg AS (
-         |  SELECT COUNT(*) AS p,
-         |    SUM(CASE WHEN name_eq THEN 1 ELSE 0 END) AS a_name,
-         |    SUM(CASE WHEN seg_eq THEN 1 ELSE 0 END) AS a_seg,
-         |    SUM(CASE WHEN bal_close THEN 1 ELSE 0 END) AS a_bal
-         |  FROM cand),
-         |w AS (
-         |  SELECT
-         |    ${IntLn.iln1e9Sql("9")} - ${IntLn.iln1e9Sql("10")}
-         |      + ${IntLn.iln1e9Sql("p")}
-         |      - ${IntLn.iln1e9Sql("greatest(a_name, 1)")} AS w_name_a,
-         |    ${IntLn.iln1e9Sql("1")} - ${IntLn.iln1e9Sql("10")}
-         |      + ${IntLn.iln1e9Sql("p")}
-         |      - ${IntLn.iln1e9Sql("greatest(p - a_name, 1)")} AS w_name_d,
-         |    ${IntLn.iln1e9Sql("19")} - ${IntLn.iln1e9Sql("20")}
-         |      + ${IntLn.iln1e9Sql("p")}
-         |      - ${IntLn.iln1e9Sql("greatest(a_seg, 1)")} AS w_seg_a,
-         |    ${IntLn.iln1e9Sql("1")} - ${IntLn.iln1e9Sql("20")}
-         |      + ${IntLn.iln1e9Sql("p")}
-         |      - ${IntLn.iln1e9Sql("greatest(p - a_seg, 1)")} AS w_seg_d,
-         |    ${IntLn.iln1e9Sql("9")} - ${IntLn.iln1e9Sql("10")}
-         |      + ${IntLn.iln1e9Sql("p")}
-         |      - ${IntLn.iln1e9Sql("greatest(a_bal, 1)")} AS w_bal_a,
-         |    ${IntLn.iln1e9Sql("1")} - ${IntLn.iln1e9Sql("10")}
-         |      + ${IntLn.iln1e9Sql("p")}
-         |      - ${IntLn.iln1e9Sql("greatest(p - a_bal, 1)")} AS w_bal_d
-         |  FROM agg)
+         |agg AS ($aggFromSql cand),
+         |$wCteSql
          |SELECT ra, rb, name_eq, seg_eq, bal_close,
-         |  CAST((CASE WHEN name_eq THEN w_name_a ELSE w_name_d END
-         |      + CASE WHEN seg_eq THEN w_seg_a ELSE w_seg_d END
-         |      + CASE WHEN bal_close THEN w_bal_a ELSE w_bal_d END)
-         |    AS DOUBLE) / 1e9 AS score
+         |  CAST(($scoreExprSql) AS DOUBLE) / 1e9 AS score
          |FROM cand, w
-         |WHERE (CASE WHEN name_eq THEN w_name_a ELSE w_name_d END
-         |     + CASE WHEN seg_eq THEN w_seg_a ELSE w_seg_d END
-         |     + CASE WHEN bal_close THEN w_bal_a ELSE w_bal_d END) > 0
+         |WHERE ($scoreExprSql) > 0
          |ORDER BY ra, rb""".stripMargin,
     "q182_blocking_quality" ->
       s"""WITH $recordsSql,

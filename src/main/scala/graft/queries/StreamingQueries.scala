@@ -120,7 +120,60 @@ object StreamingQueries {
       // +1 day: a row at exactly epoch 0 is "late" against the initial
       // watermark (ts <= wm drops it) and doc 0 would silently vanish
 
+  private def customerStream(s: SparkSession, d: String): DataFrame =
+    s.readStream
+      .schema("c_custkey LONG, c_name STRING, c_nationkey INT, " +
+        "c_acctbal DOUBLE, c_mktsegment STRING")
+      .parquet(s"$d/{customer}.parquet")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // STREAMING RECORD LINKAGE — q181's deployment shape: Fellegi–Sunter
+    // weights are CALIBRATED ON THE STATIC REFERENCE (u counted from the
+    // blocked A–A pairs of the reference corpus — "yesterday's pairs score
+    // today's stream"; six longs of driver state riding the plan as
+    // literals, the LogReg bounded-model shape), then arriving B-records
+    // are scored by a stateless STREAM–STATIC join on the same composite
+    // blocking key. No watermark, no state store: blocking bounds each
+    // arriving record's comparison fan-out to its (constant-size) block,
+    // so per-record cost is flat at any corpus size, and the oracle is the
+    // equivalent batch join — weights included — under the hash gate.
+    "q186_stream_linkage" -> ((s, d) => {
+      val rA = LinkageQueries.withKeys(
+        LinkageQueries.aRecords(graft.Tables.customer(s, d)))
+        .localCheckpoint() // static side: A–A calibration + the stream join
+      val aa = LinkageQueries.agreementCols(
+        rA.select(col("rec_id").as("ra"), col("blk"), col("nat"),
+            col("name").as("name_a"), col("seg").as("seg_a"),
+            col("bal").as("bal_a"))
+          .join(rA.select(col("rec_id").as("rb"), col("blk"), col("nat"),
+            col("name").as("name_b"), col("seg").as("seg_b"),
+            col("bal").as("bal_b")), Seq("blk", "nat"))
+          .filter(col("ra") < col("rb")))
+      val w = LinkageQueries.fsWeights(aa).collect()(0)
+      def wl(n: String) = lit(w.getAs[Long](n))
+      val bStream = LinkageQueries.withKeys(
+        LinkageQueries.bRecords(customerStream(s, d)))
+        .select(col("rec_id").as("rb"), col("blk"), col("nat"),
+          col("name").as("name_b"), col("seg").as("seg_b"),
+          col("bal").as("bal_b"))
+      val scored = LinkageQueries.agreementCols(
+        bStream.join(
+          rA.select(col("rec_id").as("ra"), col("blk"), col("nat"),
+            col("name").as("name_a"), col("seg").as("seg_a"),
+            col("bal").as("bal_a")), Seq("blk", "nat")))
+        .withColumn("score_fp",
+          when(col("name_eq"), wl("w_name_a")).otherwise(wl("w_name_d"))
+            + when(col("seg_eq"), wl("w_seg_a")).otherwise(wl("w_seg_d"))
+            + when(col("bal_close"), wl("w_bal_a"))
+              .otherwise(wl("w_bal_d")))
+        .filter(col("score_fp") > 0)
+        .select(col("ra"), col("rb"), col("name_eq"), col("seg_eq"),
+          col("bal_close"),
+          (col("score_fp").cast("double") / 1e9).as("score"))
+      runToTable(scored, "q186_stream_linkage", "append")
+        .orderBy(col("ra"), col("rb"))
+    }),
 
     // Tumbling-window aggregation executed BY THE STREAMING ENGINE
     // (StateStore aggregation, not batch HashAggregate); same oracle text
@@ -517,6 +570,34 @@ object StreamingQueries {
     "list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0)"
 
   def oracles: Map[String, String] = Map(
+
+    // q186: batch twin of the stream-static linkage — weights from the
+    // A–A reference pairs, scores over the A×B blocked pairs.
+    "q186_stream_linkage" ->
+      s"""WITH ${LinkageQueries.recordsCteSql},
+         |r AS (SELECT rec_id, src, name, nat, seg, bal,
+         |    digits // 200 AS blk
+         |  FROM recd),
+         |aa AS (
+         |  SELECT a.rec_id AS ra, b.rec_id AS rb,
+         |    a.name = b.name AS name_eq, a.seg = b.seg AS seg_eq,
+         |    abs(a.bal - b.bal) <= 1.0 AS bal_close
+         |  FROM r a JOIN r b ON a.blk = b.blk AND a.nat = b.nat
+         |    AND a.rec_id < b.rec_id
+         |  WHERE a.src = 'A' AND b.src = 'A'),
+         |agg AS (${LinkageQueries.aggFromSql} aa),
+         |${LinkageQueries.wCteSql},
+         |ab AS (
+         |  SELECT a.rec_id AS ra, b.rec_id AS rb,
+         |    a.name = b.name AS name_eq, a.seg = b.seg AS seg_eq,
+         |    abs(a.bal - b.bal) <= 1.0 AS bal_close
+         |  FROM r a JOIN r b ON a.blk = b.blk AND a.nat = b.nat
+         |  WHERE a.src = 'A' AND b.src = 'B')
+         |SELECT ra, rb, name_eq, seg_eq, bal_close,
+         |  CAST((${LinkageQueries.scoreExprSql}) AS DOUBLE) / 1e9 AS score
+         |FROM ab, w
+         |WHERE (${LinkageQueries.scoreExprSql}) > 0
+         |ORDER BY ra, rb""".stripMargin,
     // Identical to q29's oracle: the streaming engine must reproduce the
     // batch tumbling aggregation bit-for-bit.
     "q60_stream_tumbling" ->

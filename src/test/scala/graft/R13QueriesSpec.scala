@@ -138,6 +138,23 @@ class R13QueriesSpec extends SparkSuite {
       "even/odd rows must project to opposite signs")
   }
 
+  test("q186: stream-static linkage emits the fully-agreeing true pairs with positive scores") {
+    val r = SparkEntry.queries("q186_stream_linkage")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Double]("score") > 0.0)
+      // stream side is B-records only: rb is always a B id, ra an A id
+      assert(row.getAs[Long]("rb") % 2 === 1L)
+      assert(row.getAs[Long]("ra") % 2 === 0L)
+    }
+    val out = r.map(row => (row.getAs[Long]("ra"), row.getAs[Long]("rb"))).toSet
+    val n = Tables.customer(spark, sf0001).agg(max(col("c_custkey")))
+      .collect().head.getLong(0)
+    val expect = (0L to n).filter(k =>
+      k % 3 == 0 && k % 15 != 0 && k % 6 != 0 && k % 12 != 0 && k % 5 <= 2)
+    expect.foreach(k => assert(out.contains((2 * k, 2 * k + 1)), s"k=$k"))
+  }
+
   test("q185: projections are non-degenerate and deterministic across runs") {
     val a = SparkEntry.queries("q185_embedding_pca")(spark, sf0001).collect()
     assert(a.nonEmpty)
