@@ -648,6 +648,114 @@ object VectorQueries {
           min(col("cos")).as("min_cos"),
           max(col("cos")).as("max_cos"))
         .orderBy(col("label"))
+    }),
+
+    // PROTOTYPICALITY PRUNING (coreset selection) — the Sorscher et al.
+    // "Beyond neural scaling laws" data-pruning rule, engine-internal:
+    // cluster the embedding space (q111's deterministic Lloyd), score
+    // every vector by cosine to its final-codebook centroid
+    // (prototypicality), and mark the MOST prototypical 25% of each cell
+    // pruned — with abundant data, the easy/redundant center mass teaches
+    // least, so the keep-set is the hard boundary mass. Ranking is
+    // per-cell (row_number over (cos desc, vec_id)), so no cell is
+    // starved by another's cosine distribution — the q184 per-source
+    // discipline in embedding space. Scale shape: codebook broadcasts
+    // (k·d doubles), scoring is one corpus scan, and the only corpus
+    // shuffle is the per-cell rank window; output is N rows of
+    // (id, cell, score, verdict) a downstream filter consumes.
+    "q187_prototype_prune" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      // members feed two subtrees (the fixed-point centroids AND the
+      // scoring join): materialize the k-means assignment once — the q112
+      // cells discipline
+      val member = e.select(col("vec_id"), col("embedding"))
+        .join(VectorOps.kmeansAssign(e, 8, 2), Seq("vec_id"))
+        .localCheckpoint()
+      // score against the FIXED-POINT per-cluster centroid, not the
+      // DECIMAL codebook mean (see fixedPointCentroids: decimal→double
+      // is ~1 ULP engine-dependent — fine under q111's argmin gate,
+      // visible in a hash-gated cosine)
+      val cents = fixedPointCentroids(member, "cluster")
+      val scored = member
+        .join(broadcast(cents), Seq("cluster"))
+        .select(col("vec_id"), col("cluster"),
+          VectorOps.cosine(col("embedding"), col("centroid"))
+            .as("proto_cos"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cluster"))
+            .orderBy(col("proto_cos").desc, col("vec_id").asc)))
+        .withColumn("cell_n",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .select(col("vec_id"), col("cluster"), col("proto_cos"),
+          col("rn").cast("int").as("rn"),
+          (col("rn") <= floor(col("cell_n").cast("double") / 4.0))
+            .as("pruned"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // IVF CELL-BALANCE REPORT — index-health diagnostics for the ANN
+    // family (q28/q54/q112/q138/q170): per-cell population under the
+    // corpus-derived k ∝ N codebook (q112's dial), reduced to the numbers
+    // that price probe latency — empty-cell count (wasted codebook),
+    // min/max/avg population, and imbalance = max/avg (the tail-latency
+    // multiplier: a probe landing in the fattest cell scans imbalance×
+    // the average inverted list). Scale shape: assignment is the q111
+    // broadcast-codebook scan, the report is a k-row aggregate collapsed
+    // to ONE row — nothing corpus-sized ever reaches the driver.
+    "q188_ivf_balance" -> ((s, d) => {
+      val e = emb(s, d)
+      val n = e.count()
+      val k = math.min(n, math.max(8L, math.ceil(n / 64.0).toLong)).toInt
+      VectorOps.kmeansAssign(e, k, 2)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+        .agg(
+          lit(k.toLong).as("cells_seeded"),
+          count(lit(1)).as("cells_used"),
+          (lit(k.toLong) - count(lit(1))).as("cells_empty"),
+          sum(col("sz")).as("n_vecs"),
+          min(col("sz")).as("min_size"),
+          max(col("sz")).as("max_size"),
+          (sum(col("sz")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_size"),
+          (max(col("sz")).cast("double") * count(lit(1)).cast("double")
+            / sum(col("sz")).cast("double")).as("imbalance"))
+    }),
+
+    // JOHNSON–LINDENSTRAUSS ±1 PROJECTION + distortion report — the
+    // dimensionality-reduction dial for every downstream distance op:
+    // project 64-dim embeddings to 16 dims through a deterministic ±1
+    // sign matrix (sign(j,i) = md5("jl|j|i") parity — the
+    // lshSignatureSalted hash-family discipline, recomputable in ANSI
+    // SQL), then report per-pair distance preservation on the fixed
+    // 32-vector slice (q25's bounded-query discipline):
+    // ratio = ||Rx−Ry|| / (√16·||x−y||) ≈ 1 is the JL guarantee. The
+    // projection itself is MAP-ONLY (16 sequential folds over 64 dims per
+    // row, sign literals baked into the plan) — at 100 TB it rides the
+    // ingest scan with zero shuffle, and every later pair/ANN stage pays
+    // 4× less distance arithmetic.
+    "q189_jl_distortion" -> ((s, d) => {
+      val e = emb(s, d).filter(col("vec_id") < 32)
+      val proj = e.select(col("vec_id"), col("embedding"),
+        array((0 until 16).map(j =>
+          aggregate(
+            zip_with(col("embedding"),
+              array((0 until 64).map(i => lit(jlSign(j, i))): _*),
+              (x, sg) => x.cast("double") * sg),
+            lit(0.0), (acc, x) => acc + x)): _*).as("proj"))
+      val a = proj.select(col("vec_id").as("ia"),
+        col("embedding").as("ea"), col("proj").as("pa"))
+      val b = proj.select(col("vec_id").as("ib"),
+        col("embedding").as("eb"), col("proj").as("pb"))
+      a.join(b, col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          VectorOps.l2Dist(col("ea"), col("eb")).as("d_orig"),
+          VectorOps.l2Dist(col("pa"), col("pb")).as("d_proj"))
+        .withColumn("ratio",
+          when(col("d_orig") > 0.0,
+            col("d_proj") / (lit(4.0) * col("d_orig"))))
+        .orderBy(col("ia"), col("ib"))
     }))
 
   /** Per-label centroids with fixed-point (floor(x·1e9) int64) per-dimension
@@ -655,15 +763,43 @@ object VectorQueries {
     * q120 (member outliers) and q167 (label cohesion). Output (cell,
     * centroid array<double>). */
   private def fixedPointLabelCentroids(e: DataFrame): DataFrame =
-    e.select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label"), col("pos"))
+    fixedPointCentroids(e, "label").withColumnRenamed("label", "cell")
+
+  /** The same fixed-point means keyed on an arbitrary cell column — q187
+    * scores against per-CLUSTER centroids (k-means cells), q120/q167
+    * against per-label ones. Gated cosine VALUES must come off these, not
+    * the DECIMAL(28,12) codebook means: decimal→double casts differ by
+    * ~1 ULP across engines (the q185 lesson) — fine under an argmin gate,
+    * visible under a hash gate. */
+  private def fixedPointCentroids(df: DataFrame, cellCol: String): DataFrame =
+    df.select(col(cellCol), posexplode(col("embedding")))
+      .groupBy(col(cellCol), col("pos"))
       .agg((sum(floor(col("col").cast("double") * lit(1e9)).cast("long"))
         .cast("double") / lit(1e9) / count(lit(1))).as("mean"))
-      .groupBy(col("label"))
+      .groupBy(col(cellCol))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("mean")))),
         el => el.getField("mean")).as("centroid"))
-      .withColumnRenamed("label", "cell")
+
+  /** JL ±1 sign for (plane j, dim i): parity of the top-60-bit integer of
+    * md5("jl|j|i") — same portable hash family as
+    * [[graft.vector.VectorOps.lshSignatureSalted]]; the engine folds the
+    * signs in as literals, the oracle recomputes them from md5 in SQL. */
+  private def jlSign(j: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl|$j|$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** DuckDB mirror of the q189 projection: plane j of `a` — the same
+    * sequential left-fold over dims with the md5-parity sign recomputed
+    * in SQL (saltedSigSqlN's discipline). */
+  private def jlProjSql(a: String, j: Int) =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * " +
+      s"(CASE WHEN CAST('0x' || substr(md5('jl|$j|' || CAST(i - 1 AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0 " +
+      s"THEN 1.0 ELSE -1.0 END))), (acc, x) -> acc + x)"
 
   /** DuckDB mirror of VectorOps.dot: sequential left-fold of per-element
     * double products (1-indexed lists). */
@@ -1101,6 +1237,74 @@ object VectorQueries {
          |ORDER BY ia, ib""".stripMargin,
     "q28_ivf_knn" -> ivfOracle(nprobe = 1),
     "q54_ivf_multiprobe" -> ivfOracle(nprobe = 2),
+    // Prototypicality prune: the unrolled q111 k-means CTE (af = final
+    // assignment), FIXED-POINT per-cluster centroids (q120's cent/cl CTE
+    // keyed on the k-means cell), cosine to the own-cell centroid,
+    // per-cell (cos desc, vec_id) rank, top-quartile (most prototypical)
+    // marked pruned.
+    "q187_prototype_prune" ->
+      s"""WITH ${kmeansCte(8, 2)},
+         |mem AS (
+         |  SELECT a.vec_id, a.cluster, e.embedding
+         |  FROM af a JOIN embeddings e USING (vec_id)),
+         |cent AS (
+         |  SELECT cluster, i - 1 AS pos,
+         |    CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT))
+         |         AS DOUBLE) / 1e9 / COUNT(*) AS mean
+         |  FROM mem CROSS JOIN range(1, 65) t(i)
+         |  GROUP BY 1, 2),
+         |cl AS (SELECT cluster, list(mean ORDER BY pos) AS centroid
+         |       FROM cent GROUP BY cluster),
+         |sc AS (
+         |  SELECT m.vec_id, m.cluster,
+         |    ${cosSql("m.embedding", "c.centroid")} AS proto_cos
+         |  FROM mem m JOIN cl c USING (cluster)),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+         |      ORDER BY proto_cos DESC, vec_id ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cluster) AS cell_n
+         |  FROM sc)
+         |SELECT vec_id, cluster, proto_cos, CAST(rn AS INTEGER) AS rn,
+         |  rn <= floor(CAST(cell_n AS DOUBLE) / 4.0) AS pruned
+         |FROM r ORDER BY vec_id""".stripMargin,
+    // Cell-balance report: same corpus-derived k ∝ N dial as q112; c0's
+    // row count IS the realized seed count (min(n, k)), so cells_seeded
+    // needs no separate clamp.
+    "q188_ivf_balance" ->
+      s"""WITH ${kmeansCte("greatest(8, CAST(ceil(n / 64.0) AS BIGINT))", 2)},
+         |sizes AS (
+         |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz
+         |  FROM af GROUP BY cluster),
+         |seeded AS (SELECT CAST(COUNT(*) AS BIGINT) AS cells_seeded FROM c0)
+         |SELECT cells_seeded,
+         |  CAST(COUNT(*) AS BIGINT) AS cells_used,
+         |  cells_seeded - COUNT(*) AS cells_empty,
+         |  CAST(SUM(sz) AS BIGINT) AS n_vecs,
+         |  MIN(sz) AS min_size,
+         |  MAX(sz) AS max_size,
+         |  CAST(SUM(sz) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_size,
+         |  CAST(MAX(sz) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+         |    / CAST(SUM(sz) AS DOUBLE) AS imbalance
+         |FROM sizes CROSS JOIN seeded
+         |GROUP BY cells_seeded""".stripMargin,
+    // JL distortion: the 16 projection planes recomputed from md5 parity
+    // (the engine bakes the identical signs in as literals), distances as
+    // the house sequential folds, ratio guarded against the d_orig = 0
+    // degenerate pair.
+    "q189_jl_distortion" ->
+      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32),
+         |proj AS (
+         |  SELECT vec_id, embedding,
+         |    [${(0 until 16).map(j => jlProjSql("embedding", j)).mkString(",\n     ")}] AS pr
+         |  FROM s),
+         |p AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    ${l2Sql("a.embedding", "b.embedding")} AS d_orig,
+         |    ${l2Sql("a.pr", "b.pr")} AS d_proj
+         |  FROM proj a JOIN proj b ON a.vec_id < b.vec_id)
+         |SELECT ia, ib, d_orig, d_proj,
+         |  CASE WHEN d_orig > 0.0 THEN d_proj / (4.0 * d_orig) END AS ratio
+         |FROM p ORDER BY ia, ib""".stripMargin,
     // Sign codes as the same sequential acc·2+bit fold (list_prepend seeds
     // the init), Hamming via bit_count(xor) — all-integer.
     "q103_hamming_knn" ->

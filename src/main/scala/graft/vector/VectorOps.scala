@@ -391,27 +391,41 @@ object VectorOps {
     * corpus is never shuffled; total cost is `iters+1` corpus scans.
     *
     * @return (vec_id, cluster) — cluster ids are seed vec_ids */
-  def kmeansAssign(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
-    val v = vecs.select(col("vec_id"), col("embedding"))
-    // codebook as ONE broadcast row holding the (cell, centroid) array, so
-    // assignment is per-row expression work — argmin via array_min over
-    // (dist, cell) structs, the (distance, cell) tie-break encoded in the
-    // struct ordering — and the corpus is NEVER shuffled: the only
-    // exchange per round is the k·d partial-sum update in [[centroids]].
-    def book(cents: DataFrame): DataFrame =
+  def kmeansAssign(vecs: DataFrame, k: Int, iters: Int): DataFrame =
+    assignCells(vecs.select(col("vec_id"), col("embedding")),
+      kmeansCodebook(vecs, k, iters))
+      .select(col("vec_id"), col("cell").as("cluster"))
+
+  /** Assign each vector to its nearest codebook cell — argmin L2 with the
+    * module's (distance, cell) tie-break. The codebook rides as ONE
+    * broadcast row holding the (cell, centroid) array, so assignment is
+    * per-row expression work (argmin via array_min over (dist, cell)
+    * structs, the tie-break encoded in the struct ordering) and the corpus
+    * is NEVER shuffled. Output (vec_id, embedding, cell). */
+  def assignCells(v: DataFrame, cents: DataFrame): DataFrame = {
+    val bk =
       cents.agg(collect_list(struct(col("cell"), col("centroid"))).as("book"))
-    def assign(bk: DataFrame): DataFrame =
-      v.crossJoin(broadcast(bk))
-        .withColumn("cell",
-          array_min(transform(col("book"), b =>
-            struct(l2Dist(col("embedding"), b.getField("centroid")).as("dist"),
-              b.getField("cell").as("cell")))).getField("cell"))
-        .select(col("vec_id"), col("embedding"), col("cell"))
+    v.crossJoin(broadcast(bk))
+      .withColumn("cell",
+        array_min(transform(col("book"), b =>
+          struct(l2Dist(col("embedding"), b.getField("centroid")).as("dist"),
+            b.getField("cell").as("cell")))).getField("cell"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** The final Lloyd codebook after `iters` assign/update rounds — the
+    * centroids [[kmeansAssign]] assigns under, exposed for consumers that
+    * need the cells AND the centroid values (prototypicality scoring
+    * q187, streaming cell routing q194). Bounded k·d doubles; the only
+    * exchange per round is the k·d (cell, pos) partial-sum update in
+    * [[centroids]]. Output (cell, centroid array<double>). */
+  def kmeansCodebook(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding"))
     var cents = v.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cell"),
         transform(col("embedding"), x => x.cast("double")).as("centroid"))
-    for (_ <- 1 to iters) cents = centroids(assign(book(cents)), "cell")
-    assign(book(cents)).select(col("vec_id"), col("cell").as("cluster"))
+    for (_ <- 1 to iters) cents = centroids(assignCells(v, cents), "cell")
+    cents
   }
 
   /** TWO-LEVEL (IVF-flat) centroid assignment — the ×100 scale dial for

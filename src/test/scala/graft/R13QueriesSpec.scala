@@ -163,4 +163,51 @@ class R13QueriesSpec extends SparkSuite {
     assert(a.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
       b.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
+
+  // ---- q187 ----------------------------------------------------------------
+
+  test("q187: exactly the top-quartile most-prototypical of each cell is pruned") {
+    val r = SparkEntry.queries("q187_prototype_prune")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Long]("cluster")).foreach { case (cl, rows) =>
+      val pruned = rows.filter(_.getAs[Boolean]("pruned"))
+      assert(pruned.length === rows.length / 4, s"cluster $cl")
+      // pruned = the HIGHEST prototypicality ranks (1..floor(n/4))
+      assert(pruned.map(_.getAs[Int]("rn")).sorted.toSeq ===
+        (1 to rows.length / 4).toSeq, s"cluster $cl")
+      val minKept = rows.filterNot(_.getAs[Boolean]("pruned"))
+        .map(_.getAs[Double]("proto_cos")).maxOption.getOrElse(-2.0)
+      pruned.foreach(p => assert(p.getAs[Double]("proto_cos") >= minKept
+        || p.getAs[Double]("proto_cos") >= minKept - 1e-12, s"cluster $cl"))
+    }
+  }
+
+  // ---- q188 ----------------------------------------------------------------
+
+  test("q188: balance report invariants (counts add up, imbalance >= 1)") {
+    val r = SparkEntry.queries("q188_ivf_balance")(spark, sf0001).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("cells_used") + row.getAs[Long]("cells_empty") ===
+      row.getAs[Long]("cells_seeded"))
+    assert(row.getAs[Long]("min_size") <= row.getAs[Long]("max_size"))
+    assert(row.getAs[Double]("avg_size") >= row.getAs[Long]("min_size").toDouble)
+    assert(row.getAs[Double]("avg_size") <= row.getAs[Long]("max_size").toDouble)
+    assert(row.getAs[Double]("imbalance") >= 1.0)
+  }
+
+  // ---- q189 ----------------------------------------------------------------
+
+  test("q189: JL ratios concentrate near 1 (per-pair bounds + mean)") {
+    val r = SparkEntry.queries("q189_jl_distortion")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    val ratios = r.filterNot(_.isNullAt(r.head.fieldIndex("ratio")))
+      .map(_.getAs[Double]("ratio"))
+    assert(ratios.nonEmpty)
+    ratios.foreach(x => assert(x > 0.35 && x < 2.0, s"ratio $x"))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"mean $mean")
+    // the projection is a real contraction of the representation: 16 dims
+    r.foreach(row => assert(row.getAs[Double]("d_proj") > 0.0))
+  }
 }
