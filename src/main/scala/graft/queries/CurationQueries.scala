@@ -96,6 +96,137 @@ object CurationQueries {
         .select(col("curriculum_rank"), col("source"), col("stage"),
           col("n_docs"), col("avg_quality"))
         .orderBy(col("curriculum_rank"))
+    }),
+
+    // ENCODING QA — the ingest-time corruption gate every web-scale corpus
+    // needs: count U+FFFD replacement characters (a decoder already gave
+    // up), raw C0 control characters (binary garbage in a text column),
+    // and UTF-8-read-as-Latin-1 mojibake markers ('Ã' lead bytes), then
+    // classify each doc clean/suspect/bad and report per source×status.
+    // The driver corpus is clean ASCII, so the fixture injects each defect
+    // deterministically in-query (doc_id residues — the q154/q183 fixture
+    // discipline: the oracle re-derives the same perturbation, so
+    // detection is gated end to end). Scale shape: detection is per-row
+    // expression work on the ingest scan (no shuffle), the report is a
+    // |sources|×3 aggregate.
+    "q190_encoding_qa" -> ((s, d) => {
+      val t = docs(s, d).select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 9 === 0, lit(" \ufffd\ufffddecode"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 17 === 0, lit("\u0007\u0001"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 23 === 0, lit(" caf\u00c3\u00a9"))
+            .otherwise(lit(""))).as("text"))
+      val m = t.select(col("source"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "\ufffd", "")))
+          .cast("long").as("n_repl"),
+        (length(col("text")) - length(regexp_replace(col("text"),
+          "[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F]", "")))
+          .cast("long").as("n_ctrl"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "\u00c3", "")))
+          .cast("long").as("n_moji"))
+      m.withColumn("status",
+          when(col("n_repl") > 0 || col("n_ctrl") > 0, "bad")
+            .when(col("n_moji") > 0, "suspect")
+            .otherwise("clean"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_repl")).as("repl_chars"),
+          sum(col("n_ctrl")).as("ctrl_chars"),
+          sum(col("n_moji")).as("moji_chars"))
+        .orderBy(col("source"), col("status"))
+    }),
+
+    // QUALITY-THRESHOLD SURVIVAL CURVE — the planning table behind every
+    // "filter at quality >= t" decision (q20/q128/q169 price ONE
+    // threshold; this prices the whole dial): bucket each doc's q20 score
+    // into deciles, then a per-source cumulative-from-the-top window
+    // gives, for every threshold t = b/10, how many docs and tokens
+    // survive. One map-side quality projection, one |sources|×10
+    // aggregate, one tiny window — the corpus never shuffles. Buckets no
+    // doc lands in produce no row (the curve is read as a step function).
+    "q191_quality_sweep" -> ((s, d) => {
+      val scored = docs(s, d).select(col("source"),
+        floor(TextOps.qualityScore(col("text")) * 1e9).cast("long")
+          .as("qfp"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      val cells = scored
+        .withColumn("bucket",
+          least(floor(col("qfp").cast("double") / 1e8), lit(9.0)).cast("int"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_toks")).as("toks"))
+      val cum = Window.partitionBy(col("source"))
+        .orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("source"))
+      cells.select(col("source"),
+          (col("bucket").cast("double") / 10.0).as("threshold"),
+          sum(col("docs")).over(cum).as("surviving_docs"),
+          sum(col("toks")).over(cum).as("surviving_tokens"),
+          (sum(col("docs")).over(cum).cast("double")
+            / sum(col("docs")).over(tot).cast("double")).as("doc_frac"))
+        .orderBy(col("source"), col("threshold"))
+    }),
+
+    // LEXICAL DIVERSITY — per-source type/token statistics, the
+    // template-collapse detector corpus reports need beside q106's
+    // within-doc repetition and q166's novelty: a source whose TTR or
+    // hapax share craters is boilerplate/machine-generated mass even when
+    // every individual doc passes quality. All-integer aggregates, single
+    // int64/int64 double divisions at the end (the portable op, unlike
+    // decimal→double). Scale shape: one (source, word) count — map-side
+    // combinable — then a |sources|-row rollup.
+    "q192_lexical_diversity" -> ((s, d) => {
+      val wc = docs(s, d)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      wc.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          col("n_hapax"),
+          (col("n_types").cast("double") / col("n_tokens").cast("double"))
+            .as("ttr"),
+          (col("n_hapax").cast("double") / col("n_types").cast("double"))
+            .as("hapax_ratio"))
+        .orderBy(col("source"))
+    }),
+
+    // EPOCH/MIX PLANNER — the token-budget twin of q124's quota sampler:
+    // given the measured per-source token mass and a compute budget of
+    // 4× the corpus (epochs averaged over sources), allocate
+    // temperature-weighted targets (α = 0.5 — sqrt is IEEE-exact, the
+    // q124 trick that keeps the weights portable without libm pow) and
+    // report per-source epochs and repeat factors, flagging sources the
+    // allocation would over-repeat past 8 epochs (the memorization
+    // threshold rule of thumb). Every number is integer or a single
+    // shared double op chain (the q124 floor(double·double/double)
+    // pattern); the plan table is |sources| rows off one map-side token
+    // count.
+    "q193_epoch_plan" -> ((s, d) => {
+      val counts = docs(s, d)
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy(col("source")).agg(sum(col("nt")).as("n_toks"))
+      val scaled = counts.withColumn("s_fp",
+        floor(sqrt(col("n_toks").cast("double")) * lit(1e6)).cast("long"))
+      val tot = scaled.agg(sum(col("s_fp")).as("tot_fp"),
+        sum(col("n_toks")).as("total_toks"))
+      scaled.crossJoin(broadcast(tot))
+        .withColumn("target_toks",
+          floor((col("total_toks") * 4).cast("double")
+            * col("s_fp").cast("double")
+            / col("tot_fp").cast("double")).cast("long"))
+        .withColumn("epochs_x1e6",
+          floor(col("target_toks").cast("double") * 1e6
+            / col("n_toks").cast("double")).cast("long"))
+        .select(col("source"), col("n_toks"), col("target_toks"),
+          col("epochs_x1e6"),
+          expr("(target_toks + n_toks - 1) div n_toks").as("n_repeats"),
+          (col("epochs_x1e6") > 8000000L).as("oversampled"))
+        .orderBy(col("source"))
     }))
 
   /** DuckDB mirror of TextOps.tokens (TextQueries.toksSql twin). */
@@ -150,5 +281,101 @@ object CurationQueries {
          |SELECT CAST(row_number() OVER (ORDER BY avg_quality DESC,
          |    source, stage) AS INTEGER) AS curriculum_rank,
          |  source, stage, n_docs, avg_quality
-         |FROM cells ORDER BY curriculum_rank""".stripMargin)
+         |FROM cells ORDER BY curriculum_rank""".stripMargin,
+    // Encoding QA: the identical doc_id-residue perturbation (chr() code
+    // points mirror the Spark \u literals), counts as length deltas,
+    // same bad > suspect > clean precedence.
+    "q190_encoding_qa" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    text
+        |    || CASE WHEN doc_id % 9 = 0
+        |         THEN ' ' || chr(65533) || chr(65533) || 'decode' ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0 THEN chr(7) || chr(1) ELSE '' END
+        |    || CASE WHEN doc_id % 23 = 0
+        |         THEN ' caf' || chr(195) || chr(169) ELSE '' END AS text
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    CAST(length(text) - length(replace(text, chr(65533), ''))
+        |      AS BIGINT) AS n_repl,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT) AS n_ctrl,
+        |    CAST(length(text) - length(replace(text, chr(195), ''))
+        |      AS BIGINT) AS n_moji
+        |  FROM t),
+        |st AS (
+        |  SELECT source,
+        |    CASE WHEN n_repl > 0 OR n_ctrl > 0 THEN 'bad'
+        |      WHEN n_moji > 0 THEN 'suspect'
+        |      ELSE 'clean' END AS status,
+        |    n_repl, n_ctrl, n_moji
+        |  FROM m)
+        |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_repl) AS BIGINT) AS repl_chars,
+        |  CAST(SUM(n_ctrl) AS BIGINT) AS ctrl_chars,
+        |  CAST(SUM(n_moji) AS BIGINT) AS moji_chars
+        |FROM st GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
+    "q191_quality_sweep" ->
+      s"""WITH t AS (SELECT source, text, $toksSql AS toks FROM documents),
+         |scored AS (
+         |  SELECT source,
+         |    CAST(floor((${qualitySql(TextOps.langStopwords.toMap.apply("en"))}) * 1e9) AS BIGINT) AS qfp,
+         |    CAST(len(toks) AS BIGINT) AS n_toks
+         |  FROM t),
+         |cells AS (
+         |  SELECT source,
+         |    CAST(least(floor(CAST(qfp AS DOUBLE) / 1e8), 9.0) AS INTEGER)
+         |      AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS docs,
+         |    CAST(SUM(n_toks) AS BIGINT) AS toks
+         |  FROM scored GROUP BY 1, 2)
+         |SELECT source, CAST(bucket AS DOUBLE) / 10.0 AS threshold,
+         |  CAST(SUM(docs) OVER w AS BIGINT) AS surviving_docs,
+         |  CAST(SUM(toks) OVER w AS BIGINT) AS surviving_tokens,
+         |  CAST(SUM(docs) OVER w AS DOUBLE)
+         |    / CAST(SUM(docs) OVER (PARTITION BY source) AS DOUBLE)
+         |    AS doc_frac
+         |FROM cells
+         |WINDOW w AS (PARTITION BY source ORDER BY bucket DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY source, threshold""".stripMargin,
+    "q192_lexical_diversity" ->
+      s"""WITH t AS (SELECT source, unnest($toksSql) AS w FROM documents),
+         |wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM t GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_types,
+         |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hapax
+         |  FROM wc GROUP BY 1)
+         |SELECT source, n_tokens, n_types, n_hapax,
+         |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+         |  CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_ratio
+         |FROM agg ORDER BY source""".stripMargin,
+    // Epoch planner: q124's sqrt-weight + floor(double·double/double)
+    // portable op chain; integer floor-div for the repeat factor.
+    "q193_epoch_plan" ->
+      s"""WITH c AS (
+         |  SELECT source, CAST(SUM(len($toksSql)) AS BIGINT) AS n_toks
+         |  FROM documents GROUP BY 1),
+         |sc AS (
+         |  SELECT source, n_toks,
+         |    CAST(floor(sqrt(CAST(n_toks AS DOUBLE)) * 1e6) AS BIGINT) AS s_fp
+         |  FROM c),
+         |t AS (SELECT CAST(SUM(s_fp) AS BIGINT) AS tot_fp,
+         |             CAST(SUM(n_toks) AS BIGINT) AS total_toks FROM sc),
+         |p AS (
+         |  SELECT source, n_toks,
+         |    CAST(floor(CAST(total_toks * 4 AS DOUBLE) * CAST(s_fp AS DOUBLE)
+         |      / CAST(tot_fp AS DOUBLE)) AS BIGINT) AS target_toks
+         |  FROM sc CROSS JOIN t)
+         |SELECT source, n_toks, target_toks,
+         |  CAST(floor(CAST(target_toks AS DOUBLE) * 1e6
+         |    / CAST(n_toks AS DOUBLE)) AS BIGINT) AS epochs_x1e6,
+         |  (target_toks + n_toks - 1) // n_toks AS n_repeats,
+         |  CAST(floor(CAST(target_toks AS DOUBLE) * 1e6
+         |    / CAST(n_toks AS DOUBLE)) AS BIGINT) > 8000000 AS oversampled
+         |FROM p ORDER BY source""".stripMargin)
 }

@@ -126,6 +126,11 @@ object StreamingQueries {
         "c_acctbal DOUBLE, c_mktsegment STRING")
       .parquet(s"$d/{customer}.parquet")
 
+  private def embeddingsStream(s: SparkSession, d: String): DataFrame =
+    s.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .parquet(s"$d/{embeddings}.parquet")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // STREAMING RECORD LINKAGE — q181's deployment shape: Fellegi–Sunter
@@ -173,6 +178,55 @@ object StreamingQueries {
           (col("score_fp").cast("double") / 1e9).as("score"))
       runToTable(scored, "q186_stream_linkage", "append")
         .orderBy(col("ra"), col("rb"))
+    }),
+
+    // STREAMING ANN SERVING — q186's deployment discipline applied to the
+    // vector-retrieval family: the IVF codebook is trained on the STATIC
+    // corpus (q111's deterministic Lloyd; k·d doubles of bounded driver
+    // state riding the streaming plan as literals — the fsWeights shape),
+    // each arriving query vector routes to its cell STATELESSLY (argmin
+    // over the literal codebook, the kmeansAssign (dist, cell) tie-break
+    // verbatim — no state store, no watermark), and a stream–static join
+    // on the cell probes ONLY that cell's inverted list; candidates at
+    // cosine >= 0.2 emit in append mode. Blocking bounds every arriving
+    // vector's comparison fan-out to its cell, so per-query serving cost
+    // is flat in corpus size; the oracle is the equivalent batch
+    // cell-join (codebook, routing rule and threshold included) under
+    // the hash gate.
+    "q194_stream_ann" -> ((s, d) => {
+      import graft.vector.VectorOps
+      val e = graft.Tables.embeddings(s, d)
+      // one k-means: the codebook feeds BOTH the static inverted list and
+      // the stream-side routing literals
+      val cb = VectorOps.kmeansCodebook(e, 8, 2).localCheckpoint()
+      val corpus = VectorOps
+        .assignCells(e.select(col("vec_id"), col("embedding")), cb)
+        .filter(col("vec_id") % 16 =!= 0)
+        .select(col("cell"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("c_emb"))
+        .localCheckpoint() // static side of the stream-static join
+      val book = cb.collect().map(r => (r.getAs[Long]("cell"),
+        r.getAs[scala.collection.Seq[Double]]("centroid")))
+      val bookCol = array(book.map { case (cell, cent) =>
+        struct(lit(cell).as("cell"),
+          array(cent.map(lit).toSeq: _*).as("centroid"))
+      }.toSeq: _*)
+      val qStream = embeddingsStream(s, d)
+        .filter(col("vec_id") % 16 === 0)
+        .withColumn("cell",
+          array_min(transform(bookCol, b =>
+            struct(VectorOps.l2Dist(col("embedding"),
+                b.getField("centroid")).as("dist"),
+              b.getField("cell").as("cell")))).getField("cell"))
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"), col("cell"))
+      val matched = qStream.join(corpus, Seq("cell"))
+        .withColumn("cosine", VectorOps.cosine(col("q_emb"), col("c_emb")))
+        .filter(col("cosine") >= 0.2)
+        .select(col("query_id"), col("cell"), col("neighbor_id"),
+          col("cosine"))
+      runToTable(matched, "q194_stream_ann", "append")
+        .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
     // Tumbling-window aggregation executed BY THE STREAMING ENGINE
@@ -598,6 +652,28 @@ object StreamingQueries {
          |FROM ab, w
          |WHERE (${LinkageQueries.scoreExprSql}) > 0
          |ORDER BY ra, rb""".stripMargin,
+    // Batch twin of the streaming ANN probe: the unrolled q111 k-means
+    // CTE assigns BOTH sides (af's argmin rule IS the stream's literal-
+    // codebook routing), then the cell join + cosine threshold.
+    "q194_stream_ann" ->
+      s"""WITH ${VectorQueries.kmeansCte(8, 2)},
+         |q AS (
+         |  SELECT a.vec_id AS query_id, a.cluster AS cell,
+         |    e.embedding AS q_emb
+         |  FROM af a JOIN embeddings e USING (vec_id)
+         |  WHERE a.vec_id % 16 = 0),
+         |c AS (
+         |  SELECT a.cluster AS cell, a.vec_id AS neighbor_id,
+         |    e.embedding AS c_emb
+         |  FROM af a JOIN embeddings e USING (vec_id)
+         |  WHERE a.vec_id % 16 <> 0),
+         |m AS (
+         |  SELECT q.query_id, q.cell, c.neighbor_id,
+         |    ${VectorQueries.cosSql("q.q_emb", "c.c_emb")} AS cosine
+         |  FROM q JOIN c USING (cell))
+         |SELECT query_id, cell, neighbor_id, cosine
+         |FROM m WHERE cosine >= 0.2
+         |ORDER BY query_id, neighbor_id""".stripMargin,
     // Identical to q29's oracle: the streaming engine must reproduce the
     // batch tumbling aggregation bit-for-bit.
     "q60_stream_tumbling" ->

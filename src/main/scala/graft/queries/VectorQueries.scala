@@ -809,7 +809,7 @@ object VectorQueries {
 
   private def normSql(a: String) = s"sqrt(${dotSql(a, a)})"
 
-  private def cosSql(a: String, b: String) =
+  private[queries] def cosSql(a: String, b: String) =
     s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
 
   /** DuckDB mirror of VectorOps.l2Dist. */
@@ -863,9 +863,9 @@ object VectorQueries {
     * `kSql` is a SQL expression for the cell count; it may reference `n`
     * (COUNT(*) OVER () on embeddings), so a caller can derive k from the
     * corpus size exactly the way the Spark side does. */
-  private def kmeansCte(k: Int, iters: Int): String = kmeansCte(k.toString, iters)
+  private[queries] def kmeansCte(k: Int, iters: Int): String = kmeansCte(k.toString, iters)
 
-  private def kmeansCte(kSql: String, iters: Int): String = {
+  private[queries] def kmeansCte(kSql: String, iters: Int): String = {
     def assignSql(name: String, cents: String) =
       s"""$name AS (
          |  SELECT vec_id, embedding, cell FROM (

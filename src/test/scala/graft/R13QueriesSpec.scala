@@ -210,4 +210,88 @@ class R13QueriesSpec extends SparkSuite {
     // the projection is a real contraction of the representation: 16 dims
     r.foreach(row => assert(row.getAs[Double]("d_proj") > 0.0))
   }
+
+  // ---- q190 ----------------------------------------------------------------
+
+  test("q190: corruption counts and status precedence follow the fixture residues") {
+    val r = SparkEntry.queries("q190_encoding_qa")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val status = row.getAs[String]("status")
+      assert(Set("clean", "suspect", "bad").contains(status))
+      val (repl, ctrl, moji) = (row.getAs[Long]("repl_chars"),
+        row.getAs[Long]("ctrl_chars"), row.getAs[Long]("moji_chars"))
+      status match {
+        case "bad"     => assert(repl + ctrl > 0)
+        case "suspect" => assert(repl === 0L && ctrl === 0L && moji > 0)
+        case "clean"   => assert(repl === 0L && ctrl === 0L && moji === 0L)
+      }
+    }
+    val totalDocs = r.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs === Tables.documents(spark, sf0001).count())
+  }
+
+  // ---- q191 ----------------------------------------------------------------
+
+  test("q191: survival curve is monotone and saturates at the lowest threshold") {
+    val r = SparkEntry.queries("q191_quality_sweep")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_.getAs[Double]("threshold"))
+      val docs = sorted.map(_.getAs[Long]("surviving_docs"))
+      assert(docs.zip(docs.tail).forall { case (a, b) => a >= b }, s"src $src")
+      assert(math.abs(sorted.head.getAs[Double]("doc_frac") - 1.0) < 1e-12,
+        s"src $src: lowest threshold must retain everything")
+    }
+  }
+
+  // ---- q192 ----------------------------------------------------------------
+
+  test("q192: hapax <= types <= tokens and ratios in (0, 1]") {
+    val r = SparkEntry.queries("q192_lexical_diversity")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_hapax") <= row.getAs[Long]("n_types"))
+      assert(row.getAs[Long]("n_types") <= row.getAs[Long]("n_tokens"))
+      val ttr = row.getAs[Double]("ttr")
+      assert(ttr > 0.0 && ttr <= 1.0)
+    }
+  }
+
+  // ---- q193 ----------------------------------------------------------------
+
+  test("q193: targets exhaust the budget and epochs fall with source size") {
+    val r = SparkEntry.queries("q193_epoch_plan")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    val total = r.map(_.getAs[Long]("n_toks")).sum
+    val budget = 4L * total
+    val targets = r.map(_.getAs[Long]("target_toks")).sum
+    assert(targets <= budget && targets >= budget - r.length,
+      s"floor rounding loses at most one token per source: $targets vs $budget")
+    // temperature weighting: smaller sources get MORE epochs
+    val bySize = r.sortBy(_.getAs[Long]("n_toks"))
+    val ep = bySize.map(_.getAs[Long]("epochs_x1e6"))
+    assert(ep.zip(ep.tail).forall { case (a, b) => a >= b },
+      "epochs must be non-increasing in source size")
+    r.foreach { row =>
+      val (t, n) = (row.getAs[Long]("target_toks"), row.getAs[Long]("n_toks"))
+      assert(row.getAs[Long]("n_repeats") === (t + n - 1) / n)
+    }
+  }
+
+  // ---- q194 ----------------------------------------------------------------
+
+  test("q194: stream ANN emits only above-threshold, cross-slice, same-cell pairs") {
+    val r = SparkEntry.queries("q194_stream_ann")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("query_id") % 16 === 0L)
+      assert(row.getAs[Long]("neighbor_id") % 16 !== 0L)
+      assert(row.getAs[Double]("cosine") >= 0.2)
+    }
+    // stateless replay: a second run emits the identical candidate set
+    val again = SparkEntry.queries("q194_stream_ann")(spark, sf0001).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(2))).toSet ===
+      again.map(x => (x.getLong(0), x.getLong(2))).toSet)
+  }
 }
