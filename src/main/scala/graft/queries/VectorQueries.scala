@@ -701,14 +701,19 @@ object VectorQueries {
     // that price probe latency — empty-cell count (wasted codebook),
     // min/max/avg population, and imbalance = max/avg (the tail-latency
     // multiplier: a probe landing in the fattest cell scans imbalance×
-    // the average inverted list). Scale shape: assignment is the q111
-    // broadcast-codebook scan, the report is a k-row aggregate collapsed
-    // to ONE row — nothing corpus-sized ever reaches the driver.
+    // the average inverted list). The index is built with the TWO-LEVEL
+    // ivf2Assign — the ×100 scale path (q138) and therefore the index
+    // whose balance a production probe actually experiences; the flat
+    // k ∝ N assign would be the suite's one O(N²/64) superlinear term.
+    // Scale shape: two-level assignment is O(N·√k·d) expression work, the
+    // report is a k-row aggregate collapsed to ONE row — nothing
+    // corpus-sized ever reaches the driver.
     "q188_ivf_balance" -> ((s, d) => {
       val e = emb(s, d)
       val n = e.count()
       val k = math.min(n, math.max(8L, math.ceil(n / 64.0).toLong)).toInt
-      VectorOps.kmeansAssign(e, k, 2)
+      val c = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
+      VectorOps.ivf2Assign(e, k, c)
         .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
         .agg(
           lit(k.toLong).as("cells_seeded"),
@@ -905,6 +910,53 @@ object VectorQueries {
     (head +: rounds :+ fin).mkString(",\n")
   }
 
+  /** Unrolled [[graft.vector.VectorOps.ivf2Assign]] CTE chain ending at
+    * `af(vec_id, cluster)` — min-vec_id fine seeds (k = max(8, ceil(n/64))
+    * clamped by n), c ≈ √k coarse prefix, fine→coarse argmin,
+    * vector→effective-coarse argmin, vector→fine argmin within the cell,
+    * all (L2 asc, cell asc) tie-breaks. Shared by q138 (two-level
+    * SemDeDup) and q188 (cell-balance report). */
+  private[queries] lazy val ivf2AfCte: String =
+    s"""fine AS (
+       |  SELECT vec_id AS cell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+       |  FROM (SELECT vec_id, embedding,
+       |          ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+       |          COUNT(*) OVER () AS n
+       |        FROM embeddings) seed
+       |  WHERE rn <= greatest(8, CAST(ceil(n / 64.0) AS BIGINT))),
+       |coarse AS (
+       |  SELECT cell AS ccell, centroid AS ccentroid FROM (
+       |    SELECT cell, centroid,
+       |      ROW_NUMBER() OVER (ORDER BY cell) AS rnf,
+       |      COUNT(*) OVER () AS k
+       |    FROM fine) t
+       |  WHERE rnf <= greatest(2, CAST(ceil(sqrt(k)) AS BIGINT))),
+       |f2c AS (
+       |  SELECT ccell, cell, centroid FROM (
+       |    SELECT c.ccell, f.cell, f.centroid,
+       |      ROW_NUMBER() OVER (PARTITION BY f.cell
+       |        ORDER BY ${l2Sql("f.centroid", "c.ccentroid")} ASC, c.ccell ASC) AS rn
+       |    FROM fine f CROSS JOIN coarse c) t
+       |  WHERE rn = 1),
+       |ecoarse AS (
+       |  SELECT DISTINCT f.ccell, fi.centroid AS ccentroid
+       |  FROM f2c f JOIN fine fi ON fi.cell = f.ccell),
+       |vc AS (
+       |  SELECT vec_id, embedding, ccell FROM (
+       |    SELECT e.vec_id, e.embedding, c.ccell,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${l2Sql("e.embedding", "c.ccentroid")} ASC, c.ccell ASC) AS rn
+       |    FROM embeddings e CROSS JOIN ecoarse c) t
+       |  WHERE rn = 1),
+       |af AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT v.vec_id, f.cell AS cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${l2Sql("v.embedding", "f.centroid")} ASC, f.cell ASC) AS rn
+       |    FROM vc v JOIN f2c f ON f.ccell = v.ccell) t
+       |  WHERE rn = 1)""".stripMargin
+
   /** DuckDB mirror of VectorOps.l2Sq (no final sqrt — the ADC unit). */
   private def l2sqSql(a: String, b: String) =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), " +
@@ -976,45 +1028,7 @@ object VectorQueries {
     // cell asc) tie-breaks), then q112's closure verbatim.
     "q138_semdedup_ivf2" ->
       s"""WITH RECURSIVE
-         |fine AS (
-         |  SELECT vec_id AS cell,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
-         |  FROM (SELECT vec_id, embedding,
-         |          ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
-         |          COUNT(*) OVER () AS n
-         |        FROM embeddings) seed
-         |  WHERE rn <= greatest(8, CAST(ceil(n / 64.0) AS BIGINT))),
-         |coarse AS (
-         |  SELECT cell AS ccell, centroid AS ccentroid FROM (
-         |    SELECT cell, centroid,
-         |      ROW_NUMBER() OVER (ORDER BY cell) AS rnf,
-         |      COUNT(*) OVER () AS k
-         |    FROM fine) t
-         |  WHERE rnf <= greatest(2, CAST(ceil(sqrt(k)) AS BIGINT))),
-         |f2c AS (
-         |  SELECT ccell, cell, centroid FROM (
-         |    SELECT c.ccell, f.cell, f.centroid,
-         |      ROW_NUMBER() OVER (PARTITION BY f.cell
-         |        ORDER BY ${l2Sql("f.centroid", "c.ccentroid")} ASC, c.ccell ASC) AS rn
-         |    FROM fine f CROSS JOIN coarse c) t
-         |  WHERE rn = 1),
-         |ecoarse AS (
-         |  SELECT DISTINCT f.ccell, fi.centroid AS ccentroid
-         |  FROM f2c f JOIN fine fi ON fi.cell = f.ccell),
-         |vc AS (
-         |  SELECT vec_id, embedding, ccell FROM (
-         |    SELECT e.vec_id, e.embedding, c.ccell,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${l2Sql("e.embedding", "c.ccentroid")} ASC, c.ccell ASC) AS rn
-         |    FROM embeddings e CROSS JOIN ecoarse c) t
-         |  WHERE rn = 1),
-         |af AS (
-         |  SELECT vec_id, cluster FROM (
-         |    SELECT v.vec_id, f.cell AS cluster,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${l2Sql("v.embedding", "f.centroid")} ASC, f.cell ASC) AS rn
-         |    FROM vc v JOIN f2c f ON f.ccell = v.ccell) t
-         |  WHERE rn = 1),
+         |$ivf2AfCte,
          |mem AS (
          |  SELECT a.vec_id, a.cluster, e.embedding
          |  FROM af a JOIN embeddings e USING (vec_id)),
@@ -1267,15 +1281,15 @@ object VectorQueries {
          |SELECT vec_id, cluster, proto_cos, CAST(rn AS INTEGER) AS rn,
          |  rn <= floor(CAST(cell_n AS DOUBLE) / 4.0) AS pruned
          |FROM r ORDER BY vec_id""".stripMargin,
-    // Cell-balance report: same corpus-derived k ∝ N dial as q112; c0's
-    // row count IS the realized seed count (min(n, k)), so cells_seeded
-    // needs no separate clamp.
+    // Cell-balance report over the TWO-LEVEL index (q138's unrolled af
+    // rule, shared CTE): `fine`'s row count IS the realized seed count
+    // (min(n, k)), so cells_seeded needs no separate clamp.
     "q188_ivf_balance" ->
-      s"""WITH ${kmeansCte("greatest(8, CAST(ceil(n / 64.0) AS BIGINT))", 2)},
+      s"""WITH $ivf2AfCte,
          |sizes AS (
          |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz
          |  FROM af GROUP BY cluster),
-         |seeded AS (SELECT CAST(COUNT(*) AS BIGINT) AS cells_seeded FROM c0)
+         |seeded AS (SELECT CAST(COUNT(*) AS BIGINT) AS cells_seeded FROM fine)
          |SELECT cells_seeded,
          |  CAST(COUNT(*) AS BIGINT) AS cells_used,
          |  cells_seeded - COUNT(*) AS cells_empty,
