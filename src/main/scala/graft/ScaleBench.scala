@@ -88,7 +88,15 @@ object ScaleBench {
       // broadcast join-back — must grow ~M), and the threshold sweep
       // (one q23-priced candidate pass + 5 pair-set aggregates)
       "q168_quality_classifier", "q169_source_quality_gate",
-      "q175_dedup_threshold_sweep"),
+      "q175_dedup_threshold_sweep",
+      // r13 additions: the coreset-prune pair (q187 exact rank window
+      // over FIXED k=8 cells — the per-cell sort must grow superlinearly
+      // in cell size, that's WHY q195 exists; q195 = two-level cells +
+      // histogram threshold, must grow ~M), the two-level index balance
+      // report (~M·√k assignment work), and the lexical-diversity rollup
+      // (one map-side-combinable (source, word) count, ~M)
+      "q187_prototype_prune", "q195_prototype_prune_hist",
+      "q188_ivf_balance", "q192_lexical_diversity"),
     "event" -> Seq(
       "q32_asof_join", "q87_rolling_actives", "q140_transition_probs"))
 

@@ -740,6 +740,52 @@ object VectorQueries {
     // row, sign literals baked into the plan) — at 100 TB it rides the
     // ingest scan with zero shuffle, and every later pair/ANN stage pays
     // 4× less distance arithmetic.
+    // PROTOTYPICALITY PRUNE, HISTOGRAM SCALE PATH — q187's production
+    // twin, built the way the 100 TB index actually is: cells from the
+    // TWO-LEVEL ivf2 assign (q138/q188), and the per-cell prune boundary
+    // from a 64-BIN HISTOGRAM THRESHOLD (q169's sortless gate) instead of
+    // q187's per-cell rank window. The rank window is exact but needs a
+    // full per-cell sort — at a fixed k the cells are corpus-sized and
+    // the sort is the bottleneck; the histogram needs ONE k·64-counter
+    // aggregate (map-side combinable) + a broadcast join-back, pruning
+    // "at least the top quartile" at bin granularity. Exact rule, gated:
+    // the bin boundary is deterministic (cosines are cross-engine exact
+    // off the fixed-point centroids), so the oracle reproduces every
+    // keep/prune verdict.
+    "q195_prototype_prune_hist" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val n = e.count()
+      val k = math.min(n, math.max(8L, math.ceil(n / 64.0).toLong)).toInt
+      val cc = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
+      val member = e.select(col("vec_id"), col("embedding"))
+        .join(VectorOps.ivf2Assign(e, k, cc), Seq("vec_id"))
+        .localCheckpoint()
+      val cents = fixedPointCentroids(member, "cluster")
+      val binned = member.join(broadcast(cents), Seq("cluster"))
+        .select(col("vec_id"), col("cluster"),
+          VectorOps.cosine(col("embedding"), col("centroid"))
+            .as("proto_cos"))
+        .withColumn("bin", greatest(
+          least(floor((col("proto_cos") + lit(1.0)) * lit(32.0))
+            .cast("long"), lit(63L)), lit(0L)))
+      val thr = binned.groupBy(col("cluster"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("cluster")).orderBy(col("bin").desc)))
+        .withColumn("total", sum(col("cnt")).over(
+          Window.partitionBy(col("cluster"))))
+        .withColumn("target",
+          ceil(col("total").cast("double") * lit(0.25)).cast("long"))
+        .filter(col("cum") >= col("target"))
+        .groupBy(col("cluster")).agg(max(col("bin")).as("thr_bin"))
+      binned.join(broadcast(thr), Seq("cluster"))
+        .select(col("vec_id"), col("cluster"), col("proto_cos"),
+          col("bin"), col("thr_bin"),
+          (col("bin") >= col("thr_bin")).as("pruned"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q189_jl_distortion" -> ((s, d) => {
       val e = emb(s, d).filter(col("vec_id") < 32)
       val proj = e.select(col("vec_id"), col("embedding"),
@@ -1301,6 +1347,40 @@ object VectorQueries {
          |    / CAST(SUM(sz) AS DOUBLE) AS imbalance
          |FROM sizes CROSS JOIN seeded
          |GROUP BY cells_seeded""".stripMargin,
+    // Histogram prune: the shared two-level af rule, fixed-point
+    // centroids, q169's cum-desc threshold CTE at 64-bin granularity.
+    "q195_prototype_prune_hist" ->
+      s"""WITH $ivf2AfCte,
+         |mem AS (
+         |  SELECT a.vec_id, a.cluster, e.embedding
+         |  FROM af a JOIN embeddings e USING (vec_id)),
+         |cent AS (
+         |  SELECT cluster, i - 1 AS pos,
+         |    CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9) AS BIGINT))
+         |         AS DOUBLE) / 1e9 / COUNT(*) AS mean
+         |  FROM mem CROSS JOIN range(1, 65) t(i)
+         |  GROUP BY 1, 2),
+         |cl AS (SELECT cluster, list(mean ORDER BY pos) AS centroid
+         |       FROM cent GROUP BY cluster),
+         |b AS (
+         |  SELECT m.vec_id, m.cluster,
+         |    ${cosSql("m.embedding", "c.centroid")} AS proto_cos,
+         |    greatest(least(CAST(floor((${cosSql("m.embedding", "c.centroid")} + 1.0) * 32.0) AS BIGINT), 63), 0) AS bin
+         |  FROM mem m JOIN cl c USING (cluster)),
+         |h AS (SELECT cluster, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+         |      FROM b GROUP BY 1, 2),
+         |t2 AS (
+         |  SELECT cluster, bin,
+         |    SUM(cnt) OVER (PARTITION BY cluster ORDER BY bin DESC) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY cluster) AS total
+         |  FROM h),
+         |thr AS (
+         |  SELECT cluster, MAX(bin) AS thr_bin FROM t2
+         |  WHERE cum >= CAST(ceil(CAST(total AS DOUBLE) * 0.25) AS BIGINT)
+         |  GROUP BY 1)
+         |SELECT b.vec_id, b.cluster, b.proto_cos, b.bin, thr.thr_bin,
+         |  b.bin >= thr.thr_bin AS pruned
+         |FROM b JOIN thr USING (cluster) ORDER BY b.vec_id""".stripMargin,
     // JL distortion: the 16 projection planes recomputed from md5 parity
     // (the engine bakes the identical signs in as literals), distances as
     // the house sequential folds, ratio guarded against the d_orig = 0

@@ -279,6 +279,25 @@ class R13QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q195 ----------------------------------------------------------------
+
+  test("q195: histogram prune takes at least the top quartile, by prototypicality") {
+    val r = SparkEntry.queries("q195_prototype_prune_hist")(spark, sf0001)
+      .collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Long]("cluster")).foreach { case (cl, rows) =>
+      val pruned = rows.filter(_.getAs[Boolean]("pruned"))
+      assert(pruned.length >= math.ceil(rows.length * 0.25).toLong,
+        s"cluster $cl: threshold guarantees >= 25% pruned")
+      // bin granularity still separates cleanly: every pruned cosine
+      // exceeds every kept cosine
+      val kept = rows.filterNot(_.getAs[Boolean]("pruned"))
+      if (pruned.nonEmpty && kept.nonEmpty)
+        assert(pruned.map(_.getAs[Double]("proto_cos")).min >=
+          kept.map(_.getAs[Double]("proto_cos")).max, s"cluster $cl")
+    }
+  }
+
   // ---- q194 ----------------------------------------------------------------
 
   test("q194: stream ANN emits only above-threshold, cross-slice, same-cell pairs") {
