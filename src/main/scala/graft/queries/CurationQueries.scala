@@ -227,6 +227,40 @@ object CurationQueries {
           expr("(target_toks + n_toks - 1) div n_toks").as("n_repeats"),
           (col("epochs_x1e6") > 8000000L).as("oversampled"))
         .orderBy(col("source"))
+    }),
+
+    // PII-DENSITY AUDIT — the privacy-risk report a corpus release needs
+    // (q56 MASKS PII; this PRICES it): per source, how many docs carry
+    // emails or digit runs and the total match counts. The driver corpus
+    // is digit-free word soup, so both PII shapes are injected
+    // deterministically in-query (doc_id residues — the q190 fixture
+    // discipline). Emails are counted FIRST and masked before digit runs
+    // are counted (q56's nesting: an email's own digits must not
+    // double-count as a number). Counting is per-row regexp work on the
+    // ingest scan; the report is |sources| rows.
+    "q196_pii_density" -> ((s, d) => {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+      val t = docs(s, d).select(col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" call 5550199"))
+            .otherwise(lit(""))).as("text"))
+      val m = t.select(col("source"),
+        regexp_count(col("text"), lit(emailPat)).cast("long")
+          .as("n_emails"),
+        regexp_count(regexp_replace(col("text"), emailPat, "<EMAIL>"),
+          lit("[0-9]+")).cast("long").as("n_numbers"))
+      m.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_emails") + col("n_numbers") > 0, 1L)
+            .otherwise(0L)).as("pii_docs"),
+          sum(col("n_emails")).as("n_emails"),
+          sum(col("n_numbers")).as("n_numbers"))
+        .withColumn("pii_frac",
+          col("pii_docs").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("source"))
     }))
 
   /** DuckDB mirror of TextOps.tokens (TextQueries.toksSql twin). */
@@ -377,5 +411,33 @@ object CurationQueries {
          |  (target_toks + n_toks - 1) // n_toks AS n_repeats,
          |  CAST(floor(CAST(target_toks AS DOUBLE) * 1e6
          |    / CAST(n_toks AS DOUBLE)) AS BIGINT) > 8000000 AS oversampled
-         |FROM p ORDER BY source""".stripMargin)
+         |FROM p ORDER BY source""".stripMargin,
+    // PII density: identical residue injection, emails counted then
+    // masked before digit runs are counted (q56's regex pair verbatim).
+    "q196_pii_density" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' call 5550199' ELSE '' END
+        |      AS text
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |      '[0-9]+')) AS BIGINT) AS n_numbers
+        |  FROM t)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_emails + n_numbers > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS pii_docs,
+        |  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+        |  CAST(SUM(n_numbers) AS BIGINT) AS n_numbers,
+        |  CAST(SUM(CASE WHEN n_emails + n_numbers > 0 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pii_frac
+        |FROM m GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -229,6 +229,44 @@ object StreamingQueries {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // STREAMING QUALITY-DRIFT MONITOR — the live-ingest ops dashboard for
+    // the batch quality rules (q20/q164/q169): the per-source quality
+    // BASELINE is computed on the static reference corpus (fixed-point
+    // floor(q·1e9) long sums, the q167 discipline — ONE long per source),
+    // arriving docs aggregate per (1-minute window × source) IN THE
+    // STREAMING ENGINE (StateStore aggregation, Complete replay), and
+    // each window's fixed-point mean is compared to its baseline —
+    // |mean − base| > 0.03 flags drift. Window starts are emitted as
+    // epoch SECONDS (pure integer both sides); every op is long
+    // arithmetic with `div` floor-division, so the batch oracle
+    // reproduces every flag bit-for-bit. At production scale the state is
+    // |windows|×|sources| longs — constant per window, watermark-GC'd.
+    "q198_stream_quality_drift" -> ((s, d) => {
+      import graft.text.TextOps
+      val base = Tables.documents(s, d)
+        .select(col("source"),
+          floor(TextOps.qualityScore(col("text")) * 1e9).cast("long")
+            .as("qfp"))
+        .groupBy(col("source"))
+        .agg(expr("sum(qfp) div count(1)").as("base_qfp"))
+      val win = docsStream(s, d)
+        .select(col("ts"), col("source"),
+          floor(TextOps.qualityScore(col("text")) * 1e9).cast("long")
+            .as("qfp"))
+        .groupBy(window(col("ts"), "1 minute"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("qfp")).as("sum_qfp"))
+        .select(col("window.start").cast("long").as("w_start"),
+          col("source"), col("n_docs"), col("sum_qfp"))
+      runToTable(win, "q198_stream_quality_drift", "complete")
+        .join(broadcast(base), Seq("source"))
+        .withColumn("mean_qfp", expr("sum_qfp div n_docs"))
+        .select(col("w_start"), col("source"), col("n_docs"),
+          col("mean_qfp"), col("base_qfp"),
+          (abs(col("mean_qfp") - col("base_qfp")) > lit(30000000L))
+            .as("drift"))
+        .orderBy(col("w_start"), col("source"))
+    }),
+
     // Tumbling-window aggregation executed BY THE STREAMING ENGINE
     // (StateStore aggregation, not batch HashAggregate); same oracle text
     // as batch q29.
@@ -674,6 +712,33 @@ object StreamingQueries {
          |SELECT query_id, cell, neighbor_id, cosine
          |FROM m WHERE cosine >= 0.2
          |ORDER BY query_id, neighbor_id""".stripMargin,
+    // Batch twin of the drift monitor: q20's exact quality formula in
+    // fixed point, windows re-derived as pure doc_id integer arithmetic
+    // (the stream's ts is timestamp_seconds(doc_id + 86400)).
+    "q198_stream_quality_drift" ->
+      s"""WITH t0 AS (SELECT doc_id, source, text, $toksSql AS toks
+         |  FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  CAST(floor((
+         |  0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+         |  + 0.3 * (CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','it','a'], t))) AS DOUBLE) / greatest(len(toks), 1))
+         |  + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+         |  + 0.2 * (1.0 - least((CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / greatest(len(toks), 1)) / 10.0, 1.0))
+         |  ) * 1e9) AS BIGINT) AS qfp
+         |  FROM t0),
+         |base AS (
+         |  SELECT source, CAST(SUM(qfp) // COUNT(*) AS BIGINT) AS base_qfp
+         |  FROM q GROUP BY 1),
+         |win AS (
+         |  SELECT (doc_id + 86400) // 60 * 60 AS w_start, source,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(qfp) AS BIGINT) AS sum_qfp
+         |  FROM q GROUP BY 1, 2)
+         |SELECT w.w_start, w.source, w.n_docs,
+         |  w.sum_qfp // w.n_docs AS mean_qfp, b.base_qfp,
+         |  abs(w.sum_qfp // w.n_docs - b.base_qfp) > 30000000 AS drift
+         |FROM win w JOIN base b USING (source)
+         |ORDER BY w_start, source""".stripMargin,
     // Identical to q29's oracle: the streaming engine must reproduce the
     // batch tumbling aggregation bit-for-bit.
     "q60_stream_tumbling" ->

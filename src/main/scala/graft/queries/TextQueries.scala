@@ -78,6 +78,47 @@ object TextQueries {
       DedupOps.simhash(docs(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // MINHASH ACCURACY SELF-CHECK — the sketch-calibration report the
+    // dedup family's thresholds rest on: on the fixed 32-doc slice (q25's
+    // bounded-query discipline), EXACT shingle Jaccard vs the k = 32
+    // signature-agreement estimate for every pair sharing ≥ 1 shingle,
+    // with the absolute error. This is the empirical S-curve evidence
+    // behind "est ≥ 0.5 ≈ Jaccard ≥ 0.5" (q23/q52/q115's gate): run it
+    // whenever k or the band geometry changes. Both columns are exact
+    // integer ratios (|∩|/|∪| and n/32), so the oracle reproduces every
+    // error bit-for-bit; the slice keeps the all-pairs term constant at
+    // any corpus size.
+    "q197_minhash_accuracy" -> ((s, d) => {
+      val sh = docs(s, d).filter(col("doc_id") < 32)
+        .select(col("doc_id"),
+          explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+        .localCheckpoint() // feeds sizes, the pair join AND the signatures
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val common = sh.select(col("doc_id").as("da"), col("shingle"))
+        .join(sh.select(col("doc_id").as("db"), col("shingle")),
+          Seq("shingle"))
+        .filter(col("da") < col("db"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("c"))
+      val jac = common
+        .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")),
+          Seq("da"))
+        .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")),
+          Seq("db"))
+        .select(col("da"), col("db"), (col("c").cast("double")
+          / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      val sig = DedupOps.minhashSignatureArray(sh, 32)
+      jac
+        .join(sig.select(col("doc_id").as("da"), col("sig").as("sa")),
+          Seq("da"))
+        .join(sig.select(col("doc_id").as("db"), col("sig").as("sb")),
+          Seq("db"))
+        .select(col("da"), col("db"), col("jaccard"),
+          DedupOps.sigAgreement(col("sa"), col("sb"), 32)
+            .as("est_jaccard"))
+        .withColumn("abs_err", abs(col("jaccard") - col("est_jaccard")))
+        .orderBy(col("da"), col("db"))
+    }),
+
     // Context-window CHUNKING — split documents into 32-token chunks with
     // 8-token overlap (stride 24): the op that shapes a corpus for a model's
     // context length. Chunk enumeration is per-row expression work; only the
@@ -2661,6 +2702,43 @@ object TextQueries {
       s"""WITH $minhashEstCte
          |SELECT da, db, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY da, db""".stripMargin,
+    // MinHash accuracy: sliced shingle table, exact Jaccard off set
+    // sizes, the minhashEstCte hash family re-derived on the slice, per
+    // pair joined on ALL common-shingle pairs (not just LSH candidates).
+    "q197_minhash_accuracy" ->
+      s"""WITH $shingleCte,
+         |s32 AS (SELECT doc_id, shingle FROM sh WHERE doc_id < 32),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM s32 GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+         |  FROM s32 a JOIN s32 b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |hs AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 268435456 AS hs
+         |  FROM s32),
+         |mh AS (
+         |  SELECT doc_id, i,
+         |    MIN(((2 * i + 1) * hs + 7919 * i) % 268435456) AS minhash
+         |  FROM hs CROSS JOIN range(32) t(i) GROUP BY doc_id, i),
+         |est AS (
+         |  SELECT da, db,
+         |    CAST(SUM(CASE WHEN ha.minhash = hb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est_jaccard
+         |  FROM common
+         |  JOIN mh ha ON ha.doc_id = da
+         |  JOIN mh hb ON hb.doc_id = db AND hb.i = ha.i
+         |  GROUP BY da, db),
+         |j AS (
+         |  SELECT c.da, c.db,
+         |    CAST(c.c AS DOUBLE) / (sa.n_sh + sb.n_sh - c.c) AS jaccard
+         |  FROM common c
+         |  JOIN sizes sa ON c.da = sa.doc_id
+         |  JOIN sizes sb ON c.db = sb.doc_id)
+         |SELECT j.da, j.db, j.jaccard, e.est_jaccard,
+         |  abs(j.jaccard - e.est_jaccard) AS abs_err
+         |FROM j JOIN est e ON j.da = e.da AND j.db = e.db
+         |ORDER BY j.da, j.db""".stripMargin,
     "q55_chunking" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
          |c AS (

@@ -279,6 +279,57 @@ class R13QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q196 ----------------------------------------------------------------
+
+  test("q196: PII totals match the injection residues exactly") {
+    val r = SparkEntry.queries("q196_pii_density")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    val ids = Tables.documents(spark, sf0001).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    assert(r.map(_.getAs[Long]("n_emails")).sum === ids.count(_ % 7 == 0))
+    assert(r.map(_.getAs[Long]("n_numbers")).sum === ids.count(_ % 11 == 0))
+    r.foreach { row =>
+      assert(row.getAs[Long]("pii_docs") <= row.getAs[Long]("n_docs"))
+      val f = row.getAs[Double]("pii_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  // ---- q197 ----------------------------------------------------------------
+
+  test("q197: estimates are i/32 grid points and concentrate near truth") {
+    val r = SparkEntry.queries("q197_minhash_accuracy")(spark, sf0001)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val est = row.getAs[Double]("est_jaccard")
+      assert(math.abs(est * 32 - math.round(est * 32)) < 1e-12,
+        s"est $est must be a multiple of 1/32")
+      assert(math.abs(row.getAs[Double]("abs_err") -
+        math.abs(row.getAs[Double]("jaccard") - est)) < 1e-15)
+    }
+    val meanErr = r.map(_.getAs[Double]("abs_err")).sum / r.length
+    assert(meanErr < 0.15, s"k=32 MinHash mean error $meanErr")
+  }
+
+  // ---- q198 ----------------------------------------------------------------
+
+  test("q198: drift flag is exactly the fixed-point rule; windows align to the minute") {
+    // sf0.01: enough doc_ids to span multiple 60-second windows
+    val r = SparkEntry.queries("q198_stream_quality_drift")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(r.length > 20, "must produce multiple windows")
+    r.foreach { row =>
+      assert(row.getAs[Long]("w_start") % 60 === 0L)
+      val dev = math.abs(row.getAs[Long]("mean_qfp") -
+        row.getAs[Long]("base_qfp"))
+      assert(row.getAs[Boolean]("drift") === (dev > 30000000L))
+    }
+    assert(r.exists(_.getAs[Boolean]("drift")) &&
+      r.exists(!_.getAs[Boolean]("drift")),
+      "both flag values must occur on the sf0.01 fixture")
+  }
+
   // ---- q195 ----------------------------------------------------------------
 
   test("q195: histogram prune takes at least the top quartile, by prototypicality") {
