@@ -59,6 +59,42 @@ object TextQueries {
           col("is_canonical"))
         .orderBy(col("doc_id"))),
 
+    // DEDUP-TIER OVERLAP REPORT — prices what the expensive tier buys
+    // over the cheap one: exact content dedup (q21's md5 rule, one
+    // groupBy) and near-dup canonicalization (q52's MinHash-LSH closure,
+    // the full banded pipeline) each classify every doc keeper/removable;
+    // the report cross-tabulates the verdicts. `near_only` is the
+    // marginal mass ONLY the LSH tier can remove — the number that
+    // justifies its shuffle cost; `exact_only` is mass the closure's
+    // est ≥ 0.5 gate missed that byte-identity caught (possible at the
+    // estimate's error floor, see q197). Four-way split, not a funnel
+    // subtraction — neither verdict set contains the other by
+    // construction. Output ≤ 4 rows.
+    "q199_dedup_tier_overlap" -> ((s, d) => {
+      val dd = docs(s, d)
+      val exact = DedupOps
+        .exactDedup(dd.select(col("doc_id"), col("text")), "doc_id", "text")
+        .select(col("doc_id"), (!col("is_canonical")).as("exact_dup"))
+      val pairs = DedupOps
+        .minhashPairs(dd, "doc_id", "text", 3, 32, 4, 0.5)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val comps = graft.graph.GraphOps
+        .connectedComponents(s, graft.graph.GraphOps.symmetrize(pairs))
+        .withColumnRenamed("id", "doc_id")
+      val near = dd.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("component"), col("doc_id")) =!= col("doc_id"))
+            .as("near_dup"))
+      exact.join(near, Seq("doc_id"))
+        .select(when(col("exact_dup") && col("near_dup"), "both")
+          .when(col("exact_dup"), "exact_only")
+          .when(col("near_dup"), "near_only")
+          .otherwise("neither").as("tier"))
+        .groupBy(col("tier")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("tier"))
+    }),
+
     // Exact 3-gram Jaccard near-dup pairs via prefix filtering (identical
     // result to the all-pairs shingle join, which remains as
     // DedupOps.jaccardPairs and is equality-tested in DedupSpec).
@@ -2702,6 +2738,26 @@ object TextQueries {
       s"""WITH $minhashEstCte
          |SELECT da, db, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY da, db""".stripMargin,
+    // Tier overlap: q21's md5-fingerprint rule beside the shared closure
+    // chain, cross-tabulated.
+    "q199_dedup_tier_overlap" ->
+      s"""$dedupCompCte,
+         |ex AS (
+         |  SELECT doc_id,
+         |    doc_id <> MIN(doc_id) OVER (PARTITION BY
+         |      md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS exact_dup
+         |  FROM documents),
+         |nr AS (
+         |  SELECT d.doc_id,
+         |    COALESCE(c.component, d.doc_id) <> d.doc_id AS near_dup
+         |  FROM documents d LEFT JOIN comp c USING (doc_id))
+         |SELECT CASE WHEN exact_dup AND near_dup THEN 'both'
+         |    WHEN exact_dup THEN 'exact_only'
+         |    WHEN near_dup THEN 'near_only'
+         |    ELSE 'neither' END AS tier,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM ex JOIN nr USING (doc_id)
+         |GROUP BY 1 ORDER BY tier""".stripMargin,
     // MinHash accuracy: sliced shingle table, exact Jaccard off set
     // sizes, the minhashEstCte hash family re-derived on the slice, per
     // pair joined on ALL common-shingle pairs (not just LSH candidates).

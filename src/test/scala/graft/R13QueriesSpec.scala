@@ -349,6 +349,23 @@ class R13QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q199 ----------------------------------------------------------------
+
+  test("q199: tier counts partition the corpus and agree with q52's closure") {
+    val r = SparkEntry.queries("q199_dedup_tier_overlap")(spark, sf0001)
+      .collect()
+    assert(r.nonEmpty)
+    val byTier = r.map(x =>
+      x.getAs[String]("tier") -> x.getAs[Long]("n_docs")).toMap
+    assert(byTier.keySet.subsetOf(
+      Set("both", "exact_only", "near_only", "neither")))
+    assert(byTier.values.sum === Tables.documents(spark, sf0001).count())
+    val nearDups = SparkEntry.queries("q52_dedup_canonical")(spark, sf0001)
+      .filter(!col("is_canonical")).count()
+    assert(byTier.getOrElse("near_only", 0L) + byTier.getOrElse("both", 0L)
+      === nearDups)
+  }
+
   // ---- q194 ----------------------------------------------------------------
 
   test("q194: stream ANN emits only above-threshold, cross-slice, same-cell pairs") {
