@@ -786,6 +786,53 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // kNN LABEL-NOISE DETECTOR — the label-error audit a labeled training
+    // set needs (Confident-Learning-style, by neighborhood vote): within
+    // each two-level IVF cell (the q138/q188/q195 index), every vector's
+    // 5 nearest same-cell neighbors (cosine desc, id tie-break) vote;
+    // a strict majority (≥ 3/5) for a DIFFERENT label marks the row
+    // suspect. Blocking bounds the vote to the cell's inverted list —
+    // O(N · cellSize) cosines, linear in the corpus — and every verdict
+    // is deterministic (ranked tie-breaks, (count desc, label asc)
+    // argmax), so the oracle reproduces the full suspect set. Vectors in
+    // singleton cells keep NULL votes and are never suspect.
+    "q200_label_noise_knn" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val n = e.count()
+      val k = math.min(n, math.max(8L, math.ceil(n / 64.0).toLong)).toInt
+      val cc = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
+      val mem = e.join(VectorOps.ivf2Assign(e, k, cc), Seq("vec_id"))
+        .select(col("cluster"), col("vec_id"), col("label"),
+          col("embedding"))
+        .localCheckpoint() // feeds both pair sides and the verdict join
+      val nb = mem.select(col("cluster"), col("vec_id"), col("embedding"))
+        .join(mem.select(col("cluster"), col("vec_id").as("nb_id"),
+          col("label").as("nb_label"), col("embedding").as("nb_emb")),
+          Seq("cluster"))
+        .filter(col("vec_id") =!= col("nb_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(VectorOps.cosine(col("embedding"), col("nb_emb")).desc,
+              col("nb_id").asc)))
+        .filter(col("rn") <= 5)
+      val maj = nb.groupBy(col("vec_id"), col("nb_label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("c").desc, col("nb_label").asc)))
+        .filter(col("r") === 1)
+        .select(col("vec_id"), col("nb_label").as("maj_label"),
+          col("c").as("maj_count"))
+      mem.select(col("vec_id"), col("label"))
+        .join(maj, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"), col("maj_label"),
+          col("maj_count"),
+          coalesce(col("maj_count") >= 3 &&
+            col("maj_label") =!= col("label"), lit(false)).as("suspect"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q189_jl_distortion" -> ((s, d) => {
       val e = emb(s, d).filter(col("vec_id") < 32)
       val proj = e.select(col("vec_id"), col("embedding"),
@@ -1381,6 +1428,35 @@ object VectorQueries {
          |SELECT b.vec_id, b.cluster, b.proto_cos, b.bin, thr.thr_bin,
          |  b.bin >= thr.thr_bin AS pruned
          |FROM b JOIN thr USING (cluster) ORDER BY b.vec_id""".stripMargin,
+    // Label noise: the shared two-level af rule, per-vector ranked
+    // same-cell neighbors, (count desc, label asc) majority argmax,
+    // null-safe suspect coalesce for singleton cells.
+    "q200_label_noise_knn" ->
+      s"""WITH $ivf2AfCte,
+         |mem AS (
+         |  SELECT a.vec_id, a.cluster, e.label, e.embedding
+         |  FROM af a JOIN embeddings e USING (vec_id)),
+         |nb AS (
+         |  SELECT a.vec_id, b.vec_id AS nb_id, b.label AS nb_label,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC,
+         |        b.vec_id ASC) AS rn
+         |  FROM mem a JOIN mem b
+         |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+         |cnt AS (
+         |  SELECT vec_id, nb_label, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM nb WHERE rn <= 5 GROUP BY 1, 2),
+         |maj AS (
+         |  SELECT vec_id, nb_label AS maj_label, c AS maj_count FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY c DESC, nb_label ASC) AS r
+         |    FROM cnt) t
+         |  WHERE r = 1)
+         |SELECT m.vec_id, m.label, j.maj_label, j.maj_count,
+         |  COALESCE(j.maj_count >= 3 AND j.maj_label <> m.label, FALSE)
+         |    AS suspect
+         |FROM mem m LEFT JOIN maj j USING (vec_id)
+         |ORDER BY m.vec_id""".stripMargin,
     // JL distortion: the 16 projection planes recomputed from md5 parity
     // (the engine bakes the identical signs in as literals), distances as
     // the house sequential folds, ratio guarded against the d_orig = 0

@@ -349,6 +349,25 @@ class R13QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q200 ----------------------------------------------------------------
+
+  test("q200: suspects are exactly the strict-majority disagreements") {
+    val r = SparkEntry.queries("q200_label_noise_knn")(spark, sf0001)
+      .collect()
+    assert(r.length ===
+      Tables.embeddings(spark, sf0001).count(), "one verdict per vector")
+    r.foreach { row =>
+      val suspect = row.getAs[Boolean]("suspect")
+      if (row.isNullAt(row.fieldIndex("maj_label"))) assert(!suspect)
+      else {
+        val c = row.getAs[Long]("maj_count")
+        assert(c >= 1L && c <= 5L)
+        assert(suspect === (c >= 3L &&
+          row.getAs[Int]("maj_label") != row.getAs[Int]("label")))
+      }
+    }
+  }
+
   // ---- q199 ----------------------------------------------------------------
 
   test("q199: tier counts partition the corpus and agree with q52's closure") {
