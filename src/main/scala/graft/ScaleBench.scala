@@ -96,7 +96,11 @@ object ScaleBench {
       // report (~M·√k assignment work), and the lexical-diversity rollup
       // (one map-side-combinable (source, word) count, ~M)
       "q187_prototype_prune", "q195_prototype_prune_hist",
-      "q188_ivf_balance", "q192_lexical_diversity"),
+      "q188_ivf_balance", "q192_lexical_diversity",
+      // the label-noise vote: O(N · cellSize) same-cell cosines + two
+      // rank windows — must grow ~M (cell size is pinned at ~64 by the
+      // k ∝ N dial)
+      "q200_label_noise_knn"),
     "event" -> Seq(
       "q32_asof_join", "q87_rolling_actives", "q140_transition_probs"))
 

@@ -304,6 +304,27 @@ object DedupOps {
     out
   }
 
+  /** MinHash signature as a single per-row EXPRESSION over the text column
+    * — value-identical to [[minhashSignatureArray]] (which min-aggregates
+    * the exploded shingle table): min over the same distinct-shingle set is
+    * order-free. Pure expression work, NO shuffle — the signature path for
+    * STREAMING dedup probes (q201), where an arriving document's banded
+    * buckets must come off the row itself. The shingle-hash array is
+    * materialized ONCE by binding it as a lambda VALUE through an outer
+    * single-element `transform` (the [[simhashExpr]] CSE discipline —
+    * referencing the hash expression from the k array_min lambdas directly
+    * would re-run one md5 per shingle PER HASH). Texts with no shingle
+    * (< n tokens) yield all-NULL elements — callers filter on shingle
+    * count, mirroring the batch form where such docs have no signature
+    * row. */
+  def minhashSignatureExpr(text: Column, n: Int, k: Int): Column = {
+    val hsArr = transform(TextOps.shingles(text, n), s => minhashBase(s))
+    get(transform(array(hsArr), hsV =>
+      array((0 until k).map(i =>
+        array_min(transform(hsV, h => minhashHash(lit(i), h)))): _*)),
+      lit(0))
+  }
+
   /** SimHash as a single per-row EXPRESSION over a token array — identical
     * bits to the relational [[simhash]] (law-tested in DedupSpec): token
     * hashes are materialized ONCE via an outer `transform` (binding the hash

@@ -229,6 +229,53 @@ object StreamingQueries {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // STREAMING DEDUP PROBE — q125's corpus probe in deployment shape:
+    // the reference corpus's MinHash signatures and banded buckets are a
+    // write-once STATIC table; each arriving document computes its own
+    // signature AS A ROW EXPRESSION (DedupOps.minhashSignatureExpr — no
+    // shuffle, no state), explodes its 8 band buckets, and a stream–static
+    // join on (band, bucket) + the house first-collision-band prefix
+    // filter emits each (arrival, corpus) candidate EXACTLY ONCE with no
+    // pair-level distinct and no state store; the per-pair verify is one
+    // zip_with over the two signature arrays. Per-arrival cost is its
+    // band fan-out (8 bucket lookups) — flat in corpus size. The gated
+    // output is the per-arrival verdict (min-id corpus canonical + match
+    // count, aggregated post-sink); oracle = q125's dupc rule verbatim.
+    "q201_stream_dedup_probe" -> ((s, d) => {
+      import graft.dedup.DedupOps
+      val corpus = Tables.documents(s, d).filter(col("source") === "src0")
+      val sigC = DedupOps.minhashSignatureArray(
+        DedupOps.shingleTable(corpus, "doc_id", "text", 3), 32)
+        .localCheckpoint()
+      val staticSide = DedupOps.bandedBuckets(sigC, 32, 4)
+        .join(sigC, Seq("doc_id"))
+        .select(col("doc_id").as("cid"), col("band"), col("bucket"),
+          col("prefix").as("cprefix"), col("sig").as("csig"))
+        .localCheckpoint()
+      val streamBands = docsStream(s, d)
+        .filter(col("source") =!= "src0")
+        .filter(size(graft.text.TextOps.shingles(col("text"), 3)) > 0)
+        .withColumn("sig",
+          DedupOps.minhashSignatureExpr(col("text"), 3, 32))
+        .withColumn("bs", DedupOps.bandBuckets(col("sig"), 32, 4))
+        .select(col("doc_id").as("bid"), col("sig").as("bsig"), col("bs"),
+          posexplode(col("bs")).as(Seq("pos", "bucket")))
+        .select(col("bid"), col("bsig"), col("pos").as("band"),
+          col("bucket"), slice(col("bs"), lit(1), col("pos")).as("bprefix"))
+      val matched = streamBands.join(staticSide, Seq("band", "bucket"))
+        .filter(!exists(zip_with(col("bprefix"), col("cprefix"),
+          (x, y) => x === y), identity[org.apache.spark.sql.Column]))
+        .withColumn("est", DedupOps.sigAgreement(col("bsig"), col("csig"), 32))
+        .filter(col("est") >= 0.5)
+        .select(col("bid"), col("cid"), col("est"))
+      runToTable(matched, "q201_stream_dedup_probe", "append")
+        .groupBy(col("bid"))
+        .agg(min(col("cid")).as("canonical"),
+          count(lit(1)).as("n_matches"))
+        .select(col("bid").as("doc_id"), col("canonical"), col("n_matches"))
+        .orderBy(col("doc_id"))
+    }),
+
     // STREAMING QUALITY-DRIFT MONITOR — the live-ingest ops dashboard for
     // the batch quality rules (q20/q164/q169): the per-source quality
     // BASELINE is computed on the static reference corpus (fixed-point
@@ -712,6 +759,28 @@ object StreamingQueries {
          |SELECT query_id, cell, neighbor_id, cosine
          |FROM m WHERE cosine >= 0.2
          |ORDER BY query_id, neighbor_id""".stripMargin,
+    // Batch twin of the streaming probe: q125's dupc rule verbatim
+    // (TextQueries.mhSide per side, DISTINCT candidates, per-pair est,
+    // min-id canonical + match count per flagged arrival).
+    "q201_stream_dedup_probe" ->
+      s"""WITH ${TextQueries.mhSide("b", "source <> 'src0'")},
+         |${TextQueries.mhSide("c", "source = 'src0'")},
+         |candbc AS (
+         |  SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+         |  FROM bandsb a JOIN bandsc b
+         |    ON a.band = b.band AND a.bucket = b.bucket),
+         |dup AS (
+         |  SELECT bid, cid FROM (
+         |    SELECT bid, cid,
+         |      CAST(SUM(CASE WHEN hb.minhash = hc.minhash THEN 1 ELSE 0 END) AS DOUBLE) / 32 AS est
+         |    FROM candbc
+         |    JOIN mhb hb ON hb.doc_id = bid
+         |    JOIN mhc hc ON hc.doc_id = cid AND hc.i = hb.i
+         |    GROUP BY bid, cid) t
+         |  WHERE est >= 0.5)
+         |SELECT bid AS doc_id, MIN(cid) AS canonical,
+         |  CAST(COUNT(*) AS BIGINT) AS n_matches
+         |FROM dup GROUP BY bid ORDER BY doc_id""".stripMargin,
     // Batch twin of the drift monitor: q20's exact quality formula in
     // fixed point, windows re-derived as pure doc_id integer arithmetic
     // (the stream's ts is timestamp_seconds(doc_id + 86400)).

@@ -1940,7 +1940,7 @@ object TextQueries {
     * hashes → 32 universal minhashes → 8 banded buckets, restricted by a
     * WHERE clause — the per-slice twin of the shared `shingleCte`/`hs`/
     * `mh`/`bands` chain in [[dedupCompCte]]. */
-  private def mhSide(sfx: String, where: String): String =
+  private[queries] def mhSide(sfx: String, where: String): String =
     s"""sh$sfx AS (
        |  SELECT DISTINCT doc_id, shingle FROM (
        |    SELECT doc_id,

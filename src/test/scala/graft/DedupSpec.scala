@@ -113,4 +113,19 @@ class DedupSpec extends SparkSuite {
       .toSet
     assert(out == Set((0L, 0, 6, 4L)))
   }
+
+  test("minhashSignatureExpr equals minhashSignatureArray position for position") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.documents(spark, SparkSpec.sf0001)
+      .filter(size(graft.text.TextOps.shingles(col("text"), 3)) > 0)
+    val viaExpr = d.select(col("doc_id"),
+        DedupOps.minhashSignatureExpr(col("text"), 3, 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = DedupOps.minhashSignatureArray(
+        DedupOps.shingleTable(d, "doc_id", "text", 3), 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr.keySet === viaAgg.keySet)
+    viaExpr.foreach { case (id, sig) =>
+      assert(sig === viaAgg(id), s"doc $id") }
+  }
 }

@@ -349,6 +349,24 @@ class R13QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q201 ----------------------------------------------------------------
+
+  test("q201: every probe verdict points at a real src0 doc, counted once") {
+    val r = SparkEntry.queries("q201_stream_dedup_probe")(
+      spark, "/root/testdata/sf0.01").collect()
+    // sf0.01 has cross-source near-dups; sf0.001 may not
+    assert(r.nonEmpty)
+    val src0 = Tables.documents(spark, "/root/testdata/sf0.01")
+      .filter(col("source") === "src0").select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    r.foreach { row =>
+      assert(src0.contains(row.getAs[Long]("canonical")))
+      assert(!src0.contains(row.getAs[Long]("doc_id")),
+        "arrivals are non-src0 by construction")
+      assert(row.getAs[Long]("n_matches") >= 1L)
+    }
+  }
+
   // ---- q200 ----------------------------------------------------------------
 
   test("q200: suspects are exactly the strict-majority disagreements") {
