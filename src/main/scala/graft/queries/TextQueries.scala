@@ -59,6 +59,69 @@ object TextQueries {
           col("is_canonical"))
         .orderBy(col("doc_id"))),
 
+    // SIMHASH NEAR-DUP PAIRS WITH PIGEONHOLE-EXACT BLOCKING — the text
+    // twin of the q154/q155 media dedup: q24's 32-bit SimHash sliced into
+    // 4 byte-bands; Hamming ≤ 3 pairs MUST agree on ≥ 1 band
+    // (pigeonhole), so the band join is a complete blocking scheme, never
+    // all-pairs, and the house first-collision-band prefix filter emits
+    // each pair exactly once with no distinct. Beside MinHash (q23,
+    // est-Jaccard semantics) this is the cheaper/coarser near-dup tier —
+    // one 8-byte signature per doc, integer-only verify
+    // (bit_count(xor) ≤ 3). All-integer ⇒ oracle bit-exact.
+    "q202_simhash_pairs" -> ((s, d) => {
+      val sig = DedupOps.simhash(docs(s, d), "doc_id", "text")
+        .localCheckpoint() // feeds both join sides
+      val banded = sig.select(col("doc_id"), col("simhash"),
+          array((0 until 4).map(b =>
+            expr(s"shiftright(simhash, ${b * 8})").bitwiseAND(lit(255L)))
+            : _*).as("bands"))
+        .select(col("doc_id"), col("simhash"), col("bands"),
+          posexplode(col("bands")).as(Seq("band", "bval")))
+        .select(col("doc_id"), col("simhash"), col("band"), col("bval"),
+          slice(col("bands"), lit(1), col("band")).as("prefix"))
+      banded.select(col("doc_id").as("da"), col("simhash").as("sa"),
+          col("band"), col("bval"), col("prefix").as("pa"))
+        .join(banded.select(col("doc_id").as("db"),
+          col("simhash").as("sb"), col("band"), col("bval"),
+          col("prefix").as("pb")), Seq("band", "bval"))
+        .filter(col("da") < col("db"))
+        .filter(!exists(zip_with(col("pa"), col("pb"), (x, y) => x === y),
+          identity[org.apache.spark.sql.Column]))
+        .withColumn("hamming",
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+        .filter(col("hamming") <= 3)
+        .select(col("da"), col("db"), col("hamming"))
+        .orderBy(col("da"), col("db"))
+    }),
+
+    // EVAL-SET N-GRAM COVERAGE — q105's decontamination in the REVERSE
+    // direction and as a METRIC, not a filter: for every held-out (src0)
+    // document, what fraction of its distinct 8-grams appears anywhere in
+    // the training mass — the memorization-exposure number an eval-suite
+    // release quotes (coverage ≈ 1 means the benchmark leaks from train
+    // even after q105 drops train-side hits). Cardinality note: unlike
+    // q105 (small bench set broadcasts), the train gram set here is
+    // corpus-sized — the semi-join shuffles on the gram key (or rides
+    // q153's Bloom at 100 TB); the eval side stays small.
+    "q203_ngram_coverage" -> ((s, d) => {
+      val dd = docs(s, d)
+      val trainGrams = dd.filter(col("source") =!= "src0")
+        .select(explode(TextOps.shingles(col("text"), 8)).as("gram"))
+        .distinct()
+      val evalG = dd.filter(col("source") === "src0")
+        .select(col("doc_id"),
+          explode(TextOps.shingles(col("text"), 8)).as("gram"))
+      val tot = evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val cov = evalG.join(trainGrams, Seq("gram"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+      tot.join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+        .withColumn("coverage",
+          col("n_covered").cast("double") / col("n_grams").cast("double"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DEDUP-TIER OVERLAP REPORT — prices what the expensive tier buys
     // over the cheap one: exact content dedup (q21's md5 rule, one
     // groupBy) and near-dup canonicalization (q52's MinHash-LSH closure,
@@ -2738,6 +2801,57 @@ object TextQueries {
       s"""WITH $minhashEstCte
          |SELECT da, db, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY da, db""".stripMargin,
+    // SimHash bands: q24's signature CTE, byte-band slices via integer
+    // shifts, DISTINCT candidate pairs (= the first-collision set),
+    // integer Hamming verify.
+    "q202_simhash_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, token, COUNT(*) AS cnt,
+         |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents) t
+         |  GROUP BY doc_id, token),
+         |bits AS (
+         |  SELECT doc_id, i AS bit,
+         |    SUM(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+         |  FROM tok CROSS JOIN range(32) t(i) GROUP BY doc_id, i),
+         |sim AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit
+         |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |bnd AS (
+         |  SELECT doc_id, simhash, i AS band, (simhash >> (i * 8)) & 255 AS bval
+         |  FROM sim CROSS JOIN range(4) t(i)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM bnd a JOIN bnd b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY da, db""".stripMargin,
+    // Coverage: q105's sh8 gram table, train-side distinct grams,
+    // per-eval-doc covered fraction.
+    "q203_ngram_coverage" ->
+      s"""WITH sh8 AS (
+         |  SELECT DISTINCT doc_id, source, gram FROM (
+         |    SELECT doc_id, source,
+         |      unnest([array_to_string(w[i:i+7], '|')
+         |              for i in range(1, len(w) - 6)]) AS gram
+         |    FROM (SELECT doc_id, source, $toksSql AS w FROM documents) t0) t1),
+         |train AS (SELECT DISTINCT gram FROM sh8 WHERE source <> 'src0'),
+         |ev AS (SELECT doc_id, gram FROM sh8 WHERE source = 'src0'),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+         |        FROM ev GROUP BY 1),
+         |cov AS (
+         |  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered
+         |  FROM ev e JOIN train t USING (gram) GROUP BY 1)
+         |SELECT t.doc_id, t.n_grams,
+         |  COALESCE(c.n_covered, CAST(0 AS BIGINT)) AS n_covered,
+         |  CAST(COALESCE(c.n_covered, 0) AS DOUBLE)
+         |    / CAST(t.n_grams AS DOUBLE) AS coverage
+         |FROM tot t LEFT JOIN cov c USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
     // Tier overlap: q21's md5-fingerprint rule beside the shared closure
     // chain, cross-tabulated.
     "q199_dedup_tier_overlap" ->

@@ -349,6 +349,34 @@ class R13QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q202 ----------------------------------------------------------------
+
+  test("q202: banded emission is COMPLETE for Hamming <= 3 (pigeonhole law)") {
+    val emitted = SparkEntry.queries("q202_simhash_pairs")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth off the same signatures
+    val sigs = graft.dedup.DedupOps
+      .simhash(Tables.documents(spark, sf0001), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (da, sa) <- sigs; (db, sb) <- sigs
+      if da < db && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (da, db)).toSet
+    assert(emitted === truth, "blocking must lose nothing at Hamming <= 3")
+  }
+
+  // ---- q203 ----------------------------------------------------------------
+
+  test("q203: coverage is a valid fraction per eval doc") {
+    val r = SparkEntry.queries("q203_ngram_coverage")(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_covered") <= row.getAs[Long]("n_grams"))
+      val c = row.getAs[Double]("coverage")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
   // ---- q201 ----------------------------------------------------------------
 
   test("q201: every probe verdict points at a real src0 doc, counted once") {
