@@ -100,7 +100,11 @@ object ScaleBench {
       // the label-noise vote: O(N · cellSize) same-cell cosines + two
       // rank windows — must grow ~M (cell size is pinned at ~64 by the
       // k ∝ N dial)
-      "q200_label_noise_knn"),
+      "q200_label_noise_knn",
+      // the pigeonhole simhash band join (token-suffixed replicas hash to
+      // unrelated signatures, so true pairs grow ~M) and the gram-key
+      // coverage semi-join (train grams grow ~M, eval side fixed)
+      "q202_simhash_pairs", "q203_ngram_coverage"),
     "event" -> Seq(
       "q32_asof_join", "q87_rolling_actives", "q140_transition_probs"))
 
