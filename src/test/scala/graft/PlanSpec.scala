@@ -295,6 +295,33 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q203 train-gram semi-join is not a mandatory broadcast (train side is corpus-sized)") {
+    // q203 reverses q105's cardinality: the DISTINCT train 8-gram set is
+    // the corpus-sized side — a broadcast() hint there is a driver OOM at
+    // 100 TB (the semi-join must shuffle on the gram key, or ride q153's
+    // Bloom). With auto-broadcast forced off, any surviving BHJ whose
+    // build side carries `gram` would be a mandatory hint.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val phys = SparkEntry.queries("q203_ngram_coverage")(spark, sf)
+        .queryExecution.sparkPlan
+      val offenders = phys.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if {
+              val build = j.buildSide match {
+                case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+                case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+              }
+              build.output.exists(_.name == "gram")
+            } => j
+      }
+      assert(offenders.isEmpty,
+        s"train grams still force a broadcast:\n${offenders.mkString("\n")}")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q108 cohort join is not a mandatory broadcast (firstSeen grows with data)") {
     // firstSeen is one row PER USER — broadcasting it is a driver OOM at
     // scale. With the auto-broadcast threshold forced to -1 the join must
