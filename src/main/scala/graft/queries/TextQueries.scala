@@ -122,6 +122,36 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // EFFECTIVE-TOKEN ACCOUNTING — the number a corpus release actually
+    // quotes: per source, raw token mass vs the mass surviving near-dup
+    // canonicalization (q52's closure, min-id keepers), and the savings
+    // fraction. q126 counts DOCS through the same closure; training
+    // budgets are priced in TOKENS, and a source whose savings fraction
+    // is high is re-crawled/syndicated mass. One token-count projection
+    // (map-side), the shared closure on the pair graph (edges only, never
+    // documents), a |sources|-row rollup.
+    "q204_effective_tokens" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = DedupOps.minhashPairs(dd, "doc_id", "text", 3, 32, 4, 0.5)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val comps = graft.graph.GraphOps
+        .connectedComponents(s, graft.graph.GraphOps.symmetrize(pairs))
+        .withColumnRenamed("id", "doc_id")
+      dd.select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("keep",
+          coalesce(col("component"), col("doc_id")) === col("doc_id"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("raw_tokens"),
+          sum(when(col("keep"), col("n_tok")).otherwise(0L))
+            .as("effective_tokens"))
+        .withColumn("savings",
+          lit(1.0) - col("effective_tokens").cast("double")
+            / col("raw_tokens").cast("double"))
+        .orderBy(col("source"))
+    }),
+
     // DEDUP-TIER OVERLAP REPORT — prices what the expensive tier buys
     // over the cheap one: exact content dedup (q21's md5 rule, one
     // groupBy) and near-dup canonicalization (q52's MinHash-LSH closure,
@@ -2852,6 +2882,22 @@ object TextQueries {
          |    / CAST(t.n_grams AS DOUBLE) AS coverage
          |FROM tot t LEFT JOIN cov c USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+    // Effective tokens: the shared closure, token sums split by keeper.
+    "q204_effective_tokens" ->
+      s"""$dedupCompCte,
+         |tk AS (SELECT doc_id, source,
+         |         CAST(len($toksSql) AS BIGINT) AS n_tok
+         |       FROM documents),
+         |v AS (
+         |  SELECT t.source, t.n_tok,
+         |    COALESCE(c.component, t.doc_id) = t.doc_id AS keep
+         |  FROM tk t LEFT JOIN comp c USING (doc_id))
+         |SELECT source, CAST(SUM(n_tok) AS BIGINT) AS raw_tokens,
+         |  CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS effective_tokens,
+         |  1.0 - CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(n_tok) AS DOUBLE) AS savings
+         |FROM v GROUP BY source ORDER BY source""".stripMargin,
     // Tier overlap: q21's md5-fingerprint rule beside the shared closure
     // chain, cross-tabulated.
     "q199_dedup_tier_overlap" ->

@@ -349,6 +349,29 @@ class R13QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q204 ----------------------------------------------------------------
+
+  test("q204: effective <= raw tokens per source and the totals agree with q52") {
+    val r = SparkEntry.queries("q204_effective_tokens")(spark, sf0001)
+      .collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("effective_tokens") <=
+        row.getAs[Long]("raw_tokens"))
+      val sv = row.getAs[Double]("savings")
+      assert(sv >= 0.0 && sv < 1.0)
+    }
+    // total effective tokens = tokens of q52's canonical keepers
+    import graft.text.TextOps
+    val keepers = SparkEntry.queries("q52_dedup_canonical")(spark, sf0001)
+      .filter(col("is_canonical")).select(col("doc_id"))
+    val expect = Tables.documents(spark, sf0001)
+      .join(keepers, Seq("doc_id"))
+      .agg(sum(size(TextOps.tokens(col("text"))).cast("long")))
+      .collect().head.getLong(0)
+    assert(r.map(_.getAs[Long]("effective_tokens")).sum === expect)
+  }
+
   // ---- q202 ----------------------------------------------------------------
 
   test("q202: banded emission is COMPLETE for Hamming <= 3 (pigeonhole law)") {
