@@ -276,6 +276,45 @@ object StreamingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // STREAMING CMS HEAVY HITTERS — q151's Count-Min sketch with the
+    // counters living IN the streaming engine (q162's HLL-register
+    // discipline for counters): per (1-minute window × r × idx) counts
+    // are StateStore aggregation state — |windows|·4·1024 longs however
+    // many tokens arrive, where exact streaming counts would grow state
+    // with the live vocabulary. Post-sink, each window's vocabulary
+    // probes its counters (min over the 4 rows) and the top-3 per window
+    // by estimate is gated beside the exact counts — sketch overestimate
+    // included, bit-for-bit. Window starts are epoch seconds (the q198
+    // integer-window discipline).
+    "q205_stream_cms_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.text.{CountMin, TextOps}
+      val sk = runToTable(
+        StreamOps.cmsCounterAgg(docsStream(s, d), "1 minute", "1 hour",
+          4, 1024),
+        "q205_stream_cms_topk", "complete")
+      val batch = Tables.documents(s, d)
+        .select(expr("(doc_id + 86400) div 60 * 60").as("w_start"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+      val probe = batch.select(col("w_start"), col("token")).distinct()
+        .select(col("w_start"), col("token"),
+          explode(sequence(lit(0), lit(3))).as("r"))
+        .select(col("w_start"), col("token"), col("r"),
+          CountMin.rowHash(col("r"), col("token"), 1024).as("idx"))
+      val est = probe.join(sk, Seq("w_start", "r", "idx"))
+        .groupBy(col("w_start"), col("token")).agg(min(col("c")).as("est"))
+      val exact = batch.groupBy(col("w_start"), col("token"))
+        .agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("w_start", "token"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("w_start"))
+            .orderBy(col("est").desc, col("token").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("w_start"), col("token"), col("est"), col("exact"),
+          col("rn").cast("int").as("rn"))
+        .orderBy(col("w_start"), col("rn"))
+    }),
+
     // STREAMING QUALITY-DRIFT MONITOR — the live-ingest ops dashboard for
     // the batch quality rules (q20/q164/q169): the per-source quality
     // BASELINE is computed on the static reference corpus (fixed-point
@@ -781,6 +820,38 @@ object StreamingQueries {
          |SELECT bid AS doc_id, MIN(cid) AS canonical,
          |  CAST(COUNT(*) AS BIGINT) AS n_matches
          |FROM dup GROUP BY bid ORDER BY doc_id""".stripMargin,
+    // Batch twin of the streaming CMS: q151's counter/probe/estimate
+    // CTEs keyed by the integer-derived window.
+    "q205_stream_cms_topk" ->
+      s"""WITH tok AS (
+         |  SELECT (doc_id + 86400) // 60 * 60 AS w_start,
+         |    unnest($toksSql) AS token
+         |  FROM documents),
+         |ps AS (
+         |  SELECT w_start, r,
+         |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || token), 1, 15) AS BIGINT) % 1024 AS idx,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tok CROSS JOIN range(0, 4) t(r)
+         |  GROUP BY 1, 2, 3),
+         |probe AS (
+         |  SELECT w_start, token, r,
+         |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || token), 1, 15) AS BIGINT) % 1024 AS idx
+         |  FROM (SELECT DISTINCT w_start, token FROM tok) v
+         |  CROSS JOIN range(0, 4) t(r)),
+         |est AS (
+         |  SELECT p.w_start, p.token, MIN(s.c) AS est
+         |  FROM probe p JOIN ps s
+         |    ON s.w_start = p.w_start AND s.r = p.r AND s.idx = p.idx
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT w_start, token, CAST(COUNT(*) AS BIGINT) AS exact
+         |       FROM tok GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT e.w_start, e.token, e.est, x.exact,
+         |    ROW_NUMBER() OVER (PARTITION BY e.w_start
+         |      ORDER BY e.est DESC, e.token ASC) AS rn
+         |  FROM est e JOIN ex x USING (w_start, token))
+         |SELECT w_start, token, est, exact, CAST(rn AS INTEGER) AS rn
+         |FROM rk WHERE rn <= 3 ORDER BY w_start, rn""".stripMargin,
     // Batch twin of the drift monitor: q20's exact quality formula in
     // fixed point, windows re-derived as pure doc_id integer arithmetic
     // (the stream's ts is timestamp_seconds(doc_id + 86400)).

@@ -58,6 +58,27 @@ object StreamOps {
       .select(col("w.start").as("w_start"), col("idx"), col("reg"))
   }
 
+  /** Streaming Count-Min counters: per (window, r, idx) token counts —
+    * the CMS as StateStore aggregation state, q162's HLL-register
+    * discipline applied to counters. The state is |windows|·d·w longs
+    * HOWEVER many tokens arrive — the sketch's bounded-memory guarantee
+    * moved into the streaming engine, where an exact per-token count
+    * would grow state with the live vocabulary. */
+  def cmsCounterAgg(docsStr: DataFrame, width: String, watermark: String,
+                    d: Int, w: Int): DataFrame = {
+    import graft.text.{CountMin, TextOps}
+    docsStr.withWatermark("ts", watermark)
+      .select(col("ts"), explode(TextOps.tokens(col("text"))).as("token"))
+      .select(col("ts"), col("token"),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .select(col("ts"), col("r"),
+        CountMin.rowHash(col("r"), col("token"), w).as("idx"))
+      .groupBy(window(col("ts"), width).as("wd"), col("r"), col("idx"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("wd.start").cast("long").as("w_start"), col("r"),
+        col("idx"), col("c"))
+  }
+
   /** STREAM–STATIC enrichment: the streaming side joins a batch dimension
     * (user → attribute) stateLESSLY — Spark replans the static side every
     * micro-batch, so no join state accumulates and dimension updates are

@@ -349,6 +349,23 @@ class R13QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q205 ----------------------------------------------------------------
+
+  test("q205: CMS estimates never undercount and each window ranks exactly 3") {
+    val r = SparkEntry.queries("q205_stream_cms_topk")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("est") >= row.getAs[Long]("exact"),
+        "Count-Min is an always->= overestimate")
+      assert(row.getAs[Int]("rn") >= 1 && row.getAs[Int]("rn") <= 3)
+    }
+    r.groupBy(_.getAs[Long]("w_start")).foreach { case (w, rows) =>
+      assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq === Seq(1, 2, 3),
+        s"window $w")
+    }
+  }
+
   // ---- q204 ----------------------------------------------------------------
 
   test("q204: effective <= raw tokens per source and the totals agree with q52") {
