@@ -122,6 +122,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // LSH PRECISION/RECALL REPORT — the end-to-end blocking-quality
+    // number beside q197's per-pair estimate error and q182's linkage
+    // blocking table: the banded-LSH pipeline's pair set (q23's rule,
+    // est ≥ 0.5) scored against the EXACT Jaccard ≥ 0.5 truth (q22's
+    // rule). Precision < 1 is estimate overshoot, recall < 1 is band
+    // misses + estimate undershoot — the two dials (k, rows/band) this
+    // report tunes. One row out; at 100 TB the exact side is the
+    // prefix-filtered q22 plan (lossless for ≥ θ), run on an audit
+    // SAMPLE, never the corpus.
+    "q206_lsh_recall_report" -> ((s, d) => {
+      val dd = docs(s, d)
+      val exact = DedupOps.jaccardPairsPrefix(dd, "doc_id", "text", 3, 0.5)
+        .select(col("da"), col("db"), lit(true).as("in_exact"))
+      val lsh = DedupOps.minhashPairs(dd, "doc_id", "text", 3, 32, 4, 0.5)
+        .select(col("da"), col("db"), lit(true).as("in_lsh"))
+      exact.join(lsh, Seq("da", "db"), "full_outer")
+        .agg(
+          sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("in_lsh"), 1L).otherwise(0L)).as("n_lsh"),
+          sum(when(col("in_exact") && col("in_lsh"), 1L).otherwise(0L))
+            .as("n_both"))
+        .select(col("n_exact"), col("n_lsh"), col("n_both"),
+          (col("n_both").cast("double") / col("n_lsh").cast("double"))
+            .as("precision"),
+          (col("n_both").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }),
+
     // EFFECTIVE-TOKEN ACCOUNTING — the number a corpus release actually
     // quotes: per source, raw token mass vs the mass surviving near-dup
     // canonicalization (q52's closure, min-id keepers), and the savings
@@ -2882,6 +2910,36 @@ object TextQueries {
          |    / CAST(t.n_grams AS DOUBLE) AS coverage
          |FROM tot t LEFT JOIN cov c USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+    // LSH P/R: the est CTE (shared hash family) beside q22's exact-Jaccard
+    // rule, full-outer flag counting.
+    "q206_lsh_recall_report" ->
+      s"""WITH $minhashEstCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT da, db FROM common
+         |  JOIN sizes sa ON da = sa.doc_id
+         |  JOIN sizes sb ON db = sb.doc_id
+         |  WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5),
+         |lsh AS (SELECT da, db FROM est WHERE est_jaccard >= 0.5),
+         |f AS (
+         |  SELECT COALESCE(e.da, l.da) AS da, COALESCE(e.db, l.db) AS db,
+         |    e.da IS NOT NULL AS in_exact, l.da IS NOT NULL AS in_lsh
+         |  FROM exact e FULL OUTER JOIN lsh l
+         |    ON e.da = l.da AND e.db = l.db)
+         |SELECT
+         |  CAST(SUM(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+         |  CAST(SUM(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST(SUM(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS DOUBLE) AS precision,
+         |  CAST(SUM(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(CASE WHEN in_exact THEN 1 ELSE 0 END) AS DOUBLE) AS recall
+         |FROM f""".stripMargin,
     // Effective tokens: the shared closure, token sums split by keeper.
     "q204_effective_tokens" ->
       s"""$dedupCompCte,

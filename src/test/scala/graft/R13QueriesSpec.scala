@@ -349,6 +349,23 @@ class R13QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q206 ----------------------------------------------------------------
+
+  test("q206: P/R identities hold and both-counts agree with q22/q23") {
+    val r = SparkEntry.queries("q206_lsh_recall_report")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (ne, nl, nb) = (row.getAs[Long]("n_exact"), row.getAs[Long]("n_lsh"),
+      row.getAs[Long]("n_both"))
+    assert(nb <= ne && nb <= nl)
+    assert(math.abs(row.getAs[Double]("precision") - nb.toDouble / nl) < 1e-15)
+    assert(math.abs(row.getAs[Double]("recall") - nb.toDouble / ne) < 1e-15)
+    val d = "/root/testdata/sf0.01"
+    assert(ne === SparkEntry.queries("q22_jaccard_pairs")(spark, d).count())
+    assert(nl === SparkEntry.queries("q23_minhash_pairs")(spark, d).count())
+  }
+
   // ---- q205 ----------------------------------------------------------------
 
   test("q205: CMS estimates never undercount and each window ranks exactly 3") {
