@@ -122,6 +122,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CLASSIFIER CALIBRATION BINS — the reliability diagram for the
+    // in-engine-trained quality classifier (q168's exact model, shared
+    // trainer): per decile bin of predicted p, the empirical positive
+    // rate beside the mean prediction — frac_pos ≈ mean_p per bin is what
+    // makes a score usable as a sampling WEIGHT (q139/q124) rather than
+    // just a threshold. The bin boundary is deterministic (p is the same
+    // IEEE op chain on both engines — the q168 weight-trajectory
+    // guarantee extended one op further), the per-bin mean is fixed-point
+    // (floor(p·1e9) long sums). One scoring scan of the checkpointed
+    // feature table + a 10-row aggregate.
+    "q207_calibration_bins" -> ((s, d) => {
+      val (feats, w) = logregTrain(s, d)
+      val p = logregSig(logregZ(w))
+      feats.select(col("y"), p.as("p"))
+        .withColumn("bin", greatest(
+          least(floor(col("p") * 10.0).cast("long"), lit(9L)), lit(0L)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+          sum(floor(col("p") * lit(1e9)).cast("long")).as("sum_p_fp"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          (col("n_pos").cast("double") / col("n").cast("double"))
+            .as("frac_pos"),
+          (col("sum_p_fp").cast("double") / 1e9
+            / col("n").cast("double")).as("mean_p"))
+        .orderBy(col("bin"))
+    }),
+
     // LSH PRECISION/RECALL REPORT — the end-to-end blocking-quality
     // number beside q197's per-pair estimate error and q182's linkage
     // blocking table: the banded-LSH pipeline's pair set (q23's rule,
@@ -1645,43 +1673,8 @@ object TextQueries {
     // in the gated output: 97.0 % at sf0.01 — the learned separator, not
     // the majority class (55.4 %).
     "q168_quality_classifier" -> ((s, d) => {
-      val en = TextOps.langStopwords.toMap.apply("en")
-      val t = docs(s, d).select(col("doc_id"),
-        TextOps.tokens(col("text")).as("toks"))
-      val nWords = size(col("toks"))
-      val sumLen = aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w))
-      val meanLen = sumLen.cast("double") / greatest(nWords, lit(1)).cast("double")
-      val alphaWords = size(filter(col("toks"), w => w.rlike("[a-z]")))
-      val stopHits = TextOps.langScore(col("toks"), en)
-      val feats = t.select(col("doc_id"),
-          ((nWords.cast("double") - lit(50.0)) / lit(100.0)).as("x1"),
-          ((meanLen - lit(4.0)) / lit(10.0)).as("x2"),
-          (stopHits.cast("double") / greatest(nWords, lit(1)).cast("double")
-            - lit(0.1)).as("x3"),
-          lit(1.0).as("x4"),
-          when(nWords.between(lit(50), lit(100000)) &&
-              meanLen.between(lit(3.0), lit(10.0)) &&
-              (alphaWords.cast("double")
-                / greatest(nWords, lit(1)).cast("double")) > lit(0.8) &&
-              stopHits >= lit(2), lit(1.0)).otherwise(lit(0.0)).as("y"))
-        .localCheckpoint() // 6 scans (5 epochs + accuracy) of the cache
-      val lr = 4.0
-      var w = Array(0.0, 0.0, 0.0, 0.0)
-      def zOf(ws: Array[Double]): Column =
-        lit(ws(0)) * col("x1") + lit(ws(1)) * col("x2") +
-          lit(ws(2)) * col("x3") + lit(ws(3)) * col("x4")
-      for (_ <- 1 to 5) {
-        val z = zOf(w)
-        val p = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
-        val gs = (1 to 4).map(j =>
-          sum(floor((p - col("y")) * col(s"x$j") * lit(1e9)).cast("long"))
-            .as(s"g$j"))
-        val row = feats.agg(gs.head, gs.tail :+ count(lit(1)).as("n"): _*).head()
-        val n = row.getLong(4).toDouble
-        w = Array.tabulate(4)(j =>
-          w(j) - lr * ((row.getLong(j).toDouble / 1e9) / n))
-      }
-      val zf = zOf(w)
+      val (feats, w) = logregTrain(s, d)
+      val zf = logregZ(w)
       val accRow = feats.agg(
         sum(when((zf >= lit(0.0)) === (col("y") === lit(1.0)), 1L)
           .otherwise(0L)).as("correct"),
@@ -3367,6 +3360,7 @@ object TextQueries {
     // and accuracy) is bit-identical without the SQL ever seeing the
     // engine's learned values.
     "q168_quality_classifier" -> logregOracleSql,
+    "q207_calibration_bins" -> calibrationOracleSql,
 
     // Per-source quantile gate: identical 64-bin histogram, descending
     // cumulative threshold rule, bin-granular keep.
@@ -3472,7 +3466,68 @@ object TextQueries {
     * Feature/label expressions mirror the Spark plan (q118's proven
     * fragments); the fast-sigmoid and fixed-point gradient quantization
     * make every intermediate bit-identical across engines. */
-  private lazy val logregOracleSql: String = {
+  /** q168's trainer, extracted for q207 (calibration): engineered feature
+    * table (checkpointed — 6+ scans) and the 4 weights after 5 fixed-point
+    * gradient epochs. The weight trajectory is bit-identical in the
+    * oracle's unrolled CTE (see q168's Scaladoc). */
+  private def logregTrain(s: SparkSession, d: String)
+      : (DataFrame, Array[Double]) = {
+    val en = TextOps.langStopwords.toMap.apply("en")
+    val t = docs(s, d).select(col("doc_id"),
+      TextOps.tokens(col("text")).as("toks"))
+    val nWords = size(col("toks"))
+    val sumLen = aggregate(col("toks"), lit(0L), (acc, w) => acc + length(w))
+    val meanLen = sumLen.cast("double") / greatest(nWords, lit(1)).cast("double")
+    val alphaWords = size(filter(col("toks"), w => w.rlike("[a-z]")))
+    val stopHits = TextOps.langScore(col("toks"), en)
+    val feats = t.select(col("doc_id"),
+        ((nWords.cast("double") - lit(50.0)) / lit(100.0)).as("x1"),
+        ((meanLen - lit(4.0)) / lit(10.0)).as("x2"),
+        (stopHits.cast("double") / greatest(nWords, lit(1)).cast("double")
+          - lit(0.1)).as("x3"),
+        lit(1.0).as("x4"),
+        when(nWords.between(lit(50), lit(100000)) &&
+            meanLen.between(lit(3.0), lit(10.0)) &&
+            (alphaWords.cast("double")
+              / greatest(nWords, lit(1)).cast("double")) > lit(0.8) &&
+            stopHits >= lit(2), lit(1.0)).otherwise(lit(0.0)).as("y"))
+      .localCheckpoint() // 6 scans (5 epochs + the consumer) of the cache
+    val lr = 4.0
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to 5) {
+      val z = logregZ(w)
+      val p = logregSig(z)
+      val gs = (1 to 4).map(j =>
+        sum(floor((p - col("y")) * col(s"x$j") * lit(1e9)).cast("long"))
+          .as(s"g$j"))
+      val row = feats.agg(gs.head, gs.tail :+ count(lit(1)).as("n"): _*).head()
+      val n = row.getLong(4).toDouble
+      w = Array.tabulate(4)(j =>
+        w(j) - lr * ((row.getLong(j).toDouble / 1e9) / n))
+    }
+    (feats, w)
+  }
+
+  private def logregZ(ws: Array[Double]): org.apache.spark.sql.Column =
+    lit(ws(0)) * col("x1") + lit(ws(1)) * col("x2") +
+      lit(ws(2)) * col("x3") + lit(ws(3)) * col("x4")
+
+  /** The rational sigmoid surrogate 0.5 + z/(2(1+|z|)) — (0, 1)-bounded,
+    * libm-free (portable op for op). */
+  private def logregSig(z: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  /** DuckDB mirror of [[logregSig]] over a z expression string. */
+  private def logregSigSql(zz: String) = s"(0.5 + $zz/(2.0*(1.0+abs($zz))))"
+
+  private def logregZSql(ws: Seq[String]) =
+    s"(${ws(0)}*x1 + ${ws(1)}*x2 + ${ws(2)}*x3 + ${ws(3)}*x4)"
+
+  /** The unrolled trainer CTE chain (feats + 5 epochs, ending with `w5`
+    * holding the trained weights) — shared by q168 (weights + accuracy)
+    * and q207 (calibration bins). */
+  private lazy val logregCteSql: String = {
     val stop = langScoreSql(TextOps.langStopwords.toMap.apply("en"))
     val mwl = "(CAST(list_sum(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(toks, w -> CAST(length(w) AS BIGINT)))) AS DOUBLE) " +
@@ -3491,14 +3546,11 @@ object TextQueries {
          |      AND $stop >= 2
          |    THEN 1.0 ELSE 0.0 END AS y
          |  FROM (SELECT doc_id, $toksSql AS toks FROM documents) t0)""".stripMargin
-    def z(ws: Seq[String]) =
-      s"(${ws(0)}*x1 + ${ws(1)}*x2 + ${ws(2)}*x3 + ${ws(3)}*x4)"
-    def sig(zz: String) = s"(0.5 + $zz/(2.0*(1.0+abs($zz))))"
     val steps = (1 to 5).map { k =>
       val ws =
         if (k == 1) Seq("0.0", "0.0", "0.0", "0.0")
         else (1 to 4).map(j => s"w${k - 1}.w$j")
-      val p = sig(z(ws))
+      val p = logregSigSql(logregZSql(ws))
       val from = if (k == 1) "feats" else s"feats, w${k - 1}"
       val gSums = (1 to 4).map(j =>
         s"SUM(CAST(floor(($p - y)*x$j*1e9) AS BIGINT)) AS g$j").mkString(", ")
@@ -3510,9 +3562,12 @@ object TextQueries {
       s"""g${k}c AS (SELECT $gSums, COUNT(*) AS n FROM $from),
          |w$k AS (SELECT $wSel FROM $wFrom)""".stripMargin
     }.mkString(",\n")
-    val zf = z((1 to 4).map(j => s"w5.w$j"))
-    s"""WITH $feats,
-       |$steps,
+    s"$feats,\n$steps"
+  }
+
+  private lazy val logregOracleSql: String = {
+    val zf = logregZSql((1 to 4).map(j => s"w5.w$j"))
+    s"""WITH $logregCteSql,
        |a AS (SELECT CAST(SUM(CASE WHEN ($zf >= 0.0) = (y = 1.0) THEN 1 ELSE 0 END) AS DOUBLE)
        |        / CAST(COUNT(*) AS DOUBLE) AS train_acc,
        |      CAST(COUNT(*) AS BIGINT) AS n_docs FROM feats, w5)
@@ -3524,6 +3579,24 @@ object TextQueries {
        |FROM (SELECT unnest(['x1_n_words', 'x2_mean_word_len',
        |        'x3_stop_frac', 'x4_bias']) AS feature) f, w5, a
        |ORDER BY f.feature""".stripMargin
+  }
+
+  /** q207: the same trained model's reliability table — per decile bin of
+    * predicted p, the empirical positive rate beside the mean prediction. */
+  private lazy val calibrationOracleSql: String = {
+    val p = logregSigSql(logregZSql((1 to 4).map(j => s"w5.w$j")))
+    s"""WITH $logregCteSql,
+       |sc AS (SELECT y, $p AS p FROM feats, w5),
+       |b AS (SELECT y, p,
+       |        greatest(least(CAST(floor(p * 10.0) AS BIGINT), 9), 0) AS bin
+       |      FROM sc)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS frac_pos,
+       |  CAST(SUM(CAST(floor(p * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+       |    / CAST(COUNT(*) AS DOUBLE) AS mean_p
+       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
   }
 
   /** q136's split oracle — shared verbatim by q146 (the artifact-consuming

@@ -349,6 +349,30 @@ class R13QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q207 ----------------------------------------------------------------
+
+  test("q207: calibration bins are consistent and the decision boundary separates") {
+    val r = SparkEntry.queries("q207_calibration_bins")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_pos") <= row.getAs[Long]("n"))
+      val mp = row.getAs[Double]("mean_p")
+      val bin = row.getAs[Long]("bin")
+      // the bin's mean prediction lies inside the bin
+      assert(mp >= bin / 10.0 - 1e-9 && mp < (bin + 1) / 10.0 + 1e-9,
+        s"bin $bin mean_p $mp")
+    }
+    // bins under the z >= 0 decision boundary (p < 0.5) are mostly
+    // negative, bins above mostly positive — the q168 97% separator
+    val below = r.filter(_.getAs[Long]("bin") < 5)
+    val above = r.filter(_.getAs[Long]("bin") >= 5)
+    assert(below.map(_.getAs[Long]("n_pos")).sum.toDouble <=
+      0.2 * below.map(_.getAs[Long]("n")).sum)
+    assert(above.map(_.getAs[Long]("n_pos")).sum.toDouble >=
+      0.8 * above.map(_.getAs[Long]("n")).sum)
+  }
+
   // ---- q206 ----------------------------------------------------------------
 
   test("q206: P/R identities hold and both-counts agree with q22/q23") {
