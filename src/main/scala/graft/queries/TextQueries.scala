@@ -122,6 +122,39 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // QUALITY × DUP-STATUS PROFILE — the curation question q191 (quality
+    // dial) and q126 (dup rate) each answer half of: does near-dup mass
+    // concentrate in low-quality or high-quality deciles? If dups are
+    // low-quality, the quality gate already removes most of them and the
+    // dedup pass is partially redundant — the joint distribution prices
+    // the ordering of the two passes. One quality projection (map-side),
+    // the shared edge-only closure, a ≤ 20-row rollup with per-bucket dup
+    // fractions.
+    "q208_quality_dup_profile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dd = docs(s, d)
+      val pairs = DedupOps.minhashPairs(dd, "doc_id", "text", 3, 32, 4, 0.5)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val comps = graft.graph.GraphOps
+        .connectedComponents(s, graft.graph.GraphOps.symmetrize(pairs))
+        .withColumnRenamed("id", "doc_id")
+      dd.select(col("doc_id"),
+          floor(TextOps.qualityScore(col("text")) * 1e9).cast("long")
+            .as("qfp"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(
+          least(floor(col("qfp").cast("double") / 1e8), lit(9.0))
+            .cast("int").as("q_bucket"),
+          (coalesce(col("component"), col("doc_id")) =!= col("doc_id"))
+            .as("is_dup"))
+        .groupBy(col("q_bucket"), col("is_dup"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("frac_of_bucket", col("n_docs").cast("double")
+          / sum(col("n_docs")).over(Window.partitionBy(col("q_bucket")))
+            .cast("double"))
+        .orderBy(col("q_bucket"), col("is_dup"))
+    }),
+
     // CLASSIFIER CALIBRATION BINS — the reliability diagram for the
     // in-engine-trained quality classifier (q168's exact model, shared
     // trainer): per decile bin of predicted p, the empirical positive
@@ -2903,6 +2936,32 @@ object TextQueries {
          |    / CAST(t.n_grams AS DOUBLE) AS coverage
          |FROM tot t LEFT JOIN cov c USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin,
+    // Quality × dup: the shared closure beside the q20 quality formula
+    // in fixed point, per-bucket dup fractions off a window sum.
+    "q208_quality_dup_profile" ->
+      s"""$dedupCompCte,
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(floor((
+         |    0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+         |    + 0.3 * (CAST(${langScoreSql(TextOps.langStopwords.toMap.apply("en"))} AS DOUBLE) / greatest(len(toks), 1))
+         |    + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+         |    + 0.2 * (1.0 - least((CAST(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))) AS DOUBLE) / greatest(len(toks), 1)) / 10.0, 1.0))
+         |    ) * 1e9) AS BIGINT) AS qfp
+         |  FROM (SELECT doc_id, text, $toksSql AS toks FROM documents) t),
+         |v AS (
+         |  SELECT
+         |    CAST(least(floor(CAST(qfp AS DOUBLE) / 1e8), 9.0) AS INTEGER)
+         |      AS q_bucket,
+         |    COALESCE(c.component, q.doc_id) <> q.doc_id AS is_dup
+         |  FROM q LEFT JOIN comp c USING (doc_id)),
+         |g AS (SELECT q_bucket, is_dup, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |      FROM v GROUP BY 1, 2)
+         |SELECT q_bucket, is_dup, n_docs,
+         |  CAST(n_docs AS DOUBLE)
+         |    / CAST(SUM(n_docs) OVER (PARTITION BY q_bucket) AS DOUBLE)
+         |    AS frac_of_bucket
+         |FROM g ORDER BY q_bucket, is_dup""".stripMargin,
     // LSH P/R: the est CTE (shared hash family) beside q22's exact-Jaccard
     // rule, full-outer flag counting.
     "q206_lsh_recall_report" ->

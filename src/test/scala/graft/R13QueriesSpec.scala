@@ -349,6 +349,25 @@ class R13QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q208 ----------------------------------------------------------------
+
+  test("q208: bucket fractions sum to 1 and totals agree with q52") {
+    val d = "/root/testdata/sf0.01"
+    val r = SparkEntry.queries("q208_quality_dup_profile")(spark, d)
+      .collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Int]("q_bucket")).foreach { case (b, rows) =>
+      val f = rows.map(_.getAs[Double]("frac_of_bucket")).sum
+      assert(math.abs(f - 1.0) < 1e-12, s"bucket $b fractions sum to $f")
+    }
+    assert(r.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, d).count())
+    val dupTotal = r.filter(_.getAs[Boolean]("is_dup"))
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(dupTotal === SparkEntry.queries("q52_dedup_canonical")(spark, d)
+      .filter(!col("is_canonical")).count())
+  }
+
   // ---- q207 ----------------------------------------------------------------
 
   test("q207: calibration bins are consistent and the decision boundary separates") {
