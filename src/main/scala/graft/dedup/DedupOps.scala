@@ -325,6 +325,53 @@ object DedupOps {
       lit(0))
   }
 
+  /** NATIVE codegen'd twin of [[minhashSignatureExpr]]
+    * ([[graft.functions.MinhashSignature]], law-equated in DedupSpec) —
+    * the signature path for plans that DERIVE columns from the signature
+    * in the same projection (q201's 8 band buckets): the HOF form is
+    * CodegenFallback and opaque to subexpression elimination, so
+    * CollapseProject re-evaluates its ~2 ms/row interpreted tree once per
+    * derived column (measured 5.2× on q201's band projection — 39.8 s
+    * where one pass costs 7.7 s at sf0.1); the native expression is one
+    * fused ~µs/row loop, so inlining it is free. Callers must register
+    * [[graft.functions.GraftFunctions]] on the session first. */
+  def minhashSignatureNative(text: Column, n: Int, k: Int): Column =
+    call_function("minhash_signature", text, lit(n), lit(k))
+
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03 —
+    * the MOSS algorithm): hash every positional token k-gram (ONE md5 per
+    * gram, [[minhashBase]]'s 2^28 domain), slide a window of `w`
+    * consecutive gram hashes, keep each window's MINIMUM, and the doc's
+    * fingerprint is the DISTINCT set of selected values. Guarantee: any two
+    * docs sharing a token run of ≥ w + k − 1 tokens share a fingerprint —
+    * winnowing is the positional/local complement of MinHash (which
+    * sketches global set overlap and can miss a single long shared
+    * passage between otherwise-different docs).
+    *
+    * The tie rule: classic winnowing picks the RIGHTMOST minimal position;
+    * since the fingerprint is the distinct value set, any tie rule selects
+    * the same VALUES — position bookkeeping is dropped, which is what
+    * makes the operator expressible as pure per-row expressions (the gram
+    * hash array is bound ONCE as a lambda value — the [[simhashExpr]] CSE
+    * discipline — then every window min slices the bound array; O(m·w)
+    * arithmetic per doc, no shuffle).
+    *
+    * Docs with fewer than w gram hashes (< w + k − 1 tokens) yield NO
+    * fingerprints — below the guarantee's detectable-match length.
+    * Output: (doc_id, fp) exploded, distinct per doc. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    val hs = transform(TextOps.ngramsOf(TextOps.tokens(col(textCol)), k),
+      g => minhashBase(g))
+    val fps = get(transform(array(hs), hsV =>
+      when(size(hsV) >= w,
+        array_distinct(transform(sequence(lit(1), size(hsV) - (w - 1)),
+          i => array_min(slice(hsV, i, lit(w))))))
+        .otherwise(array().cast("array<long>"))), lit(0))
+    docs.select(col(idCol).as("doc_id"), explode(fps).as("fp"))
+  }
+
   /** SimHash as a single per-row EXPRESSION over a token array — identical
     * bits to the relational [[simhash]] (law-tested in DedupSpec): token
     * hashes are materialized ONCE via an outer `transform` (binding the hash

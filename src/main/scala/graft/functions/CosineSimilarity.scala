@@ -105,6 +105,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.cosineSim)
     ext.injectFunction(GraftFunctions.lshSignatureSalted)
+    ext.injectFunction(GraftFunctions.minhashSignature)
     ext.injectFunction(AcFunctions.acSpans)
     ext.injectFunction(CounterMapFunctions.counterMap)
   }
@@ -127,6 +128,13 @@ object GraftFunctions {
         "lsh_signature_salted"),
       (children: Seq[Expression]) => LshSignatureSalted(children(0), children(1)))
 
+  val minhashSignature: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinhashSignature].getName,
+        "minhash_signature"),
+      (children: Seq[Expression]) =>
+        MinhashSignature(children(0), children(1), children(2)))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(cosineSim._1, cosineSim._2, cosineSim._3)
@@ -134,5 +142,7 @@ object GraftFunctions {
       .registerFunction(lshSignature._1, lshSignature._2, lshSignature._3)
     spark.sessionState.functionRegistry.registerFunction(
       lshSignatureSalted._1, lshSignatureSalted._2, lshSignatureSalted._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      minhashSignature._1, minhashSignature._2, minhashSignature._3)
   }
 }

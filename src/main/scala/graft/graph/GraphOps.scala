@@ -153,6 +153,17 @@ object GraphOps {
     // them 2× per round.
     val symPlan = symmetrize(edges)
     val loopSession = spark.newSession()
+    // newSession() starts from BUILD-time defaults: any conf the caller set
+    // at runtime (AQE toggles, autoBroadcastJoinThreshold, ANSI mode,
+    // session timezone …) would silently not apply inside the loop. Forward
+    // the caller's runtime SQLConf entries first — the partition override
+    // below then shadows only spark.sql.shuffle.partitions. Static/
+    // non-modifiable entries throw on a live session; skip them.
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (!loopSession.conf.getOption(k).contains(v))
+        try loopSession.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
     val sym = loopSession.createDataFrame(symPlan.rdd, symPlan.schema)
       .localCheckpoint()
     // ~100k edges per partition, floored at the cluster's core count,

@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   *    the cross-partition sums are integer — no partition-order-dependent
   *    double addition. |x| ≤ 1 ⇒ |row term| ≤ 1e9 ⇒ int64 holds exact
   *    sums to ~9.2e9 rows (the LogReg bound, same documentation duty).
-  *  - The covariance numerator n·S_ij·1e9 − m_i·m_j is widened through
-  *    decimal (Spark) / HUGEINT (DuckDB) — the q164 wrap discipline — and
-  *    becomes a double in ONE correctly-rounded cast, divided by the
-  *    identical (n·n·1e18) expression on both engines.
+  *  - The covariance entry is PURE double arithmetic from int64 factors:
+  *    (n·S_ij·1e9 − m_i·m_j) / (n·n·1e18) with every factor one
+  *    exact-or-correctly-rounded long→double conversion and every op the
+  *    identical IEEE sequence on both engines. Deliberately NOT widened
+  *    through decimal/HUGEINT: DuckDB's HUGEINT→DOUBLE cast rounds its two
+  *    64-bit halves separately (measured 1–3 ULP off), so an exact-integer
+  *    numerator would BREAK cross-engine bit-identity — see [[covMatrix]].
   *  - Power iteration runs UN-normalized for a FIXED iteration count from
   *    the all-ones start vector: normalizing needs sqrt (libm, the q114
   *    caveat), while C^k·1 is pure +/· in a fixed fold order — both

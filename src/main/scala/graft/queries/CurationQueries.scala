@@ -31,6 +31,13 @@ object CurationQueries {
         when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
           .otherwise(col("text")).as("text"),
         col("source"))
+    // FIXTURE ASSUMPTION: synthetic "added" ids live at doc_id + 10⁷,
+    // which stays collision-free only while the corpus's real ids are
+    // < 10⁷ (driver data tops out ~47.5k at sf0.1; the ×100 ScaleBench
+    // replication reaches ~4.75M — still 2× headroom). A corpus whose ids
+    // reach 10⁷ would alias added ids onto kept ones and fan out the q183
+    // full-outer join; a production snapshot differ takes REAL v2 input
+    // and never synthesizes ids at all.
     val added = v1.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"),
         concat(lit("v2new "), col("text")).as("text"), col("source"))

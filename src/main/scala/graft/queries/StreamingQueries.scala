@@ -232,7 +232,7 @@ object StreamingQueries {
     // STREAMING DEDUP PROBE — q125's corpus probe in deployment shape:
     // the reference corpus's MinHash signatures and banded buckets are a
     // write-once STATIC table; each arriving document computes its own
-    // signature AS A ROW EXPRESSION (DedupOps.minhashSignatureExpr — no
+    // signature AS A ROW EXPRESSION (DedupOps.minhashSignatureNative — no
     // shuffle, no state), explodes its 8 band buckets, and a stream–static
     // join on (band, bucket) + the house first-collision-band prefix
     // filter emits each (arrival, corpus) candidate EXACTLY ONCE with no
@@ -241,8 +241,17 @@ object StreamingQueries {
     // band fan-out (8 bucket lookups) — flat in corpus size. The gated
     // output is the per-arrival verdict (min-id corpus canonical + match
     // count, aggregated post-sink); oracle = q125's dupc rule verbatim.
+    //
+    // The signature is the NATIVE expression, not the HOF form: deriving
+    // the 8 band buckets inlines the signature into each bucket slice
+    // (CollapseProject), and the interpreted HOF tree re-evaluated 5.2×
+    // per row — 39.8 s for this projection alone at sf0.1, the round-13
+    // bench's 48–57 s mystery. Native: the whole query runs in ~3 s and
+    // the streaming engine itself was measured to add nothing (stream
+    // 41.7 s vs batch-equivalent 42.9 s on the pre-fix plan).
     "q201_stream_dedup_probe" -> ((s, d) => {
       import graft.dedup.DedupOps
+      graft.functions.GraftFunctions.register(s)
       val corpus = Tables.documents(s, d).filter(col("source") === "src0")
       val sigC = DedupOps.minhashSignatureArray(
         DedupOps.shingleTable(corpus, "doc_id", "text", 3), 32)
@@ -254,9 +263,12 @@ object StreamingQueries {
         .localCheckpoint()
       val streamBands = docsStream(s, d)
         .filter(col("source") =!= "src0")
-        .filter(size(graft.text.TextOps.shingles(col("text"), 3)) > 0)
         .withColumn("sig",
-          DedupOps.minhashSignatureExpr(col("text"), 3, 32))
+          DedupOps.minhashSignatureNative(col("text"), 3, 32))
+        // no-shingle docs have all-NULL signatures (the batch form has no
+        // signature row at all) — the sig[0] null test replaces the old
+        // interpreted size(shingles) > 0 HOF pass, same row set
+        .filter(col("sig").getItem(0).isNotNull)
         .withColumn("bs", DedupOps.bandBuckets(col("sig"), 32, 4))
         .select(col("doc_id").as("bid"), col("sig").as("bsig"), col("bs"),
           posexplode(col("bs")).as(Seq("pos", "bucket")))

@@ -506,8 +506,9 @@ object VectorQueries {
     // library and bit-identical in the oracle. Determinism architecture
     // (the q168 trainer discipline applied to second moments): moment
     // sums are per-row fixed-point longs (order-independent), the
-    // covariance numerator is exact decimal/HUGEINT → ONE correctly-
-    // rounded double cast, and the iteration runs UN-normalized from the
+    // covariance entry is PURE double arithmetic from the int64 factors
+    // (deliberately NOT HUGEINT-widened — DuckDB's HUGEINT→DOUBLE cast is
+    // 1–3 ULP off, see Pca.covMatrix), and the iteration runs UN-normalized from the
     // all-ones vector in a fixed fold order (normalizing needs sqrt —
     // libm, the q114 caveat — while C⁸·1 is pure +/·; the uniform λ⁸
     // scale is harmless to ordering/whitening consumers and mirrored
@@ -1763,7 +1764,8 @@ object VectorQueries {
   )
 
   /** q185's oracle: moments and covariance exactly as ml.Pca computes
-    * them (fixed-point longs, HUGEINT numerator, one double cast), then
+    * them (fixed-point long sums, covariance in pure double arithmetic
+    * from the int64 factors — no HUGEINT widening, see Pca.covMatrix), then
     * the 8 power steps as list-comprehension matrix·vector products with
     * left-fold ascending-index summation. */
   private lazy val pcaOracleSql: String = {

@@ -39,7 +39,10 @@ object Artifacts {
           s"$f|${st.getLen}|${st.getModificationTime}"
         }.mkString("\n")
       } else {
-        val row = src.agg(count(lit(1)), sum(col(idCol))).collect()(0)
+        // coalesce: sum over ZERO rows is NULL — an empty no-lineage frame
+        // must still fingerprint to a stable key, not throw on getLong
+        val row = src.agg(count(lit(1)),
+          coalesce(sum(col(idCol)), lit(0L))).collect()(0)
         s"${row.getLong(0)}|${row.getLong(1)}"
       }
     java.security.MessageDigest.getInstance("MD5")

@@ -128,4 +128,34 @@ class DedupSpec extends SparkSuite {
     viaExpr.foreach { case (id, sig) =>
       assert(sig === viaAgg(id), s"doc $id") }
   }
+
+  test("minhashSignatureNative equals the HOF expression, nulls included") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // corpus docs PLUS the edge shapes: too-short (< 3 tokens), empty,
+    // whitespace-only, leading tab (Spark trim is space-only — a Java
+    // String.trim port would diverge here), repeated shingles
+    val edges = Seq((90001L, "a b"), (90002L, ""), (90003L, "   "),
+      (90004L, "\tx y z w"), (90005L, "p q r p q r p q r"))
+      .toDF("doc_id", "text")
+    val d = graft.Tables.documents(spark, SparkSpec.sf0001)
+      .select(col("doc_id"), col("text")).unionByName(edges)
+    val both = d.select(col("doc_id"),
+        DedupOps.minhashSignatureExpr(col("text"), 3, 32).as("hof"),
+        DedupOps.minhashSignatureNative(col("text"), 3, 32).as("nat"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val hof = r.getSeq[Any](1)
+      val nat = r.getSeq[Any](2)
+      assert(hof === nat, s"doc ${r.getLong(0)}")
+    }
+    // the all-NULL contract for shingle-less docs holds on both forms
+    val shortOnes = both.filter(r => Set(90001L, 90002L, 90003L)(r.getLong(0)))
+    assert(shortOnes.length == 3)
+    shortOnes.foreach { r =>
+      assert(r.getSeq[Any](2).forall(_ == null), s"doc ${r.getLong(0)}") }
+  }
 }
