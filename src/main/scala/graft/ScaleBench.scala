@@ -106,7 +106,16 @@ object ScaleBench {
       // coverage semi-join (train grams grow ~M, eval side fixed)
       "q202_simhash_pairs", "q203_ngram_coverage"),
     "event" -> Seq(
-      "q32_asof_join", "q87_rolling_actives", "q140_transition_probs"))
+      "q32_asof_join", "q87_rolling_actives", "q140_transition_probs"),
+    // r14: the stream-static-literal serving pattern at the decade — both
+    // queries hold their "model" (IVF codebook / quality baseline) as plan
+    // literals and score arrivals statelessly (q194) or with O(windows)
+    // StateStore rows (q198), so per-arrival cost must stay flat as the
+    // replayed corpus replicates. The micro-batch replay and memory-sink
+    // drain are part of the measured wall (the deployment shape, not an
+    // overhead to subtract).
+    "stream" -> Seq(
+      "q194_stream_ann", "q198_stream_quality_drift"))
 
   /** doc_id/vec_id namespace stride between replicas — far above any
     * driver-generated id at the scales this tool reads. */

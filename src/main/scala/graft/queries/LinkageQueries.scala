@@ -236,6 +236,92 @@ object LinkageQueries {
         .unionByName(
           candCount(Seq("blk", "nat"), "composite", col("cap_comp")))
         .orderBy(col("scheme"))
+    }),
+
+    // EM-ESTIMATED FELLEGI–SUNTER PARAMETERS — q181 ASSUMES its m
+    // probabilities (9/10, 19/20, 9/10: documented constants, the
+    // method's tunable); this query LEARNS (λ, m_f, u_f) from the
+    // UNLABELED candidate space with the expectation–maximization scheme
+    // of Winkler 1988 (the Splink-family estimator). The ≤ 2³ agreement
+    // PATTERNS are a sufficient statistic for the E-step, so after one
+    // corpus-scale aggregation (the same blocked-candidate pass as q181,
+    // map-side combinable) EVERY EM iteration runs on an ≤ 8-row frame —
+    // five unrolled iterations live IN THE PLAN as 8×1 crossJoins, no
+    // driver state at all. Cross-engine exactness: parameters are 1e6
+    // fixed-point longs (every M-step division a long `div`, clamped to
+    // [1, 999999]), and the per-pattern posterior w = p_m/(p_m+p_u) is a
+    // pinned-order IEEE chain over doubles derived from those longs,
+    // floor-quantized back to 1e6 before the (order-independent) integer
+    // sums — both engines replay identical arithmetic, bit for bit. The
+    // output is the 3-field parameter table with the learned log-weights
+    // (iln of the fixed-point values, the q181 discipline).
+    "q218_em_linkage" -> ((s, d) => {
+      import org.apache.spark.sql.Column
+      val r = records(s, d)
+      val left = r.select(col("rec_id").as("ra"), col("blk"), col("nat"),
+        col("name").as("name_a"), col("seg").as("seg_a"),
+        col("bal").as("bal_a"))
+      val right = r.select(col("rec_id").as("rb"), col("blk"), col("nat"),
+        col("name").as("name_b"), col("seg").as("seg_b"),
+        col("bal").as("bal_b"))
+      val pat = agreementCols(
+        left.join(right, Seq("blk", "nat")).filter(col("ra") < col("rb")))
+        .groupBy(col("name_eq"), col("seg_eq"), col("bal_close"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // ≤ 8 rows, scanned once per EM iteration
+      val init = s.range(1).select(
+        lit(100000L).as("lam"),
+        lit(900000L).as("m1"), lit(900000L).as("m2"), lit(900000L).as("m3"),
+        lit(100000L).as("u1"), lit(100000L).as("u2"), lit(100000L).as("u3"))
+      def clamp(c: Column) = greatest(least(c, lit(999999L)), lit(1L))
+      def step(p: DataFrame): DataFrame = {
+        def f(mc: String, g: Column) =
+          when(g, col(mc).cast("double") / 1e6)
+            .otherwise(lit(1.0) - col(mc).cast("double") / 1e6)
+        val pm = (col("lam").cast("double") / 1e6) *
+          f("m1", col("name_eq")) * f("m2", col("seg_eq")) *
+          f("m3", col("bal_close"))
+        val pu = (lit(1.0) - col("lam").cast("double") / 1e6) *
+          f("u1", col("name_eq")) * f("u2", col("seg_eq")) *
+          f("u3", col("bal_close"))
+        def s1(g: Column) = sum(when(g, col("n") * col("w")).otherwise(0L))
+        def t1(g: Column) =
+          sum(when(g, col("n") * (lit(1000000L) - col("w"))).otherwise(0L))
+        pat.crossJoin(broadcast(p))
+          .withColumn("w",
+            floor(pm / (pm + pu) * lit(1000000.0)).cast("long"))
+          .agg(sum(col("n")).as("sn"),
+            sum(col("n") * col("w")).as("snw"),
+            sum(col("n") * (lit(1000000L) - col("w"))).as("snu"),
+            s1(col("name_eq")).as("s1"), s1(col("seg_eq")).as("s2"),
+            s1(col("bal_close")).as("s3"),
+            t1(col("name_eq")).as("t1"), t1(col("seg_eq")).as("t2"),
+            t1(col("bal_close")).as("t3"))
+          .select(
+            clamp(expr("snw div sn")).as("lam"),
+            clamp(expr("(s1 * 1000000) div snw")).as("m1"),
+            clamp(expr("(s2 * 1000000) div snw")).as("m2"),
+            clamp(expr("(s3 * 1000000) div snw")).as("m3"),
+            clamp(expr("(t1 * 1000000) div snu")).as("u1"),
+            clamp(expr("(t2 * 1000000) div snu")).as("u2"),
+            clamp(expr("(t3 * 1000000) div snu")).as("u3"))
+      }
+      val p5 = (1 to 5).foldLeft(init)((p, _) => step(p))
+        .localCheckpoint() // 1 row, projected three times below
+      def fieldRow(name: String, m: String, u: String) =
+        p5.select(lit(name).as("field"),
+          (col(m).cast("double") / 1e6).as("m"),
+          (col(u).cast("double") / 1e6).as("u"),
+          ((IntLn.iln1e9(col(m)) - IntLn.iln1e9(col(u)))
+            .cast("double") / 1e9).as("w_agree"),
+          ((IntLn.iln1e9(lit(1000000L) - col(m))
+            - IntLn.iln1e9(lit(1000000L) - col(u)))
+            .cast("double") / 1e9).as("w_disagree"),
+          (col("lam").cast("double") / 1e6).as("lambda_match"))
+      fieldRow("bal", "m3", "u3")
+        .unionByName(fieldRow("name", "m1", "u1"))
+        .unionByName(fieldRow("seg", "m2", "u2"))
+        .orderBy(col("field"))
     }))
 
   /** Agreement-count aggregate body (caller appends the source relation). */
@@ -283,7 +369,86 @@ object LinkageQueries {
   /** The records CTE re-exported for the streaming twin's oracle. */
   private[queries] def recordsCteSql: String = recordsSql
 
+  /** The unrolled 5-iteration EM chain — the SQL twin of q218's in-plan
+    * fold, generated so the two unrollings cannot drift. */
+  private def emOracleSql: String = {
+    def f(m: String, g: String) =
+      s"CASE WHEN $g THEN CAST($m AS DOUBLE) / 1000000.0" +
+        s" ELSE 1.0 - CAST($m AS DOUBLE) / 1000000.0 END"
+    val pm = s"(((CAST(lam AS DOUBLE) / 1000000.0 * ${f("m1", "name_eq")})" +
+      s" * ${f("m2", "seg_eq")}) * ${f("m3", "bal_close")})"
+    val pu = s"((((1.0 - CAST(lam AS DOUBLE) / 1000000.0)" +
+      s" * ${f("u1", "name_eq")}) * ${f("u2", "seg_eq")})" +
+      s" * ${f("u3", "bal_close")})"
+    val steps = (1 to 5).map { i =>
+      s"""w$i AS (
+         |  SELECT pat.*,
+         |    CAST(FLOOR($pm / ($pm + $pu) * 1000000.0) AS BIGINT) AS w
+         |  FROM pat CROSS JOIN p${i - 1}),
+         |p$i AS (
+         |  SELECT
+         |    greatest(least(snw // sn, 999999), 1) AS lam,
+         |    greatest(least((s1 * 1000000) // snw, 999999), 1) AS m1,
+         |    greatest(least((s2 * 1000000) // snw, 999999), 1) AS m2,
+         |    greatest(least((s3 * 1000000) // snw, 999999), 1) AS m3,
+         |    greatest(least((t1 * 1000000) // snu, 999999), 1) AS u1,
+         |    greatest(least((t2 * 1000000) // snu, 999999), 1) AS u2,
+         |    greatest(least((t3 * 1000000) // snu, 999999), 1) AS u3
+         |  FROM (SELECT
+         |      CAST(SUM(n) AS BIGINT) AS sn,
+         |      CAST(SUM(n * w) AS BIGINT) AS snw,
+         |      CAST(SUM(n * (1000000 - w)) AS BIGINT) AS snu,
+         |      CAST(SUM(CASE WHEN name_eq THEN n * w ELSE 0 END) AS BIGINT) AS s1,
+         |      CAST(SUM(CASE WHEN seg_eq THEN n * w ELSE 0 END) AS BIGINT) AS s2,
+         |      CAST(SUM(CASE WHEN bal_close THEN n * w ELSE 0 END) AS BIGINT) AS s3,
+         |      CAST(SUM(CASE WHEN name_eq THEN n * (1000000 - w) ELSE 0 END) AS BIGINT) AS t1,
+         |      CAST(SUM(CASE WHEN seg_eq THEN n * (1000000 - w) ELSE 0 END) AS BIGINT) AS t2,
+         |      CAST(SUM(CASE WHEN bal_close THEN n * (1000000 - w) ELSE 0 END) AS BIGINT) AS t3
+         |    FROM w$i) a)""".stripMargin
+    }.mkString(",\n")
+    def fieldRow(name: String, m: String, u: String) =
+      s"""SELECT '$name' AS field,
+         |  CAST($m AS DOUBLE) / 1000000.0 AS m,
+         |  CAST($u AS DOUBLE) / 1000000.0 AS u,
+         |  CAST(${IntLn.iln1e9Sql(m)} - ${IntLn.iln1e9Sql(u)} AS DOUBLE)
+         |    / 1e9 AS w_agree,
+         |  CAST(${IntLn.iln1e9Sql(s"1000000 - $m")}
+         |    - ${IntLn.iln1e9Sql(s"1000000 - $u")} AS DOUBLE)
+         |    / 1e9 AS w_disagree,
+         |  CAST(lam AS DOUBLE) / 1000000.0 AS lambda_match
+         |FROM p5""".stripMargin
+    s"""WITH $recordsSql,
+       |r AS (SELECT rec_id, name, nat, seg, bal, digits // 200 AS blk
+       |  FROM recd),
+       |cand AS (
+       |  SELECT a.rec_id AS ra, b.rec_id AS rb,
+       |    a.name = b.name AS name_eq, a.seg = b.seg AS seg_eq,
+       |    abs(a.bal - b.bal) <= 1.0 AS bal_close
+       |  FROM r a JOIN r b ON a.blk = b.blk AND a.nat = b.nat
+       |    AND a.rec_id < b.rec_id),
+       |pat AS (
+       |  SELECT name_eq, seg_eq, bal_close, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM cand GROUP BY 1, 2, 3),
+       |p0 AS (SELECT
+       |  CAST(100000 AS BIGINT) AS lam,
+       |  CAST(900000 AS BIGINT) AS m1, CAST(900000 AS BIGINT) AS m2,
+       |  CAST(900000 AS BIGINT) AS m3,
+       |  CAST(100000 AS BIGINT) AS u1, CAST(100000 AS BIGINT) AS u2,
+       |  CAST(100000 AS BIGINT) AS u3),
+       |$steps
+       |${fieldRow("bal", "m3", "u3")}
+       |UNION ALL
+       |${fieldRow("name", "m1", "u1")}
+       |UNION ALL
+       |${fieldRow("seg", "m2", "u2")}
+       |ORDER BY field""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    // EM parameter estimation: the generated unrolled twin of the in-plan
+    // fold — pattern counts, five E+M rounds at 1e6 fixed point, the
+    // learned weight table.
+    "q218_em_linkage" -> emOracleSql,
     "q181_fs_linkage" ->
       s"""WITH $recordsSql,
          |r AS (SELECT rec_id, name, nat, seg, bal, digits // 200 AS blk

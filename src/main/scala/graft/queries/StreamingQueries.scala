@@ -484,6 +484,28 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("s_start"))
     }),
 
+    // STREAMING EWMA ANOMALY DETECTOR — the per-entity adaptive-baseline
+    // monitor beside q109's batch z-score (global, two-pass) and q198's
+    // windowed drift means: EWMA is a RECURSIVE statistic (each value
+    // depends on the whole per-user history), so it needs arbitrary state,
+    // not windowed aggregation — two longs per user in the StateStore,
+    // bounded by |users| however long the stream runs. Flag rule: after an
+    // 8-event burn-in, any arrival outside [ewma/4, 4·ewma]. All integer
+    // fixed-point (StreamOps.ewmaAnomalies scaladoc); the oracle replays
+    // the identical recurrence as a DuckDB recursive CTE over the
+    // (ts, event_id)-ordered per-user sequence.
+    "q219_stream_ewma" -> ((s, d) => {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .as[StreamOps.EvId]
+      runToTable(StreamOps.ewmaAnomalies(ev, warmup = 8L).toDF(),
+        "q219_stream_ewma", "update")
+        .select(col("user_id"), col("event_id"), col("value_seen"),
+          col("ewma_prev"))
+        .orderBy(col("event_id"))
+    }),
+
     // REAL LATE DATA under the gate (the one behavior single-batch replay
     // cannot exercise): events split into three single-file batches replayed
     // in order via mtime + maxFilesPerTrigger=1 —
@@ -760,6 +782,31 @@ object StreamingQueries {
     "list_filter(string_split_regex(trim(text), '\\s+'), w -> len(w) > 0)"
 
   def oracles: Map[String, String] = Map(
+
+    // q219: the EWMA recurrence replayed exactly — per-user
+    // (ts, event_id)-ordered sequence, integer floor-division update,
+    // flag-before-update against the n ≥ 8 burn-in.
+    "q219_stream_ewma" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id,
+        |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, rn, v AS ewma, CAST(1 AS BIGINT) AS n
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, (7 * s.ewma + e.v) // 8, s.n + 1
+        |  FROM st s JOIN seq e
+        |    ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT e.user_id, e.event_id,
+        |  CAST(e.v AS DOUBLE) / 100.0 AS value_seen,
+        |  CAST(s.ewma AS DOUBLE) / 100.0 AS ewma_prev
+        |FROM st s JOIN seq e
+        |  ON e.user_id = s.user_id AND e.rn = s.rn + 1
+        |WHERE s.n >= 8 AND (e.v > 4 * s.ewma OR 4 * e.v < s.ewma)
+        |ORDER BY e.event_id""".stripMargin,
 
     // q186: batch twin of the stream-static linkage — weights from the
     // A–A reference pairs, scores over the A×B blocked pairs.

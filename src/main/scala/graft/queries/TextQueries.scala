@@ -261,6 +261,170 @@ object TextQueries {
             .as("recall"))
     }),
 
+    // LSH RECALL AUDIT SAMPLE — q214 is q206's report with the scale dial
+    // the 100 TB contract promised but r13 never built: the exact-Jaccard
+    // truth tier is the expensive side (prefix-filtered, but its candidate
+    // mass still grows with corpus²·density), so at scale the report runs
+    // on a deterministic AUDIT SAMPLE — docs whose 60-bit id hash is even
+    // (q72's hash-sampling rule applied to IDENTITY, not content: uniform
+    // over docs, resumable, derived from the same 15 md5 hex digits in
+    // both engines). The PRODUCTION LSH pair set is computed over the FULL
+    // corpus (that side is the cheap tier and sampling it would change
+    // what is being audited) and then restricted to pairs with BOTH
+    // endpoints sampled — pair-level truth samples at rate², so the exact
+    // tier costs ~1/4 of q206's at rate 1/2, and precision/recall are
+    // unbiased estimators of the corpus numbers. `n_sampled` prices the
+    // estimate beside it (the q197 self-pricing discipline).
+    "q214_lsh_recall_sampled" -> ((s, d) => {
+      val dd = docs(s, d)
+      val sampled = dd.filter(
+        pmod(TextOps.tokenHash60(col("doc_id").cast("string")), lit(2L))
+          === 0L)
+      val keep = sampled.select(col("doc_id"))
+      val exact = DedupOps.jaccardPairsPrefix(sampled, "doc_id", "text", 3, 0.5)
+        .select(col("da"), col("db"), lit(true).as("in_exact"))
+      val lsh = DedupOps.minhashPairs(dd, "doc_id", "text", 3, 32, 4, 0.5)
+        .join(keep.withColumnRenamed("doc_id", "da"), Seq("da"))
+        .join(keep.withColumnRenamed("doc_id", "db"), Seq("db"))
+        .select(col("da"), col("db"), lit(true).as("in_lsh"))
+      val rep = exact.join(lsh, Seq("da", "db"), "full_outer")
+        .agg(
+          sum(when(col("in_exact"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("in_lsh"), 1L).otherwise(0L)).as("n_lsh"),
+          sum(when(col("in_exact") && col("in_lsh"), 1L).otherwise(0L))
+            .as("n_both"))
+      rep.crossJoin(broadcast(keep.agg(count(lit(1)).as("n_sampled"))))
+        .select(col("n_sampled"), col("n_exact"), col("n_lsh"),
+          col("n_both"),
+          (col("n_both").cast("double") / col("n_lsh").cast("double"))
+            .as("precision"),
+          (col("n_both").cast("double") / col("n_exact").cast("double"))
+            .as("recall"))
+    }),
+
+    // GOOD–TURING COUNT-OF-COUNTS — the frequency-of-frequencies table
+    // (Good 1953) that prices a corpus's n-gram tail: N_r = number of
+    // trigram-shingle TYPES appearing in exactly r documents (the shared
+    // per-doc-distinct shingle unit of the whole dedup family — the
+    // corpus's unigram vocabulary is deliberately tiny and tail-free, so
+    // the tail lives at the n-gram level, exactly where q152's
+    // Kneser–Ney discounts need it). The r=1 row's p_mass is the
+    // Good–Turing estimate of UNSEEN-type probability (N_1/T), and
+    // gt_rstar = (r+1)·N_{r+1}/N_r is the smoothed count the discounting
+    // family (Katz; the absolute-discount intuition behind KN) is built
+    // on. Scale shape: type frequency is ONE map-side-combinable
+    // groupBy(shingle), the count-of-counts rollup groups the type-sized
+    // tf table by r (≤ max-freq rows), and the report keeps r ≤ 10 — a
+    // ≤ 10-row output whatever the corpus size. All-integer until the
+    // two final ratios (longs-in, one IEEE division — cross-engine
+    // exact).
+    "q215_good_turing" -> ((s, d) => {
+      val tf = docs(s, d)
+        .select(explode(TextOps.shingles(col("text"), 3)).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("r"))
+      val cc = tf.groupBy(col("r")).agg(count(lit(1)).as("n_types"))
+        .localCheckpoint() // tiny; scanned twice (self-join on r+1)
+      val tot = tf.agg(sum(col("r")).as("t_tokens"))
+      cc.filter(col("r") <= 10)
+        .join(cc.select((col("r") - 1).as("r"),
+          col("n_types").as("n_next")), Seq("r"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("r"), col("n_types"),
+          (col("r") * col("n_types")).as("n_tokens"),
+          ((col("r") + 1).cast("double")
+            * coalesce(col("n_next"), lit(0L)).cast("double")
+            / col("n_types").cast("double")).as("gt_rstar"),
+          ((col("r") * col("n_types")).cast("double")
+            / col("t_tokens").cast("double")).as("p_mass"))
+        .orderBy(col("r"))
+    }),
+
+    // ZIPF RANK-FREQUENCY SLOPE — the distributional-health fit beside
+    // q215's tail table: per source, the OLS slope of ln(freq) on
+    // ln(rank) over the top-100 terms (natural text sits near −1; a
+    // machine-generated or template-heavy source shows a flatter head or
+    // a cliff). Both lns are the integer-only fixed-point iln of COUNTS
+    // (rank and frequency are integers), scaled to 1e6 fixed point so
+    // every OLS moment (Σxy ≤ 100·(2e7)², n·Σxy, (Σx)²) stays inside
+    // BIGINT on both engines — the slope is two long-ratio IEEE divisions
+    // from integer moments, cross-engine exact. Rank is deterministic
+    // (freq DESC, token ASC). Scale: tf is the shared map-side groupBy;
+    // the rank window partitions by source over vocabulary-sized input;
+    // the fit is a |sources|-row aggregate.
+    "q216_zipf_slope" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs(s, d)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("freq"))
+      val ranked = tf.withColumn("rnk",
+          row_number().over(Window.partitionBy(col("source"))
+            .orderBy(col("freq").desc, col("token").asc)))
+        .filter(col("rnk") <= 100)
+        .select(col("source"),
+          // 1e9→1e6 fixed-point rescale: iln ≤ ln(2^62)·1e9 ≈ 4.3e10 is
+          // exactly representable as a double, so the /1000+floor pair is
+          // one deterministic IEEE op chain on both engines
+          floor(graft.functions.IntLn.iln1e9(col("rnk")).cast("double")
+            / 1000.0).cast("long").as("x"),
+          floor(graft.functions.IntLn.iln1e9(col("freq")).cast("double")
+            / 1000.0).cast("long").as("y"))
+      ranked.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("source"), col("n_terms"),
+          ((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")).as("zipf_slope"))
+        .orderBy(col("source"))
+    }),
+
+    // DSIR IMPORTANCE WEIGHTS — data selection with importance resampling
+    // (Xie et al. 2023, arXiv:2302.03169): score every RAW doc by how much
+    // more likely its hashed-unigram profile is under the TARGET
+    // distribution (src0, the domain being matched) than under the raw
+    // pool itself — log w(x) = Σ_tokens [ln p̂_tgt(b) − ln p̂_raw(b)] over
+    // B = 256 hash buckets with add-1 smoothing. The engine-expressible
+    // core of the method: bucket counts are two map-side-combinable
+    // groupBys, the per-bucket log-ratio is 256 iln evaluations JOINED
+    // BACK (never per token — the iln runs on the broadcast side), the
+    // per-doc score is one integer sum, and the corpus-total term folds
+    // in as n_tok · Δ_totals. Every ln is IntLn of a count, so the score
+    // is cross-engine identical; the shortlist is the deterministic
+    // top-50 by (score, doc_id) — a TakeOrdered, never a full sort.
+    "q217_dsir_weights" -> ((s, d) => {
+      import graft.functions.IntLn
+      val toks = docs(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .withColumn("b", pmod(TextOps.tokenHash60(col("token")), lit(256L)))
+        .localCheckpoint() // scanned 3×: target counts, raw counts, per-doc
+      val tgt = toks.filter(col("source") === "src0")
+        .groupBy(col("b")).agg(count(lit(1)).as("cnt_t"))
+      val rawB = toks.filter(col("source") =!= "src0")
+        .groupBy(col("b")).agg(count(lit(1)).as("cnt_r"))
+      val stats = rawB.join(tgt, Seq("b"), "left")
+        .select(col("b"),
+          (IntLn.iln1e9(coalesce(col("cnt_t"), lit(0L)) + 1L)
+            - IntLn.iln1e9(col("cnt_r") + 1L)).as("delta"))
+      val tots = tgt.agg(sum(col("cnt_t")).as("t_tot"))
+        .crossJoin(rawB.agg(sum(col("cnt_r")).as("r_tot")))
+        .select((IntLn.iln1e9(col("r_tot") + 256L)
+          - IntLn.iln1e9(col("t_tot") + 256L)).as("d_tot"))
+      toks.filter(col("source") =!= "src0")
+        .join(broadcast(stats), Seq("b"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("delta")).as("sum_delta"))
+        .crossJoin(broadcast(tots))
+        .withColumn("logw_fp", col("sum_delta") + col("n_tok") * col("d_tot"))
+        .orderBy(col("logw_fp").desc, col("doc_id").asc)
+        .limit(50)
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          (col("logw_fp").cast("double") / 1e9).as("log_weight"))
+    }),
+
     // EFFECTIVE-TOKEN ACCOUNTING — the number a corpus release actually
     // quotes: per source, raw token mass vs the mass surviving near-dup
     // canonicalization (q52's closure, min-id keepers), and the savings
@@ -3124,6 +3288,118 @@ object TextQueries {
          |  CAST(SUM(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(SUM(CASE WHEN in_exact THEN 1 ELSE 0 END) AS DOUBLE) AS recall
          |FROM f""".stripMargin,
+    // Sampled audit twin of q206: exact tier on the even-id-hash half,
+    // production LSH set restricted to sampled endpoints.
+    "q214_lsh_recall_sampled" ->
+      s"""WITH $minhashEstCte,
+         |samp AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+         |        AS BIGINT) % 2 = 0),
+         |shs AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN samp USING (doc_id)),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shs GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+         |  FROM shs a JOIN shs b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT da, db FROM common
+         |  JOIN sizes sa ON da = sa.doc_id
+         |  JOIN sizes sb ON db = sb.doc_id
+         |  WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5),
+         |lsh AS (
+         |  SELECT e.da, e.db FROM est e
+         |  JOIN samp pa ON e.da = pa.doc_id
+         |  JOIN samp pb ON e.db = pb.doc_id
+         |  WHERE est_jaccard >= 0.5),
+         |f AS (
+         |  SELECT COALESCE(e.da, l.da) AS da, COALESCE(e.db, l.db) AS db,
+         |    e.da IS NOT NULL AS in_exact, l.da IS NOT NULL AS in_lsh
+         |  FROM exact e FULL OUTER JOIN lsh l
+         |    ON e.da = l.da AND e.db = l.db)
+         |SELECT
+         |  (SELECT COUNT(*) FROM samp) AS n_sampled,
+         |  CAST(SUM(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+         |  CAST(SUM(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST(SUM(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS DOUBLE) AS precision,
+         |  CAST(SUM(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(CASE WHEN in_exact THEN 1 ELSE 0 END) AS DOUBLE) AS recall
+         |FROM f""".stripMargin,
+    // Good–Turing: shingle-type document frequencies → count-of-counts,
+    // r+1 self-join, two long-ratio divisions.
+    "q215_good_turing" ->
+      s"""WITH $shingleCte,
+         |tf AS (
+         |  SELECT shingle AS token, COUNT(*) AS r FROM sh
+         |  GROUP BY shingle),
+         |cc AS (SELECT r, COUNT(*) AS n_types FROM tf GROUP BY r),
+         |tot AS (SELECT CAST(SUM(r) AS BIGINT) AS t_tokens FROM tf)
+         |SELECT c.r, c.n_types, c.r * c.n_types AS n_tokens,
+         |  CAST(c.r + 1 AS DOUBLE) * CAST(COALESCE(n2.n_types, 0) AS DOUBLE)
+         |    / CAST(c.n_types AS DOUBLE) AS gt_rstar,
+         |  CAST(c.r * c.n_types AS DOUBLE) / CAST(t.t_tokens AS DOUBLE) AS p_mass
+         |FROM cc c LEFT JOIN cc n2 ON n2.r = c.r + 1 CROSS JOIN tot t
+         |WHERE c.r <= 10 ORDER BY c.r""".stripMargin,
+    // Zipf slope: per-source top-100 rank/freq ilns at 1e6 fp, OLS from
+    // BIGINT moments (sums cast back to BIGINT — every moment sized to
+    // fit, so the arithmetic is exactly Spark's long math).
+    "q216_zipf_slope" ->
+      s"""WITH tf AS (
+         |  SELECT source, token, COUNT(*) AS freq FROM (
+         |    SELECT source, unnest($toksSql) AS token FROM documents) t
+         |  GROUP BY source, token),
+         |rk AS (
+         |  SELECT source,
+         |    CAST(FLOOR(CAST(${graft.functions.IntLn.iln1e9Sql("rnk")} AS DOUBLE) / 1000.0) AS BIGINT) AS x,
+         |    CAST(FLOOR(CAST(${graft.functions.IntLn.iln1e9Sql("freq")} AS DOUBLE) / 1000.0) AS BIGINT) AS y
+         |  FROM (SELECT source, freq, token,
+         |      ROW_NUMBER() OVER (PARTITION BY source
+         |        ORDER BY freq DESC, token ASC) AS rnk
+         |    FROM tf) r
+         |  WHERE rnk <= 100),
+         |m AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM rk GROUP BY source)
+         |SELECT source, n_terms,
+         |  CAST(n_terms * sxy - sx * sy AS DOUBLE)
+         |    / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS zipf_slope
+         |FROM m ORDER BY source""".stripMargin,
+    // DSIR: hashed-unigram bucket log-ratios (iln per BUCKET, 256 rows),
+    // per-doc integer sum + n_tok·Δ_totals, deterministic top-50.
+    "q217_dsir_weights" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |    CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 256 AS b
+         |  FROM (SELECT doc_id, source, unnest($toksSql) AS token
+         |        FROM documents) t),
+         |tgt AS (SELECT b, COUNT(*) AS cnt_t FROM tok
+         |        WHERE source = 'src0' GROUP BY b),
+         |rawb AS (SELECT b, COUNT(*) AS cnt_r FROM tok
+         |         WHERE source <> 'src0' GROUP BY b),
+         |stats AS (
+         |  SELECT r.b,
+         |    CAST(${graft.functions.IntLn.iln1e9Sql("COALESCE(t.cnt_t, 0) + 1")} AS BIGINT)
+         |      - CAST(${graft.functions.IntLn.iln1e9Sql("r.cnt_r + 1")} AS BIGINT) AS delta
+         |  FROM rawb r LEFT JOIN tgt t USING (b)),
+         |tots AS (
+         |  SELECT CAST(${graft.functions.IntLn.iln1e9Sql("(SELECT SUM(cnt_r) FROM rawb) + 256")} AS BIGINT)
+         |    - CAST(${graft.functions.IntLn.iln1e9Sql("(SELECT SUM(cnt_t) FROM tgt) + 256")} AS BIGINT) AS d_tot),
+         |perdoc AS (
+         |  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |    CAST(SUM(delta) AS BIGINT) AS sum_delta
+         |  FROM tok JOIN stats USING (b) WHERE source <> 'src0'
+         |  GROUP BY doc_id, source)
+         |SELECT doc_id, source, n_tok,
+         |  CAST(sum_delta + n_tok * d_tot AS DOUBLE) / 1e9 AS log_weight
+         |FROM perdoc CROSS JOIN tots
+         |ORDER BY sum_delta + n_tok * d_tot DESC, doc_id ASC
+         |LIMIT 50""".stripMargin,
     // Effective tokens: the shared closure, token sums split by keeper.
     "q204_effective_tokens" -> effectiveTokensSql,
     // q210 = q204 consuming the materialized closure artifact.

@@ -696,6 +696,86 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // kNN-GRAPH CONSTRUCTION + ONE NN-DESCENT ROUND — the neighborhood
+    // graph the curation family consumes (SemDeDup/D4-style pruning,
+    // q119's link prediction, q200's label-noise vote) built the way a
+    // 100 TB corpus can afford. WORKING GRAPH G0 = within-cell top-3
+    // (the q187 Lloyd cells: O(N·cellSize) warm start, never N²) UNION
+    // 3 deterministic random-bucket edges per vector (md5 bucket of
+    // ~8 mates, edges by id order — NN-descent's random init, giving the
+    // reach a cell-confined graph structurally lacks: a purely
+    // within-cell G0 expands to within-cell candidates forever, measured
+    // here as a 0-gain refine). REFINE = one NN-descent round (Dong et
+    // al. 2011): candidates = G0 ∪ reversed(G0) ∪ neighbors-of-neighbors
+    // (≤ ~48/vector), re-ranked cosine top-3 — random bridges carry each
+    // vector into other cells' curated neighborhoods. Gated against the
+    // exact brute-force top-3 (the documented audit contract — at scale
+    // the exact side runs on a sample, the q214 dial). recall_refined ≥
+    // recall_init is a THEOREM under the shared (cos desc, id asc) total
+    // order: the refine candidate set contains G0, so any init hit
+    // displaced from the refined top-3 is displaced by a strictly better
+    // candidate, itself necessarily exact-top-3.
+    "q220_knn_graph" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+        .localCheckpoint() // feeds cells, scoring joins, and the exact side
+      val nBuckets = math.max(e.count() / 8L, 1L) // ~8 mates per bucket
+      val withCell = e
+        .join(VectorOps.kmeansAssign(e, 8, 2), Seq("vec_id"))
+      val cellCand = withCell
+        .select(col("cluster"), col("vec_id").as("u"))
+        .join(withCell.select(col("cluster"), col("vec_id").as("v")),
+          Seq("cluster"))
+        .filter(col("u") =!= col("v")).select(col("u"), col("v"))
+      def score(cand: DataFrame) = cand
+        .join(e.select(col("vec_id").as("u"), col("embedding").as("eu")),
+          Seq("u"))
+        .join(e.select(col("vec_id").as("v"), col("embedding").as("ev")),
+          Seq("v"))
+        .withColumn("cos", VectorOps.cosine(col("eu"), col("ev")))
+      def top3(scored: DataFrame) = scored
+        .withColumn("rn", row_number().over(Window.partitionBy(col("u"))
+          .orderBy(col("cos").desc, col("v").asc)))
+        .filter(col("rn") <= 3).select(col("u"), col("v"))
+      val rb = e.select(col("vec_id"),
+        pmod(graft.text.TextOps.tokenHash60(col("vec_id").cast("string")),
+          lit(nBuckets)).as("rb"))
+      val rndEdges = rb.select(col("rb"), col("vec_id").as("u"))
+        .join(rb.select(col("rb"), col("vec_id").as("v")), Seq("rb"))
+        .filter(col("u") =!= col("v"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("u"))
+          .orderBy(col("v").asc)))
+        .filter(col("rn") <= 3).select(col("u"), col("v"))
+      val g0 = top3(score(cellCand)).unionByName(rndEdges).distinct()
+        .localCheckpoint() // reused 5×: init flags, rev, nbr-of-nbr
+      val cand1 = g0
+        .unionByName(g0.select(col("v").as("u"), col("u").as("v")))
+        .unionByName(g0.select(col("u"), col("v").as("mid"))
+          .join(g0.select(col("u").as("mid"), col("v").as("w")), Seq("mid"))
+          .select(col("u"), col("w").as("v"))
+          .filter(col("u") =!= col("v")))
+        .distinct()
+      val init = top3(score(g0))
+      val refined = top3(score(cand1))
+      val exact = top3(e
+        .select(col("vec_id").as("u"), col("embedding").as("eu"))
+        .join(e.select(col("vec_id").as("v"), col("embedding").as("ev")),
+          col("u") =!= col("v"))
+        .withColumn("cos", VectorOps.cosine(col("eu"), col("ev"))))
+      exact
+        .join(init.withColumn("i", lit(true)), Seq("u", "v"), "left")
+        .join(refined.withColumn("rf", lit(true)), Seq("u", "v"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("i"), 1L).otherwise(0L)).as("hit_init"),
+          sum(when(col("rf"), 1L).otherwise(0L)).as("hit_refined"))
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("n_vecs"))))
+        .select(col("n_vecs"), col("n_exact"),
+          (col("hit_init").cast("double") / col("n_exact").cast("double"))
+            .as("recall_init"),
+          (col("hit_refined").cast("double")
+            / col("n_exact").cast("double")).as("recall_refined"))
+    }),
+
     // IVF CELL-BALANCE REPORT — index-health diagnostics for the ANN
     // family (q28/q54/q112/q138/q170): per-cell population under the
     // corpus-derived k ∝ N codebook (q112's dial), reduced to the numbers
@@ -1350,6 +1430,83 @@ object VectorQueries {
     // keyed on the k-means cell), cosine to the own-cell centroid,
     // per-cell (cos desc, vec_id) rank, top-quartile (most prototypical)
     // marked pruned.
+    // kNN graph: shared Lloyd cells for the warm start, md5 random
+    // buckets for the reach, one NN-descent round (UNION = Spark's
+    // distinct), both graphs flagged against the exact brute-force top-3.
+    "q220_knn_graph" ->
+      s"""WITH ${kmeansCte(8, 2)},
+         |wc AS (
+         |  SELECT e.vec_id, e.embedding, a.cluster
+         |  FROM embeddings e JOIN af a USING (vec_id)),
+         |within AS (
+         |  SELECT a.vec_id AS u, b.vec_id AS v,
+         |    ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM wc a JOIN wc b
+         |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+         |celltop AS (
+         |  SELECT u, v FROM (
+         |    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u
+         |      ORDER BY cos DESC, v ASC) AS rn FROM within) t
+         |  WHERE rn <= 3),
+         |rb AS (
+         |  SELECT vec_id,
+         |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+         |      AS BIGINT)
+         |      % greatest((SELECT COUNT(*) FROM embeddings) // 8, 1) AS rb
+         |  FROM embeddings),
+         |rnd AS (
+         |  SELECT u, v FROM (
+         |    SELECT a.vec_id AS u, b.vec_id AS v,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY b.vec_id ASC) AS rn
+         |    FROM rb a JOIN rb b
+         |      ON a.rb = b.rb AND a.vec_id <> b.vec_id) t
+         |  WHERE rn <= 3),
+         |g0 AS (SELECT u, v FROM celltop UNION SELECT u, v FROM rnd),
+         |sc0 AS (
+         |  SELECT c.u, c.v,
+         |    ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM g0 c JOIN embeddings ea ON ea.vec_id = c.u
+         |  JOIN embeddings eb ON eb.vec_id = c.v),
+         |init AS (
+         |  SELECT u, v FROM (
+         |    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u
+         |      ORDER BY cos DESC, v ASC) AS rn FROM sc0) t
+         |  WHERE rn <= 3),
+         |cand AS (
+         |  SELECT u, v FROM g0
+         |  UNION SELECT v AS u, u AS v FROM g0
+         |  UNION SELECT a.u, b.v
+         |    FROM g0 a JOIN g0 b ON a.v = b.u WHERE a.u <> b.v),
+         |sc AS (
+         |  SELECT c.u, c.v,
+         |    ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.u
+         |  JOIN embeddings eb ON eb.vec_id = c.v),
+         |refined AS (
+         |  SELECT u, v FROM (
+         |    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u
+         |      ORDER BY cos DESC, v ASC) AS rn FROM sc) t
+         |  WHERE rn <= 3),
+         |ex AS (
+         |  SELECT u, v FROM (
+         |    SELECT a.vec_id AS u, b.vec_id AS v,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC,
+         |          b.vec_id ASC) AS rn
+         |    FROM embeddings a JOIN embeddings b
+         |      ON a.vec_id <> b.vec_id) t
+         |  WHERE rn <= 3)
+         |SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN i.u IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS recall_init,
+         |  CAST(SUM(CASE WHEN r.u IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS recall_refined
+         |FROM ex x
+         |LEFT JOIN init i ON x.u = i.u AND x.v = i.v
+         |LEFT JOIN refined r ON x.u = r.u AND x.v = r.v""".stripMargin,
     "q187_prototype_prune" ->
       s"""WITH ${kmeansCte(8, 2)},
          |mem AS (

@@ -187,6 +187,58 @@ object StreamOps {
       }
   }
 
+  case class EvId(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+                  value: Double)
+  case class EwmaState(ewmaFp: Long, n: Long)
+  case class Anomaly(user_id: Long, event_id: Long, value_seen: Double,
+                     ewma_prev: Double)
+
+  /** Per-key streaming EWMA anomaly detector (`flatMapGroupsWithState`,
+    * Update mode, no timeout): each key carries TWO LONGS of state — the
+    * running EWMA in 1e2 fixed point and the fold count — so state is
+    * bounded by |keys| however many events arrive (the q162/q205
+    * counters-as-state discipline applied to a recursive statistic that
+    * windowed aggregation cannot express: EWMA_k depends on every prior
+    * event). An arrival is flagged when it leaves the [ewma/4, 4·ewma]
+    * band after a `warmup`-event burn-in (cold-start floods gated off).
+    *
+    * Cross-engine exactness: the quantization is floor(value·100 + 0.5)
+    * (one pinned IEEE chain), the update is the INTEGER recurrence
+    * ewma' = ⌊(7·ewma + v) / 8⌋ via floorDiv (DuckDB `//` floor semantics,
+    * not Scala `/` truncation — they differ on negatives), and the fold
+    * order is (event-time µs, event_id) — a total order wherever
+    * (key, ts) is unique, which the oracle's recursive CTE replays
+    * row-for-row. */
+  def ewmaAnomalies(events: Dataset[EvId], warmup: Long = 8L): Dataset[Anomaly] = {
+    import events.sparkSession.implicits._
+    def usOf(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, Anomaly](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[EvId], state: GroupState[EwmaState]) =>
+          val sorted = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+          var cur = state.getOption
+          val flagged = Seq.newBuilder[Anomaly]
+          sorted.foreach { e =>
+            val v = math.floor(e.value * 100.0 + 0.5).toLong
+            cur match {
+              case Some(st) =>
+                if (st.n >= warmup &&
+                    (v > 4L * st.ewmaFp || 4L * v < st.ewmaFp))
+                  flagged += Anomaly(user, e.event_id,
+                    v.toDouble / 100.0, st.ewmaFp.toDouble / 100.0)
+                cur = Some(EwmaState(
+                  Math.floorDiv(7L * st.ewmaFp + v, 8L), st.n + 1))
+              case None =>
+                cur = Some(EwmaState(v, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          flagged.result().iterator
+      }
+  }
+
   /** Watermarked STREAM-STREAM interval join: each left row pairs with the
     * right rows of the same key whose timestamp falls in
     * `[left.ts, left.ts + windowSec]` — the streaming twin of
