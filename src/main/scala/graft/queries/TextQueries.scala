@@ -381,6 +381,70 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // LSH S-CURVE VALIDATION — closes the sketch-calibration family
+    // (q197: per-pair estimate error; q206/q214: end-to-end P/R at one
+    // threshold) with the DIAL-PLANNING view: per exact-Jaccard decile,
+    // the OBSERVED band-collision rate of the house (b=8, r=4) banding
+    // against the analytic detection probability 1−(1−J⁴)⁸. The soft zone
+    // of the S-curve (J ∈ [0.25, 0.5)) is the gray mass a θ=0.5 pipeline
+    // implicitly half-discards — this table prices re-banding before
+    // anyone re-runs a corpus. The corpus's own near-dups are all
+    // J ≥ 0.9 (one degenerate bucket), so the soft zone is POPULATED
+    // IN-QUERY (the q154/q183 fixture discipline): every doc_id ≡ 0
+    // (mod 4) also enters as a PREFIX TRUNCATION — its first
+    // max(3, ⌊len·(4 + id mod 12)/16⌋) tokens — whose shingle Jaccard
+    // against the original sweeps ~0.2–0.95 by construction; the oracle
+    // re-derives every variant from the same parquet. Truth side = the
+    // prefix-filtered exact plan at J ≥ 0.25 (lossless above the floor;
+    // audit-sampled at 100 TB, the q214 dial). Collision = POSITION-WISE
+    // band-bucket equality (zip_with — same band, same bucket: the actual
+    // LSH join rule; arrays_overlap would also count cross-band
+    // accidents). The predicted rate is a pinned square-chain (j², j⁴,
+    // (1−j⁴)⁸ by three squarings), floor-quantized per pair before the
+    // order-independent integer mean.
+    "q221_lsh_scurve" -> ((s, d) => {
+      val dd = docs(s, d)
+      val w = TextOps.tokens(col("text"))
+      val frac = (lit(4.0) + pmod(col("doc_id"), lit(12L)).cast("double"))
+        .divide(lit(16.0))
+      val pfx = greatest(lit(3.0),
+        floor(size(w).cast("double") * frac)).cast("long")
+      val dd2 = dd.select(col("doc_id"), col("text"))
+        .unionByName(dd.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            array_join(slice(w, lit(1), pfx.cast("int")), " ").as("text")))
+      val exact = DedupOps.jaccardPairsPrefix(dd2, "doc_id", "text", 3, 0.25)
+      val bands = DedupOps.minhashSignatureArray(
+          DedupOps.shingleTable(dd2, "doc_id", "text", 3), 32)
+        .select(col("doc_id"),
+          DedupOps.bandBuckets(col("sig"), 32, 4).as("bs"))
+        .localCheckpoint() // joined twice (da and db sides)
+      val j = col("jaccard")
+      val j4 = (j * j) * (j * j)
+      val q2 = (lit(1.0) - j4) * (lit(1.0) - j4)
+      val q8 = (q2 * q2) * (q2 * q2)
+      exact
+        .join(bands.select(col("doc_id").as("da"), col("bs").as("bsa")),
+          Seq("da"))
+        .join(bands.select(col("doc_id").as("db"), col("bs").as("bsb")),
+          Seq("db"))
+        .select(
+          least(floor(j * 10.0), lit(9.0)).cast("long").as("j_bucket"),
+          exists(zip_with(col("bsa"), col("bsb"), (x, y) => x === y),
+            identity[org.apache.spark.sql.Column]).as("caught"),
+          floor((lit(1.0) - q8) * lit(1e9)).cast("long").as("pred_fp"))
+        .groupBy(col("j_bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("caught"), 1L).otherwise(0L)).as("n_caught"),
+          sum(col("pred_fp")).as("sum_pred_fp"))
+        .select(col("j_bucket"), col("n_pairs"), col("n_caught"),
+          (col("n_caught").cast("double") / col("n_pairs").cast("double"))
+            .as("catch_rate"),
+          (col("sum_pred_fp").cast("double") / 1e9
+            / col("n_pairs").cast("double")).as("pred_rate"))
+        .orderBy(col("j_bucket"))
+    }),
+
     // DSIR IMPORTANCE WEIGHTS — data selection with importance resampling
     // (Xie et al. 2023, arXiv:2302.03169): score every RAW doc by how much
     // more likely its hashed-unigram profile is under the TARGET
@@ -3370,6 +3434,79 @@ object TextQueries {
          |  CAST(n_terms * sxy - sx * sy AS DOUBLE)
          |    / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS zipf_slope
          |FROM m ORDER BY source""".stripMargin,
+    // S-curve: exact pairs at J ≥ 0.25 beside the shared hash family's
+    // band table; collision = same (band, bucket); predicted rate by the
+    // identical square-chain, floor-quantized per pair.
+    "q221_lsh_scurve" -> {
+      val j4 = "((j * j) * (j * j))"
+      val q2 = s"((1.0 - $j4) * (1.0 - $j4))"
+      val q8 = s"(($q2 * $q2) * ($q2 * $q2))"
+      s"""WITH docs2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    array_to_string(w[1:CAST(greatest(3.0,
+         |      FLOOR(len(w) * ((4.0 + doc_id % 12) / 16.0))) AS BIGINT)],
+         |      ' ')
+         |  FROM (SELECT doc_id, $toksSql AS w FROM documents) t0
+         |  WHERE doc_id % 4 = 0),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id,
+         |      unnest([array_to_string(w[i:i+2], '|')
+         |              for i in range(1, len(w) - 1)]) AS shingle
+         |    FROM (SELECT doc_id,
+         |            list_filter(string_split_regex(trim(text), '\\s+'),
+         |              x -> len(x) > 0) AS w
+         |          FROM docs2) t1) t2),
+         |hs AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+         |      % 268435456 AS hs
+         |  FROM sh),
+         |mh AS (
+         |  SELECT doc_id, i,
+         |    MIN(((2 * i + 1) * hs + 7919 * i) % 268435456) AS minhash
+         |  FROM hs CROSS JOIN range(32) t(i) GROUP BY doc_id, i),
+         |bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |    md5(string_agg(CAST(minhash AS VARCHAR), '|' ORDER BY i))
+         |      AS bucket
+         |  FROM mh GROUP BY doc_id, i // 4),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT da, db,
+         |    CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) AS j
+         |  FROM common
+         |  JOIN sizes sa ON da = sa.doc_id
+         |  JOIN sizes sb ON db = sb.doc_id
+         |  WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.25),
+         |coll AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |      AND a.doc_id < b.doc_id),
+         |p AS (
+         |  SELECT
+         |    CAST(least(FLOOR(j * 10.0), 9.0) AS BIGINT) AS j_bucket,
+         |    cl.da IS NOT NULL AS caught,
+         |    CAST(FLOOR((1.0 - $q8) * 1e9) AS BIGINT) AS pred_fp
+         |  FROM ex e LEFT JOIN coll cl ON e.da = cl.da AND e.db = cl.db)
+         |SELECT j_bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_caught,
+         |  CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS catch_rate,
+         |  CAST(CAST(SUM(pred_fp) AS BIGINT) AS DOUBLE) / 1e9
+         |    / CAST(COUNT(*) AS DOUBLE) AS pred_rate
+         |FROM p GROUP BY j_bucket ORDER BY j_bucket""".stripMargin
+    },
+
     // DSIR: hashed-unigram bucket log-ratios (iln per BUCKET, 256 rows),
     // per-doc integer sum + n_tok·Δ_totals, deterministic top-50.
     "q217_dsir_weights" ->

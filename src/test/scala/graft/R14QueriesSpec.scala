@@ -120,6 +120,24 @@ class R14QueriesSpec extends SparkSuite {
     assert(rr >= ri, s"refine lost recall: $ri -> $rr")
   }
 
+  // ---- q221 ----------------------------------------------------------------
+
+  test("q221: S-curve is sane — rates bounded, analytic prediction strictly increasing across buckets") {
+    val rows = SparkEntry.queries("q221_lsh_scurve")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      assert(row.getAs[Long]("n_caught") <= row.getAs[Long]("n_pairs"))
+      val cr = row.getAs[Double]("catch_rate")
+      val pr = row.getAs[Double]("pred_rate")
+      assert(cr >= 0.0 && cr <= 1.0 && pr >= 0.0 && pr <= 1.0)
+    }
+    // buckets partition J ascending and 1-(1-J^4)^8 is monotone in J, so
+    // per-bucket mean predictions must strictly increase
+    val preds = rows.sortBy(_.getAs[Long]("j_bucket"))
+      .map(_.getAs[Double]("pred_rate"))
+    assert(preds.zip(preds.tail).forall { case (a, b) => a < b })
+  }
+
   // ---- q217 ----------------------------------------------------------------
 
   test("q217: shortlist is raw-only, weight-descending, and deterministic") {
