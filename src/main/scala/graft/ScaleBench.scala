@@ -101,10 +101,15 @@ object ScaleBench {
       // rank windows — must grow ~M (cell size is pinned at ~64 by the
       // k ∝ N dial)
       "q200_label_noise_knn",
-      // the pigeonhole simhash band join (token-suffixed replicas hash to
-      // unrelated signatures, so true pairs grow ~M) and the gram-key
-      // coverage semi-join (train grams grow ~M, eval side fixed)
-      "q202_simhash_pairs", "q203_ngram_coverage"),
+      // the pigeonhole simhash band joins. q202 (32-bit, byte-bands):
+      // token-suffixed replicas hash to unrelated signatures so TRUE
+      // pairs grow ~M, but the byte-band blocking admits random pairs as
+      // candidates at 1−(1−2⁻⁸)⁴ ≈ 1.55 % — an N² term measured at ×100
+      // (SCALE_r14: 22.5M rows ≈ 2.7× honest growth, 200 s steady). q222
+      // is the scale path: same plan, 60-bit signature, 4×15-bit bands —
+      // accidental rate 0.012 %, ~127× less wasted verify. Plus the
+      // gram-key coverage semi-join (train grams grow ~M, eval fixed).
+      "q202_simhash_pairs", "q222_simhash_wide", "q203_ngram_coverage"),
     "event" -> Seq(
       "q32_asof_join", "q87_rolling_actives", "q140_transition_probs"),
     // r14: the stream-static-literal serving pattern at the decade — both

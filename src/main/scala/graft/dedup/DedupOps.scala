@@ -398,6 +398,37 @@ object DedupOps {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** WIDE SimHash (60-bit) — q202's ×100 ScaleBench row measured WHY a
+    * 32-bit signature stops scaling: its 4 byte-bands admit a random
+    * (wholly dissimilar) pair as a candidate with probability
+    * 1−(1−2⁻⁸)⁴ ≈ 1.55 %, an N² term with a small constant that overtakes
+    * the true-pair mass at corpus scale (×100: 22.5M output rows ≈ 2.7×
+    * the honest ~M growth, 200 s steady). The wide signature keeps the
+    * SAME relational plan and hash family (the full 60 bits of the
+    * one-md5-per-token hash [[graft.text.TextOps.tokenHash60]] instead of
+    * its 32-bit prefix) and slices into 4 × 15-bit bands: pigeonhole
+    * completeness at Hamming ≤ 3 is unchanged, while the accidental-
+    * candidate rate drops to 1−(1−2⁻¹⁵)⁴ ≈ 0.012 % — ~127× less wasted
+    * verify work. Hamming ≤ 3 over 60 bits is a STRICTER near-dup tier
+    * than over 32 (that is the point: the 32-bit tier's selectivity was
+    * partly band-collision noise). */
+  def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", TextOps.tokenHash60(col("token")))
+    val bits = tok.select(col("doc_id"),
+        explode(sequence(lit(0), lit(59))).as("bit"),
+        col("cnt"), col("h"))
+      .withColumn("contrib",
+        when(expr("shiftright(h, bit)").bitwiseAND(1L) === 1L,
+          col("cnt")).otherwise(-col("cnt")))
+    bits.groupBy(col("doc_id"), col("bit")).agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), bit)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
   /** REPEATED-SPAN detection — the exact-substring dedup flavor of
     * "Deduplicating Training Data Makes Language Models Better" (Lee et
     * al. 2022), re-expressed relationally: suffix-array substring search

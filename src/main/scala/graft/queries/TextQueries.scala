@@ -94,6 +94,41 @@ object TextQueries {
         .orderBy(col("da"), col("db"))
     }),
 
+    // WIDE-SIGNATURE SIMHASH PAIRS — q202's 100 TB scale path, built from
+    // its ×100 ScaleBench measurement (SCALE_r14): the 32-bit signature's
+    // byte-bands admit ~1.55 % of RANDOM pairs as candidates — an N² term
+    // that reached 2.7× the honest output growth and 200 s steady at the
+    // decade. Same plan, same one-md5-per-token hash family, 60-bit
+    // signature in 4 × 15-bit bands: pigeonhole completeness at
+    // Hamming ≤ 3 unchanged, accidental-candidate rate down ~127×
+    // (DedupOps.simhash60 scaladoc). A stricter tier than ≤ 3/32 by
+    // design — the 32-bit tier's extra "pairs" were partly band noise.
+    "q222_simhash_wide" -> ((s, d) => {
+      val sig = DedupOps.simhash60(docs(s, d), "doc_id", "text")
+        .localCheckpoint() // feeds both join sides
+      val banded = sig.select(col("doc_id"), col("simhash"),
+          array((0 until 4).map(b =>
+            expr(s"shiftright(simhash, ${b * 15})").bitwiseAND(lit(32767L)))
+            : _*).as("bands"))
+        .select(col("doc_id"), col("simhash"), col("bands"),
+          posexplode(col("bands")).as(Seq("band", "bval")))
+        .select(col("doc_id"), col("simhash"), col("band"), col("bval"),
+          slice(col("bands"), lit(1), col("band")).as("prefix"))
+      banded.select(col("doc_id").as("da"), col("simhash").as("sa"),
+          col("band"), col("bval"), col("prefix").as("pa"))
+        .join(banded.select(col("doc_id").as("db"),
+          col("simhash").as("sb"), col("band"), col("bval"),
+          col("prefix").as("pb")), Seq("band", "bval"))
+        .filter(col("da") < col("db"))
+        .filter(!exists(zip_with(col("pa"), col("pb"), (x, y) => x === y),
+          identity[org.apache.spark.sql.Column]))
+        .withColumn("hamming",
+          bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+        .filter(col("hamming") <= 3)
+        .select(col("da"), col("db"), col("hamming"))
+        .orderBy(col("da"), col("db"))
+    }),
+
     // EVAL-SET N-GRAM COVERAGE — q105's decontamination in the REVERSE
     // direction and as a METRIC, not a filter: for every held-out (src0)
     // document, what fraction of its distinct 8-grams appears anywhere in
@@ -3285,6 +3320,34 @@ object TextQueries {
          |  FROM bits GROUP BY doc_id),
          |bnd AS (
          |  SELECT doc_id, simhash, i AS band, (simhash >> (i * 8)) & 255 AS bval
+         |  FROM sim CROSS JOIN range(4) t(i)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM bnd a JOIN bnd b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY da, db""".stripMargin,
+    // Wide simhash: the 60-bit/4×15-band twin of the q202 chain.
+    "q222_simhash_wide" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, token, COUNT(*) AS cnt,
+         |    CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents) t
+         |  GROUP BY doc_id, token),
+         |bits AS (
+         |  SELECT doc_id, i AS bit,
+         |    SUM(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+         |  FROM tok CROSS JOIN range(60) t(i) GROUP BY doc_id, i),
+         |sim AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit
+         |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |bnd AS (
+         |  SELECT doc_id, simhash, i AS band,
+         |    (simhash >> (i * 15)) & 32767 AS bval
          |  FROM sim CROSS JOIN range(4) t(i)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,

@@ -138,6 +138,23 @@ class R14QueriesSpec extends SparkSuite {
     assert(preds.zip(preds.tail).forall { case (a, b) => a < b })
   }
 
+  // ---- q222 ----------------------------------------------------------------
+
+  test("q222: 4x15-bit banding is a complete blocking scheme — pair set equals brute-force Hamming<=3") {
+    import graft.dedup.DedupOps
+    val out = SparkEntry.queries("q222_simhash_wide")(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val sig = DedupOps
+      .simhash60(Tables.documents(spark, sf0001), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, sa) <- sig; (b, sb) <- sig
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(out.nonEmpty)
+    assert(out === brute)
+  }
+
   // ---- q217 ----------------------------------------------------------------
 
   test("q217: shortlist is raw-only, weight-descending, and deterministic") {
