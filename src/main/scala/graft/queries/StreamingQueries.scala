@@ -229,6 +229,61 @@ object StreamingQueries {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // STREAMING ANN SERVING ON THE TWO-LEVEL INDEX — q194's 100 TB shape.
+    // q194 (flat k=8 Lloyd cells) is the oracle-isolated serving demo;
+    // its per-query cost is its CELL'S inverted-list size, which with
+    // fixed k grows linearly in the corpus — the same flat-assign trap
+    // q138 solved for SemDeDup. This twin serves off the ivf2 index
+    // (k ∝ N fine cells, cell size pinned ~64): the ~√k-entry EFFECTIVE
+    // coarse book rides the streaming plan as literals (bounded), each
+    // arrival routes coarse→fine through the EXACT batch argmin
+    // expression (VectorOps.argminCell — same (L2, cell) tie-break), the
+    // fine books arrive by a stateless stream-static join on the coarse
+    // cell (~√k fines per row), and the probe joins only the fine cell's
+    // ~64-vector inverted list — per-arrival cost FLAT in corpus size.
+    // Oracle = the batch two-level assignment (ivf2AfCte) joined on the
+    // fine cell; the stream routing reproduces af's rule expression-for-
+    // expression, so both engines emit identical candidates.
+    "q223_stream_ann_ivf2" -> ((s, d) => {
+      import graft.vector.VectorOps
+      val e = graft.Tables.embeddings(s, d)
+      val n = e.count()
+      val k = math.min(n, math.max(8L, math.ceil(n / 64.0).toLong)).toInt
+      val c = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
+      val (gbook, ebookRow) = VectorOps.ivf2Books(e, k, c)
+      val erow = ebookRow.collect()(0)
+        .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("ebook")
+      val ebookCol = array(erow.map { r =>
+        struct(lit(r.getLong(0)).as("ccell"),
+          array(r.getAs[scala.collection.Seq[Double]](1).map(lit).toSeq: _*)
+            .as("centroid"))
+      }.toSeq: _*)
+      val inv = e.join(VectorOps.ivf2Assign(e, k, c), Seq("vec_id"))
+        .filter(col("vec_id") % 16 =!= 0)
+        .select(col("cluster").as("cell"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("c_emb"))
+        .localCheckpoint() // static inverted list
+      val gb = gbook.localCheckpoint() // static routing side
+      val qStream = embeddingsStream(s, d)
+        .filter(col("vec_id") % 16 === 0)
+        .withColumn("ccell",
+          VectorOps.argminCell(ebookCol, col("embedding"),
+            "ccell", "centroid"))
+        .join(gb, Seq("ccell"))
+        .withColumn("cell",
+          VectorOps.argminCell(col("fines"), col("embedding"),
+            "cell", "centroid"))
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"), col("cell"))
+      val matched = qStream.join(inv, Seq("cell"))
+        .withColumn("cosine", VectorOps.cosine(col("q_emb"), col("c_emb")))
+        .filter(col("cosine") >= 0.2)
+        .select(col("query_id"), col("cell"), col("neighbor_id"),
+          col("cosine"))
+      runToTable(matched, "q223_stream_ann_ivf2", "append")
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
     // STREAMING DEDUP PROBE — q125's corpus probe in deployment shape:
     // the reference corpus's MinHash signatures and banded buckets are a
     // write-once STATIC table; each arriving document computes its own
@@ -857,6 +912,28 @@ object StreamingQueries {
          |SELECT query_id, cell, neighbor_id, cosine
          |FROM m WHERE cosine >= 0.2
          |ORDER BY query_id, neighbor_id""".stripMargin,
+    // q223: the two-level assignment (shared ivf2 CTE chain) joined on
+    // the fine cell — the stream's coarse→fine routing replays af's rule.
+    "q223_stream_ann_ivf2" ->
+      s"""WITH RECURSIVE ${VectorQueries.ivf2AfCte},
+         |q AS (
+         |  SELECT a.vec_id AS query_id, a.cluster AS cell,
+         |    e.embedding AS q_emb
+         |  FROM af a JOIN embeddings e USING (vec_id)
+         |  WHERE a.vec_id % 16 = 0),
+         |c AS (
+         |  SELECT a.cluster AS cell, a.vec_id AS neighbor_id,
+         |    e.embedding AS c_emb
+         |  FROM af a JOIN embeddings e USING (vec_id)
+         |  WHERE a.vec_id % 16 <> 0),
+         |m AS (
+         |  SELECT q.query_id, q.cell, c.neighbor_id,
+         |    ${VectorQueries.cosSql("q.q_emb", "c.c_emb")} AS cosine
+         |  FROM q JOIN c USING (cell))
+         |SELECT query_id, cell, neighbor_id, cosine
+         |FROM m WHERE cosine >= 0.2
+         |ORDER BY query_id, neighbor_id""".stripMargin,
+
     // Batch twin of the streaming probe: q125's dupc rule verbatim
     // (TextQueries.mhSide per side, DISTINCT candidates, per-pair est,
     // min-id canonical + match count per flagged arrival).

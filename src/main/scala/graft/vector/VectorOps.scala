@@ -454,7 +454,23 @@ object VectorOps {
     * can drop through an empty cell.
     *
     * @return (vec_id, cluster) — cluster ids are fine-seed vec_ids */
-  def ivf2Assign(vecs: DataFrame, k: Int, c: Int): DataFrame = {
+  /** The two-level argmin as a reusable expression: min (L2 dist, cell)
+    * struct over a book array — the tie-break IS the struct ordering.
+    * Public so stream-side routing (q223) replays the batch rule
+    * expression-for-expression. */
+  def argminCell(book: Column, vec: Column, cellField: String,
+                 centField: String): Column =
+    array_min(transform(book, b =>
+      struct(l2Dist(vec, b.getField(centField)).as("dist"),
+        b.getField(cellField).as("cell")))).getField("cell")
+
+  /** The two-level index's book tables, exposed for consumers that route
+    * OUTSIDE the batch assignment plan (q223's streaming serving):
+    * `gbook` = (ccell, fines array<struct(cell, centroid)>) — ~√k fines
+    * per coarse row, a STATIC join side; `ebookRow` = the 1-row effective
+    * coarse book (~√k·d doubles — small enough to ride a streaming plan
+    * as literals). Built exactly as [[ivf2Assign]] consumes them. */
+  def ivf2Books(vecs: DataFrame, k: Int, c: Int): (DataFrame, DataFrame) = {
     val v = vecs.select(col("vec_id"), col("embedding"))
     val seeds = v.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cell"),
@@ -462,17 +478,12 @@ object VectorOps {
       .localCheckpoint()
     val coarse = seeds.orderBy(col("cell")).limit(c)
       .select(col("cell").as("ccell"), col("centroid").as("ccentroid"))
-    def argminOver(book: Column, vec: Column, cellField: String,
-                   centField: String): Column =
-      array_min(transform(book, b =>
-        struct(l2Dist(vec, b.getField(centField)).as("dist"),
-          b.getField(cellField).as("cell")))).getField("cell")
     val cbookRow = coarse
       .agg(collect_list(struct(col("ccell"), col("ccentroid"))).as("cbook"))
     // fine → owning coarse cell (k·c argmin work — codebook-sized, tiny)
     val f2c = seeds.crossJoin(broadcast(cbookRow))
       .withColumn("ccell",
-        argminOver(col("cbook"), col("centroid"), "ccell", "ccentroid"))
+        argminCell(col("cbook"), col("centroid"), "ccell", "ccentroid"))
       .select(col("ccell"), col("cell"), col("centroid"))
     // grouped fine book + the EFFECTIVE coarse book (cells owning fines)
     val gbook = f2c.groupBy(col("ccell"))
@@ -480,13 +491,19 @@ object VectorOps {
     val ebookRow = f2c.select(col("ccell")).distinct()
       .join(seeds, col("ccell") === col("cell"))
       .agg(collect_list(struct(col("ccell"), col("centroid"))).as("ebook"))
+    (gbook, ebookRow)
+  }
+
+  def ivf2Assign(vecs: DataFrame, k: Int, c: Int): DataFrame = {
+    val v = vecs.select(col("vec_id"), col("embedding"))
+    val (gbook, ebookRow) = ivf2Books(vecs, k, c)
     val withCoarse = v.crossJoin(broadcast(ebookRow))
       .withColumn("ccell",
-        argminOver(col("ebook"), col("embedding"), "ccell", "centroid"))
+        argminCell(col("ebook"), col("embedding"), "ccell", "centroid"))
       .select(col("vec_id"), col("embedding"), col("ccell"))
     withCoarse.join(gbook, Seq("ccell")) // no broadcast hint — see Scaladoc
       .withColumn("cluster",
-        argminOver(col("fines"), col("embedding"), "cell", "centroid"))
+        argminCell(col("fines"), col("embedding"), "cell", "centroid"))
       .select(col("vec_id"), col("cluster"))
   }
 

@@ -155,6 +155,26 @@ class R14QueriesSpec extends SparkSuite {
     assert(out === brute)
   }
 
+  // ---- q223 ----------------------------------------------------------------
+
+  test("q223: stream coarse->fine routing equals the batch two-level assignment") {
+    import graft.vector.VectorOps
+    val out = SparkEntry.queries("q223_stream_ann_ivf2")(spark, sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    val e = Tables.embeddings(spark, sf0001)
+    val n = e.count()
+    val k = math.min(n, math.max(8L, math.ceil(n / 64.0).toLong)).toInt
+    val c = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
+    val af = VectorOps.ivf2Assign(e, k, c).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(af(r.getAs[Long]("query_id")) === r.getAs[Long]("cell"))
+      assert(af(r.getAs[Long]("neighbor_id")) === r.getAs[Long]("cell"))
+      assert(r.getAs[Double]("cosine") >= 0.2)
+    }
+  }
+
   // ---- q217 ----------------------------------------------------------------
 
   test("q217: shortlist is raw-only, weight-descending, and deterministic") {
