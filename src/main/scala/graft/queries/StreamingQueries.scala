@@ -915,7 +915,9 @@ object StreamingQueries {
     // q223: the two-level assignment (shared ivf2 CTE chain) joined on
     // the fine cell — the stream's coarse→fine routing replays af's rule.
     "q223_stream_ann_ivf2" ->
-      s"""WITH RECURSIVE ${VectorQueries.ivf2AfCte},
+      // plain WITH: ivf2AfCte is not recursive, and a RECURSIVE prefix
+      // breaks UNION-distinct dedup in sibling CTEs (see the q220 oracle)
+      s"""WITH ${VectorQueries.ivf2AfCte},
          |q AS (
          |  SELECT a.vec_id AS query_id, a.cluster AS cell,
          |    e.embedding AS q_emb

@@ -700,7 +700,10 @@ object VectorQueries {
     // graph the curation family consumes (SemDeDup/D4-style pruning,
     // q119's link prediction, q200's label-noise vote) built the way a
     // 100 TB corpus can afford. WORKING GRAPH G0 = within-cell top-3
-    // (the q187 Lloyd cells: O(N·cellSize) warm start, never N²) UNION
+    // (the ivf2 index's ~64-vector cells — k ∝ N, the q138/q223 dial,
+    // so the warm start is O(N·64) at ANY corpus size; fixed-k=8 Lloyd
+    // cells were measured at 79.8 s at sf0.1 from their O(N²/8) pair
+    // mass) UNION
     // 3 deterministic random-bucket edges per vector (md5 bucket of
     // ~8 mates, edges by id order — NN-descent's random init, giving the
     // reach a cell-confined graph structurally lacks: a purely
@@ -714,14 +717,26 @@ object VectorQueries {
     // recall_init is a THEOREM under the shared (cos desc, id asc) total
     // order: the refine candidate set contains G0, so any init hit
     // displaced from the refined top-3 is displaced by a strictly better
-    // candidate, itself necessarily exact-top-3.
+    // candidate, itself necessarily exact-top-3. The audit side carries
+    // the q214 dial IN CODE (the r13 q206 lesson): exact truth is
+    // computed only for the deterministic id-hash EIGHTH of the vectors
+    // (each audited u still ranks against the FULL corpus — top-3 truth
+    // needs every candidate), so the audit pays N²/8 cosines while the
+    // production graphs stay full-corpus; recalls are unbiased
+    // estimators measured on the audited slice (n_exact = 3·n_audited).
     "q220_knn_graph" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val e = emb(s, d).select(col("vec_id"), col("embedding"))
         .localCheckpoint() // feeds cells, scoring joins, and the exact side
-      val nBuckets = math.max(e.count() / 8L, 1L) // ~8 mates per bucket
+      val n = e.count()
+      val nBuckets = math.max(n / 8L, 1L) // ~8 mates per bucket
+      // warm-start cells = the ivf2 index (k ∝ N, ~64-vector cells — the
+      // q138/q223 dial): within-cell candidate work stays O(N·64) at any
+      // corpus size, where fixed-k Lloyd cells made it O(N²/k)
+      val k = math.min(n, math.max(8L, math.ceil(n / 64.0).toLong)).toInt
+      val c2 = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
       val withCell = e
-        .join(VectorOps.kmeansAssign(e, 8, 2), Seq("vec_id"))
+        .join(VectorOps.ivf2Assign(e, k, c2), Seq("vec_id"))
       val cellCand = withCell
         .select(col("cluster"), col("vec_id").as("u"))
         .join(withCell.select(col("cluster"), col("vec_id").as("v")),
@@ -757,7 +772,10 @@ object VectorQueries {
         .distinct()
       val init = top3(score(g0))
       val refined = top3(score(cand1))
-      val exact = top3(e
+      val audited = e.filter(
+        pmod(graft.text.TextOps.tokenHash60(col("vec_id").cast("string")),
+          lit(8L)) === 0L)
+      val exact = top3(audited
         .select(col("vec_id").as("u"), col("embedding").as("eu"))
         .join(e.select(col("vec_id").as("v"), col("embedding").as("ev")),
           col("u") =!= col("v"))
@@ -769,7 +787,8 @@ object VectorQueries {
           sum(when(col("i"), 1L).otherwise(0L)).as("hit_init"),
           sum(when(col("rf"), 1L).otherwise(0L)).as("hit_refined"))
         .crossJoin(broadcast(e.agg(count(lit(1)).as("n_vecs"))))
-        .select(col("n_vecs"), col("n_exact"),
+        .crossJoin(broadcast(audited.agg(count(lit(1)).as("n_audited"))))
+        .select(col("n_vecs"), col("n_audited"), col("n_exact"),
           (col("hit_init").cast("double") / col("n_exact").cast("double"))
             .as("recall_init"),
           (col("hit_refined").cast("double")
@@ -1430,11 +1449,15 @@ object VectorQueries {
     // keyed on the k-means cell), cosine to the own-cell centroid,
     // per-cell (cos desc, vec_id) rank, top-quartile (most prototypical)
     // marked pruned.
-    // kNN graph: shared Lloyd cells for the warm start, md5 random
+    // kNN graph: the shared ivf2 cells for the warm start, md5 random
     // buckets for the reach, one NN-descent round (UNION = Spark's
     // distinct), both graphs flagged against the exact brute-force top-3.
     "q220_knn_graph" ->
-      s"""WITH ${kmeansCte(8, 2)},
+      // NO "RECURSIVE" prefix: under WITH RECURSIVE DuckDB parses any CTE
+      // with a top-level UNION as the anchor/step recursive form and stops
+      // DEDUPLICATING it (measured: WITH RECURSIVE a AS (SELECT 1 UNION
+      // SELECT 1) yields 2 rows) — g0/cand rely on UNION-distinct
+      s"""WITH $ivf2AfCte,
          |wc AS (
          |  SELECT e.vec_id, e.embedding, a.cluster
          |  FROM embeddings e JOIN af a USING (vec_id)),
@@ -1488,17 +1511,22 @@ object VectorQueries {
          |    SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u
          |      ORDER BY cos DESC, v ASC) AS rn FROM sc) t
          |  WHERE rn <= 3),
+         |aud AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+         |        AS BIGINT) % 8 = 0),
          |ex AS (
          |  SELECT u, v FROM (
          |    SELECT a.vec_id AS u, b.vec_id AS v,
          |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
          |        ORDER BY ${cosSql("a.embedding", "b.embedding")} DESC,
          |          b.vec_id ASC) AS rn
-         |    FROM embeddings a JOIN embeddings b
+         |    FROM aud a JOIN embeddings b
          |      ON a.vec_id <> b.vec_id) t
          |  WHERE rn <= 3)
          |SELECT
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM aud) AS n_audited,
          |  CAST(COUNT(*) AS BIGINT) AS n_exact,
          |  CAST(SUM(CASE WHEN i.u IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(COUNT(*) AS DOUBLE) AS recall_init,

@@ -111,9 +111,11 @@ class R14QueriesSpec extends SparkSuite {
 
   // ---- q220 ----------------------------------------------------------------
 
-  test("q220: refine never loses recall; exact graph is 3-regular") {
+  test("q220: refine never loses recall; audited exact graph is 3-regular") {
     val r = SparkEntry.queries("q220_knn_graph")(spark, sf0001).collect().head
-    assert(r.getAs[Long]("n_exact") === 3L * r.getAs[Long]("n_vecs"))
+    val audited = r.getAs[Long]("n_audited")
+    assert(audited > 0 && audited < r.getAs[Long]("n_vecs"))
+    assert(r.getAs[Long]("n_exact") === 3L * audited)
     val ri = r.getAs[Double]("recall_init")
     val rr = r.getAs[Double]("recall_refined")
     assert(ri >= 0.0 && ri <= 1.0 && rr >= 0.0 && rr <= 1.0)
