@@ -1304,6 +1304,54 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // INCREMENTAL CLOSURE REFRESH — the artifact-maintenance shape q125
+    // (per-batch probe verdicts) and DedupClosure (write-once build)
+    // bracket but neither provides: when a corpus snapshot GROWS
+    // (append-only ingestion, the common production delta), the v2
+    // closure is computed WITHOUT re-pairing the old corpus against
+    // itself. Ingredients: (a) STAR EDGES from the v1 closure artifact
+    // (doc → canonical; star compression preserves v1 connectivity
+    // exactly), (b) new×old candidates from the arriving docs' signatures
+    // probing the static band table (q125's first-collision cross probe),
+    // (c) new×new banded pairs. CC over (a)∪(b)∪(c) + min-id canonical.
+    // CORRECTNESS IS A THEOREM under pure growth: old×old pairs are
+    // redundant given star connectivity, and the banding rule is
+    // deterministic, so the incremental components — and their min-id
+    // canonicals — equal the full recompute's bit for bit (spec-pinned
+    // against DedupClosure.closure(v2); the oracle IS the full recompute
+    // over v2). Removals void the theorem (a path through a removed doc
+    // must not survive) — a shrinking snapshot rebuilds, by contract.
+    // Fixture: v2 = documents ∪ {doc_id % 11 = 0 re-ingested at +10⁷ with
+    // a 'v2new ' prefix} (q183's added-docs rule — near-dups of their
+    // sources by construction, so the delta genuinely extends components).
+    "q224_closure_refresh" -> ((s, d) => {
+      val v1 = docs(s, d).select(col("doc_id"), col("text"))
+      val added = v1.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("v2new "), col("text")).as("text"))
+      val oldClosure = graft.sources.DedupClosure.read(s, v1, d)
+      val sigOld = DedupOps.minhashSignatureArray(
+        DedupOps.shingleTable(v1, "doc_id", "text", 3), 32).cache()
+      val sigNew = DedupOps.minhashSignatureArray(
+        DedupOps.shingleTable(added, "doc_id", "text", 3), 32).cache()
+      val newOld = DedupOps.crossPairsFromSignatures(sigNew, sigOld, 32, 4, 0.5)
+        .select(col("ida").as("src"), col("idb").as("dst"))
+      val newNew = DedupOps.minhashPairsFromSignatures(sigNew, 32, 4, 0.5)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val star = oldClosure.filter(col("doc_id") =!= col("canonical"))
+        .select(col("doc_id").as("src"), col("canonical").as("dst"))
+      val edges = star.unionByName(newOld).unionByName(newNew)
+        .localCheckpoint()
+      sigOld.unpersist(); sigNew.unpersist()
+      val comp = graft.graph.GraphOps.connectedComponentsDF(edges)
+        .withColumnRenamed("id", "doc_id")
+      v1.select(col("doc_id")).unionByName(added.select(col("doc_id")))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CORPUS HEALTH REPORT: the q115 near-dup closure aggregated to the
     // numbers a data-curation dashboard actually shows — per-source doc
     // counts, near-dup counts (canonical ≠ self), and the dup rate. Runs
@@ -3676,6 +3724,29 @@ object TextQueries {
     "q52_dedup_canonical" -> dedupCanonicalSql,
     // q115 = q52 through the DataFrame CC — same oracle verbatim.
     "q115_dedup_canonical_df" -> dedupCanonicalSql,
+    // q224: the oracle IS the full recompute over the grown snapshot —
+    // the shared closure chain re-pointed at docs2 (v1 ∪ added), which
+    // the incremental star-edge plan must equal by the pure-growth
+    // theorem (see the query comment).
+    "q224_closure_refresh" -> {
+      require(
+        dedupCompCte.sliding("FROM documents".length)
+          .count(_ == "FROM documents") == 1,
+        "closure chain no longer reads `documents` exactly once — " +
+          "re-derive the q224 oracle")
+      val body = dedupCompCte
+        .replace("WITH RECURSIVE ", "")
+        .replace("FROM documents", "FROM docs2")
+      s"""WITH RECURSIVE docs2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, 'v2new ' || text FROM documents
+         |  WHERE doc_id % 11 = 0),
+         |$body
+         |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical
+         |FROM docs2 d LEFT JOIN comp c USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "q24_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, token, COUNT(*) AS cnt,

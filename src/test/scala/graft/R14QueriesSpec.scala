@@ -177,6 +177,25 @@ class R14QueriesSpec extends SparkSuite {
     }
   }
 
+  // ---- q224 ----------------------------------------------------------------
+
+  test("q224: incremental star-edge refresh equals the full recompute (pure-growth theorem)") {
+    val inc = SparkEntry.queries("q224_closure_refresh")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v1 = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val added = v1.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(lit("v2new "), col("text")).as("text"))
+    val full = graft.sources.DedupClosure.closure(v1.unionByName(added))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === full)
+    // the delta genuinely extends old components (added docs are
+    // near-dups of their sources, so some canonical crosses the id gap)
+    assert(inc.exists { case (doc, can) =>
+      doc >= 10000000L && can < 10000000L })
+  }
+
   // ---- q217 ----------------------------------------------------------------
 
   test("q217: shortlist is raw-only, weight-descending, and deterministic") {
