@@ -57,7 +57,13 @@ object ScaleBench {
       // rate), never ~M², and both queries are ×100-decade eligible
       // (r12's % 251 geometry merged groups across replicas and the ~M²
       // clique output swamped the blocking signal).
-      "q154_image_phash_pairs", "q155_audio_fp_pairs"),
+      "q154_image_phash_pairs", "q155_audio_fp_pairs",
+      // r14: incremental closure refresh — its WARM run builds the v1
+      // DedupClosure artifact (pays q115's full-closure cost once), its
+      // STEADY run is the maintenance shape: artifact star edges + delta
+      // probes, so steady(q224) vs steady(q115) is the measured value of
+      // incremental refresh at each scale (the q179 artifact discipline)
+      "q224_closure_refresh"),
     "graph" -> Seq(
       "q13_two_hop_network", "q17_suspicious_aliases",
       "q15_pagerank", "q86_ppr_seeds", "q143_harmonic_centrality"),
