@@ -297,14 +297,20 @@ object LinkageQueries {
             s1(col("bal_close")).as("s3"),
             t1(col("name_eq")).as("t1"), t1(col("seg_eq")).as("t2"),
             t1(col("bal_close")).as("t3"))
+          // snw/snu are clamped ≥ 1 (mirrored in emOracleSql): in a
+          // degenerate corpus where every posterior quantizes to 0 or 1e6
+          // one side's mass is exactly 0, and Spark's `div` would return
+          // NULL (silently poisoning later iterations) while DuckDB's `//`
+          // raises — the clamp makes both engines degrade identically
+          // (the starved side's parameters pin to the 999999 ceiling).
           .select(
             clamp(expr("snw div sn")).as("lam"),
-            clamp(expr("(s1 * 1000000) div snw")).as("m1"),
-            clamp(expr("(s2 * 1000000) div snw")).as("m2"),
-            clamp(expr("(s3 * 1000000) div snw")).as("m3"),
-            clamp(expr("(t1 * 1000000) div snu")).as("u1"),
-            clamp(expr("(t2 * 1000000) div snu")).as("u2"),
-            clamp(expr("(t3 * 1000000) div snu")).as("u3"))
+            clamp(expr("(s1 * 1000000) div greatest(snw, 1)")).as("m1"),
+            clamp(expr("(s2 * 1000000) div greatest(snw, 1)")).as("m2"),
+            clamp(expr("(s3 * 1000000) div greatest(snw, 1)")).as("m3"),
+            clamp(expr("(t1 * 1000000) div greatest(snu, 1)")).as("u1"),
+            clamp(expr("(t2 * 1000000) div greatest(snu, 1)")).as("u2"),
+            clamp(expr("(t3 * 1000000) div greatest(snu, 1)")).as("u3"))
       }
       val p5 = (1 to 5).foldLeft(init)((p, _) => step(p))
         .localCheckpoint() // 1 row, projected three times below
@@ -388,12 +394,12 @@ object LinkageQueries {
          |p$i AS (
          |  SELECT
          |    greatest(least(snw // sn, 999999), 1) AS lam,
-         |    greatest(least((s1 * 1000000) // snw, 999999), 1) AS m1,
-         |    greatest(least((s2 * 1000000) // snw, 999999), 1) AS m2,
-         |    greatest(least((s3 * 1000000) // snw, 999999), 1) AS m3,
-         |    greatest(least((t1 * 1000000) // snu, 999999), 1) AS u1,
-         |    greatest(least((t2 * 1000000) // snu, 999999), 1) AS u2,
-         |    greatest(least((t3 * 1000000) // snu, 999999), 1) AS u3
+         |    greatest(least((s1 * 1000000) // greatest(snw, 1), 999999), 1) AS m1,
+         |    greatest(least((s2 * 1000000) // greatest(snw, 1), 999999), 1) AS m2,
+         |    greatest(least((s3 * 1000000) // greatest(snw, 1), 999999), 1) AS m3,
+         |    greatest(least((t1 * 1000000) // greatest(snu, 1), 999999), 1) AS u1,
+         |    greatest(least((t2 * 1000000) // greatest(snu, 1), 999999), 1) AS u2,
+         |    greatest(least((t3 * 1000000) // greatest(snu, 1), 999999), 1) AS u3
          |  FROM (SELECT
          |      CAST(SUM(n) AS BIGINT) AS sn,
          |      CAST(SUM(n * w) AS BIGINT) AS snw,

@@ -428,32 +428,6 @@ object VectorOps {
     cents
   }
 
-  /** TWO-LEVEL (IVF-flat) centroid assignment — the ×100 scale dial for
-    * [[kmeansAssign]]'s flat argmin, which ScaleBench measured as the one
-    * superlinear term in the suite (SemDeDup's k ∝ N makes flat assignment
-    * O(N²/64)): route each vector through a COARSE codebook of
-    * c ≈ √k cells first, then argmin only over the fine centroids owned by
-    * that coarse cell — O(N·(c + k/c)·d) = O(N·√k·d) expression work.
-    * Approximate by construction (the nearest fine centroid can live in a
-    * neighboring coarse cell — classic IVF behavior at nprobe=1); the
-    * DETERMINISTIC RULE itself is exact and oracle-gated: min-vec_id seed
-    * centroids (no Lloyd, no rand()), argmin = (L2 dist asc, cell asc)
-    * struct ordering at both levels.
-    *
-    * Scale shape: the coarse book (c·d doubles) broadcasts; the fine book
-    * rides a GROUPED (ccell → fines) table joined on ccell with NO
-    * broadcast hint — at toy scale AQE broadcasts it, at corpus scale
-    * (k ∝ N makes the fine book corpus-sized/64) it becomes a shuffle
-    * join on ccell, which is the point: the full fine codebook never has
-    * to fit on the driver.
-    *
-    * Degenerate-duplicate safety: a coarse cell whose seed vector is
-    * byte-identical to a smaller coarse seed wins no fines (the f2c
-    * tie-break sends its own fine elsewhere); vectors therefore assign
-    * over the EFFECTIVE coarse set (cells that own ≥ 1 fine) so no row
-    * can drop through an empty cell.
-    *
-    * @return (vec_id, cluster) — cluster ids are fine-seed vec_ids */
   /** The two-level argmin as a reusable expression: min (L2 dist, cell)
     * struct over a book array — the tie-break IS the struct ordering.
     * Public so stream-side routing (q223) replays the batch rule
@@ -494,6 +468,33 @@ object VectorOps {
     (gbook, ebookRow)
   }
 
+  /** TWO-LEVEL (IVF-flat) centroid assignment — the ×100 scale dial for
+    * [[kmeansAssign]]'s flat argmin, which ScaleBench measured as the one
+    * superlinear term in the suite (SemDeDup's k ∝ N makes flat assignment
+    * O(N²/64)): route each vector through a COARSE codebook of
+    * c ≈ √k cells first, then argmin only over the fine centroids owned by
+    * that coarse cell — O(N·(c + k/c)·d) = O(N·√k·d) expression work.
+    * Approximate by construction (the nearest fine centroid can live in a
+    * neighboring coarse cell — classic IVF behavior at nprobe=1); the
+    * DETERMINISTIC RULE itself is exact and oracle-gated: min-vec_id seed
+    * centroids (no Lloyd, no rand()), argmin = (L2 dist asc, cell asc)
+    * struct ordering at both levels — see [[argminCell]], which q223's
+    * streaming router replays expression-for-expression.
+    *
+    * Scale shape: the coarse book (c·d doubles) broadcasts; the fine book
+    * rides a GROUPED (ccell → fines) table joined on ccell with NO
+    * broadcast hint — at toy scale AQE broadcasts it, at corpus scale
+    * (k ∝ N makes the fine book corpus-sized/64) it becomes a shuffle
+    * join on ccell, which is the point: the full fine codebook never has
+    * to fit on the driver.
+    *
+    * Degenerate-duplicate safety: a coarse cell whose seed vector is
+    * byte-identical to a smaller coarse seed wins no fines (the f2c
+    * tie-break sends its own fine elsewhere); vectors therefore assign
+    * over the EFFECTIVE coarse set (cells that own ≥ 1 fine — see
+    * [[ivf2Books]]' ebook) so no row can drop through an empty cell.
+    *
+    * @return (vec_id, cluster) — cluster ids are fine-seed vec_ids */
   def ivf2Assign(vecs: DataFrame, k: Int, c: Int): DataFrame = {
     val v = vecs.select(col("vec_id"), col("embedding"))
     val (gbook, ebookRow) = ivf2Books(vecs, k, c)
