@@ -62,8 +62,13 @@ object ScaleBench {
       // DedupClosure artifact (pays q115's full-closure cost once), its
       // STEADY run is the maintenance shape: artifact star edges + delta
       // probes, so steady(q224) vs steady(q115) is the measured value of
-      // incremental refresh at each scale (the q179 artifact discipline)
-      "q224_closure_refresh"),
+      // incremental refresh at each scale (the q179 artifact discipline).
+      // r15: q225 is the removal-tolerant twin (tombstones + additions) —
+      // same artifact, extra component-local re-pair mass; and q213's
+      // winnowing fingerprints (df-capped inverted self-join, the q66
+      // champion-list shape) joins the decade table per the r14 verdict
+      "q224_closure_refresh", "q225_closure_refresh_cdc",
+      "q213_winnow_pairs"),
     "graph" -> Seq(
       "q13_two_hop_network", "q17_suspicious_aliases",
       "q15_pagerank", "q86_ppr_seeds", "q143_harmonic_centrality"),
@@ -115,7 +120,20 @@ object ScaleBench {
       // is the scale path: same plan, 60-bit signature, 4×15-bit bands —
       // accidental rate 0.012 %, ~127× less wasted verify. Plus the
       // gram-key coverage semi-join (train grams grow ~M, eval fixed).
-      "q202_simhash_pairs", "q222_simhash_wide", "q203_ngram_coverage"),
+      "q202_simhash_pairs", "q222_simhash_wide", "q203_ngram_coverage",
+      // r15: the kNN-graph build (production graphs O(N·64) + O(N·~48)
+      // descent candidates; the exact audit side rides the ADAPTIVE
+      // id-hash dial max(8, N/512) — audited count pins ~512, so audit
+      // mass grows ~N·512, the decade-adaptivity the r14 verdict asked
+      // to demonstrate) and the artifact-backed release flagship (warm
+      // builds the replica corpus's DedupClosure, steady is the ten-stage
+      // consumer chain — the production release-build shape)
+      "q220_knn_graph", "q226_corpus_release"),
+    // r15: EM linkage at the decade — replicas block into disjoint
+    // (blk, nat) spaces (custkey-derived blocks under id striding), so the
+    // candidate aggregate must grow ~M while every EM iteration stays an
+    // 8-row frame; the measured wall is the one corpus-scale pattern pass
+    "linkage" -> Seq("q218_em_linkage"),
     "event" -> Seq(
       "q32_asof_join", "q87_rolling_actives", "q140_transition_probs"),
     // r14: the stream-static-literal serving pattern at the decade — both
@@ -131,7 +149,11 @@ object ScaleBench {
     // index (k ∝ N, cell size pinned): per-arrival cost must stay flat.
     "stream" -> Seq(
       "q194_stream_ann", "q223_stream_ann_ivf2",
-      "q198_stream_quality_drift"))
+      "q198_stream_quality_drift",
+      // r15: the z-band detector — per-arrival StateStore work must stay
+      // flat (state = 3 longs × |users|, which replicates ~M under the
+      // strided user_id namespace)
+      "q227_stream_ewmv"))
 
   /** doc_id/vec_id namespace stride between replicas — far above any
     * driver-generated id at the scales this tool reads. */
@@ -224,6 +246,15 @@ object ScaleBench {
       .filter { case (f, _) => famFilter.forall(_.contains(f)) }
       .flatMap(_._2)
       .filter(n => qFilter.forall(_.contains(n)))
+    // Replica-namespace separation: the snapshot-refresh fixtures mint
+    // "added" ids at AddedDocIdOffset above the real corpus — if a replica
+    // id (k·IdStride + base) could reach that offset, added docs would
+    // alias real docs of a later replica, silently merging components and
+    // voiding the refresh queries' pure-growth/removal theorems.
+    require(mults.max.toLong * IdStride + IdStride <
+        graft.queries.TextQueries.AddedDocIdOffset,
+      s"replica ids (max mult ${mults.max} × stride $IdStride) would " +
+        "collide with the AddedDocIdOffset namespace")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -287,6 +318,15 @@ object ScaleBench {
         val warm = timeNoop(fn(spark, dir))
         val steady = timeNoop(fn(spark, dir))
         val rows = fn(spark, dir).count()
+        // refresh queries emit one row per v2 doc_id: a replica/offset
+        // collision surfaces as duplicate ids — fail loud, not silently
+        // publish an invalid decade curve
+        if (name.contains("closure_refresh")) {
+          val distinct = fn(spark, dir).select("doc_id").distinct().count()
+          require(distinct == rows,
+            s"$name at x$m: ${rows - distinct} duplicate v2 doc_ids — " +
+              "replica namespace collision")
+        }
         spark.sqlContext.clearCache()
         name -> (warm, steady, rows)
       }

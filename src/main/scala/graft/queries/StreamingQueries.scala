@@ -561,6 +561,28 @@ object StreamingQueries {
         .orderBy(col("event_id"))
     }),
 
+    // STREAMING EWMA + EWMV Z-BAND DETECTOR — q219's band made
+    // VARIANCE-ADAPTIVE (the r14-verdict EWMA-family widening): the state
+    // adds a third long, the EWMA of squared one-step residuals, and the
+    // flag rule becomes |v − ewma| > 3σ instead of the fixed 4× ratio — a
+    // noisy key stops flagging its own noise, a quiet key flags small
+    // absolute jumps the ratio band would wave through, and a flagged
+    // spike widens the band behind it (self-healing alarms, the ops
+    // behavior CUSUM/EWMA control charts exist for). Same portable
+    // arithmetic and recursive-CTE oracle discipline as q219; sigma2_prev
+    // in the output prices each alarm's band beside it.
+    "q227_stream_ewmv" -> ((s, d) => {
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .as[StreamOps.EvId]
+      runToTable(StreamOps.ewmvAnomalies(ev, warmup = 8L).toDF(),
+        "q227_stream_ewmv", "update")
+        .select(col("user_id"), col("event_id"), col("value_seen"),
+          col("ewma_prev"), col("sigma2_prev"))
+        .orderBy(col("event_id"))
+    }),
+
     // REAL LATE DATA under the gate (the one behavior single-batch replay
     // cannot exercise): events split into three single-file batches replayed
     // in order via mtime + maxFilesPerTrigger=1 —
@@ -861,6 +883,37 @@ object StreamingQueries {
         |FROM st s JOIN seq e
         |  ON e.user_id = s.user_id AND e.rn = s.rn + 1
         |WHERE s.n >= 8 AND (e.v > 4 * s.ewma OR 4 * e.v < s.ewma)
+        |ORDER BY e.event_id""".stripMargin,
+
+    // q227: the two-statistic recurrence replayed exactly — dev measured
+    // against the pre-update mean, both floor-division updates, the
+    // 3σ flag with the variance floor.
+    "q227_stream_ewmv" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT user_id, event_id,
+        |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, rn, v AS ewma, CAST(0 AS BIGINT) AS ewmv,
+        |    CAST(1 AS BIGINT) AS n
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn,
+        |    (7 * s.ewma + e.v) // 8,
+        |    (7 * s.ewmv + (e.v - s.ewma) * (e.v - s.ewma)) // 8,
+        |    s.n + 1
+        |  FROM st s JOIN seq e
+        |    ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT e.user_id, e.event_id,
+        |  CAST(e.v AS DOUBLE) / 100.0 AS value_seen,
+        |  CAST(s.ewma AS DOUBLE) / 100.0 AS ewma_prev,
+        |  CAST(s.ewmv AS DOUBLE) / 10000.0 AS sigma2_prev
+        |FROM st s JOIN seq e
+        |  ON e.user_id = s.user_id AND e.rn = s.rn + 1
+        |WHERE s.n >= 8
+        |  AND (e.v - s.ewma) * (e.v - s.ewma) > 9 * greatest(s.ewmv, 1)
         |ORDER BY e.event_id""".stripMargin,
 
     // q186: batch twin of the stream-static linkage — weights from the

@@ -19,6 +19,13 @@ object TextQueries {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** id namespace for synthetic "v2 added" docs (q224/q225 snapshot-refresh
+    * fixtures): 10¹², far above ScaleBench's replica namespace
+    * (IdStride = 10⁷ × multiplier ≤ 100 → max real id < 10⁹ + base), so a
+    * ×M replay can never alias an added doc onto a real doc_id. ScaleBench
+    * statically asserts this separation before any decade run. */
+  val AddedDocIdOffset = 1000000000000L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Token counting: whitespace tokens + BPE-ish regex tokens (north star).
@@ -274,9 +281,12 @@ object TextQueries {
     // est ≥ 0.5) scored against the EXACT Jaccard ≥ 0.5 truth (q22's
     // rule). Precision < 1 is estimate overshoot, recall < 1 is band
     // misses + estimate undershoot — the two dials (k, rows/band) this
-    // report tunes. One row out; at 100 TB the exact side is the
-    // prefix-filtered q22 plan (lossless for ≥ θ), run on an audit
-    // SAMPLE, never the corpus.
+    // report tunes. One row out. EXACT-BASELINE TIER by contract
+    // (COVERAGE.md table): the truth side is the full-corpus
+    // prefix-filtered q22 plan, whose candidate mass grows with
+    // corpus²·density — at 100 TB a user runs q214, the same report with
+    // the id-hash audit-sample dial; this full-tier form exists to gate
+    // q214's estimator against the numbers it estimates.
     "q206_lsh_recall_report" -> ((s, d) => {
       val dd = docs(s, d)
       val exact = DedupOps.jaccardPairsPrefix(dd, "doc_id", "text", 3, 0.5)
@@ -423,22 +433,32 @@ object TextQueries {
     // against the analytic detection probability 1−(1−J⁴)⁸. The soft zone
     // of the S-curve (J ∈ [0.25, 0.5)) is the gray mass a θ=0.5 pipeline
     // implicitly half-discards — this table prices re-banding before
-    // anyone re-runs a corpus. The corpus's own near-dups are all
+    // anyone re-runs a corpus. The AUDIT-SAMPLE DIAL IS IN CODE (the q214
+    // rule, r14-verdict finding #1): the whole table is a calibration
+    // artifact, so the dial samples the INPUT corpus — docs whose 60-bit
+    // id hash is even — before variant injection, and every tier (exact
+    // truth, band table, variants) runs on the sampled sub-corpus. Jaccard
+    // and band collisions are pairwise, so each bucket's catch_rate is an
+    // unbiased estimator of the full-corpus rate at ~1/4 the candidate
+    // mass per halving; the oracle re-derives the identical sample from
+    // the same 15 md5 hex digits. The corpus's own near-dups are all
     // J ≥ 0.9 (one degenerate bucket), so the soft zone is POPULATED
-    // IN-QUERY (the q154/q183 fixture discipline): every doc_id ≡ 0
-    // (mod 4) also enters as a PREFIX TRUNCATION — its first
+    // IN-QUERY (the q154/q183 fixture discipline): every SAMPLED doc_id
+    // ≡ 0 (mod 4) also enters as a PREFIX TRUNCATION — its first
     // max(3, ⌊len·(4 + id mod 12)/16⌋) tokens — whose shingle Jaccard
     // against the original sweeps ~0.2–0.95 by construction; the oracle
     // re-derives every variant from the same parquet. Truth side = the
-    // prefix-filtered exact plan at J ≥ 0.25 (lossless above the floor;
-    // audit-sampled at 100 TB, the q214 dial). Collision = POSITION-WISE
+    // prefix-filtered exact plan at J ≥ 0.25 (lossless above the floor
+    // on the sampled sub-corpus). Collision = POSITION-WISE
     // band-bucket equality (zip_with — same band, same bucket: the actual
     // LSH join rule; arrays_overlap would also count cross-band
     // accidents). The predicted rate is a pinned square-chain (j², j⁴,
     // (1−j⁴)⁸ by three squarings), floor-quantized per pair before the
     // order-independent integer mean.
     "q221_lsh_scurve" -> ((s, d) => {
-      val dd = docs(s, d)
+      val dd = docs(s, d).filter(
+        pmod(TextOps.tokenHash60(col("doc_id").cast("string")), lit(2L))
+          === 0L)
       val w = TextOps.tokens(col("text"))
       val frac = (lit(4.0) + pmod(col("doc_id"), lit(12L)).cast("double"))
         .divide(lit(16.0))
@@ -1321,13 +1341,17 @@ object TextQueries {
     // against DedupClosure.closure(v2); the oracle IS the full recompute
     // over v2). Removals void the theorem (a path through a removed doc
     // must not survive) — a shrinking snapshot rebuilds, by contract.
-    // Fixture: v2 = documents ∪ {doc_id % 11 = 0 re-ingested at +10⁷ with
+    // Fixture: v2 = documents ∪ {doc_id % 11 = 0 re-ingested at +10¹² with
     // a 'v2new ' prefix} (q183's added-docs rule — near-dups of their
     // sources by construction, so the delta genuinely extends components).
+    // The offset is [[AddedDocIdOffset]] — far above ScaleBench's replica
+    // namespace (IdStride × any multiplier), so a ×M replay can never
+    // collide an added doc with a real replica doc_id (duplicate ids would
+    // merge components across replicas and void the pure-growth theorem).
     "q224_closure_refresh" -> ((s, d) => {
       val v1 = docs(s, d).select(col("doc_id"), col("text"))
       val added = v1.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
+        .select((col("doc_id") + AddedDocIdOffset).as("doc_id"),
           concat(lit("v2new "), col("text")).as("text"))
       val oldClosure = graft.sources.DedupClosure.read(s, v1, d)
       val sigOld = DedupOps.minhashSignatureArray(
@@ -1350,6 +1374,191 @@ object TextQueries {
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("canonical"))
         .orderBy(col("doc_id"))
+    }),
+
+    // REMOVAL-TOLERANT CLOSURE REFRESH — the tombstone case q224 voids by
+    // contract (a path through a removed doc must not survive; the
+    // reference's Senzing world is remove-heavy — entity re-resolution on
+    // record withdrawal, /root/reference/dagster_icij/assets.py's
+    // with_info repair pass is the record-level analog). CDC delta:
+    // removals = {doc_id % 13 = 0} (q107's changelog semantics applied to
+    // the corpus snapshot), additions = q224's re-ingest fixture. The
+    // refresh touches ONLY the components a removal hits:
+    //  (a) components with NO removed member keep their v1 STAR EDGES
+    //      unchanged (star compression preserves their connectivity, and
+    //      none of their edges passed through a removed doc);
+    //  (b) components with a removed member are rebuilt COMPONENT-LOCALLY:
+    //      banded re-pair restricted to their SURVIVING members — lossless
+    //      because banding is deterministic on unchanged text, and every
+    //      v1 pair between two survivors of a component is intra-component
+    //      by definition of connectivity (pairs ARE edges);
+    //  (c) arriving docs probe the SURVIVOR signature table (never
+    //      tombstones) + new×new pairs, exactly q224's delta shape.
+    // CC over (a)∪(b)∪(c) + min-id canonical = the full v2 recompute, bit
+    // for bit: v2's pair graph is v1's pairs minus edges incident to
+    // removed docs plus the new docs' pairs, and (a)/(b) reproduce the
+    // old×old part exactly (no v1 pair crosses components, so the
+    // untouched stars and the touched local re-pairs partition it).
+    // Spec law (R15QueriesSpec): rows of untouched components are
+    // BYTE-IDENTICAL to the v1 closure — the work the refresh provably
+    // skipped. At 100 TB the win is (b)'s mass: touched components are
+    // delta-sized, so re-pair cost ∝ |delta|·avg-component, not corpus².
+    "q225_closure_refresh_cdc" -> ((s, d) => {
+      val v1 = docs(s, d).select(col("doc_id"), col("text"))
+      val removed = v1.filter(col("doc_id") % 13 === 0).select(col("doc_id"))
+      val survivors = v1.filter(col("doc_id") % 13 =!= 0)
+      val added = v1.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + AddedDocIdOffset).as("doc_id"),
+          concat(lit("v2new "), col("text")).as("text"))
+      val oldClosure = graft.sources.DedupClosure.read(s, v1, d)
+      val touched = oldClosure.join(removed, Seq("doc_id"))
+        .select(col("canonical")).distinct().localCheckpoint() // delta-sized
+      val starUntouched = oldClosure
+        .join(touched, Seq("canonical"), "left_anti")
+        .filter(col("doc_id") =!= col("canonical"))
+        .select(col("doc_id").as("src"), col("canonical").as("dst"))
+      val touchedSurvivors = oldClosure.join(touched, Seq("canonical"))
+        .join(removed, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .join(v1, Seq("doc_id"))
+      val sigT = DedupOps.minhashSignatureArray(
+        DedupOps.shingleTable(touchedSurvivors, "doc_id", "text", 3), 32)
+        .cache()
+      val repaired = DedupOps.minhashPairsFromSignatures(sigT, 32, 4, 0.5)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val sigS = DedupOps.minhashSignatureArray(
+        DedupOps.shingleTable(survivors, "doc_id", "text", 3), 32).cache()
+      val sigN = DedupOps.minhashSignatureArray(
+        DedupOps.shingleTable(added, "doc_id", "text", 3), 32).cache()
+      val newOld = DedupOps.crossPairsFromSignatures(sigN, sigS, 32, 4, 0.5)
+        .select(col("ida").as("src"), col("idb").as("dst"))
+      val newNew = DedupOps.minhashPairsFromSignatures(sigN, 32, 4, 0.5)
+        .select(col("da").as("src"), col("db").as("dst"))
+      val edges = starUntouched.unionByName(repaired)
+        .unionByName(newOld).unionByName(newNew).localCheckpoint()
+      sigT.unpersist(); sigS.unpersist(); sigN.unpersist()
+      val comp = graft.graph.GraphOps.connectedComponentsDF(edges)
+        .withColumnRenamed("id", "doc_id")
+      survivors.select(col("doc_id"))
+        .unionByName(added.select(col("doc_id")))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CORPUS-RELEASE FLAGSHIP — the artifact-backed end-to-end batch flow
+    // (r14-verdict item 6): q116 proves the quality→dedup→decontam→pack
+    // chain as self-contained plans; THIS query is the production shape a
+    // release pipeline actually runs, consuming the materialized
+    // DedupClosure artifact and chaining EVERY gated curation stage:
+    //   (1) encoding QA gate — q190's injected-defect fixture decides
+    //       (repl/ctrl chars ⇒ bad ⇒ dropped; mojibake ⇒ suspect ⇒ kept);
+    //       the CLEAN text flows on (the fixture models ingest rejection);
+    //   (2) language/holdout slice (en, source ≠ src0 — src0 is the
+    //       benchmark side);
+    //   (3) per-source TOP-QUARTILE histogram quality gate (q169's
+    //       sortless 64-bin rule — the 100 TB threshold shape);
+    //   (4) exact dedup: min-id per md5 fingerprint (q21's rule);
+    //   (5) near-dup canonicalization OFF THE ARTIFACT (q146/q147's
+    //       consumer shape — the closure is computed once per corpus
+    //       snapshot, never per release build): per closure component
+    //       among current survivors, keep the min doc_id;
+    //   (6) Bloom decontamination (q153's portable k=4/m=2¹⁸ filter,
+    //       bench = full-corpus src0 8-grams; FP drops are deterministic
+    //       and gated, the one-sided-error contract);
+    //   (7) leakage-safe TRAIN split on the artifact canonical (q136's
+    //       cluster-keyed md5 bucket — near-dups never straddle splits);
+    //   (8) temperature mix (q124's α=0.5 md5-rank quota among train
+    //       docs);
+    //   (9) pack into 512-token windows (q101's two-phase prefix sum) and
+    //  (10) shard the bins by portable hash (q133's rule).
+    // The output is the sharded packing manifest — ONE wrong keep/drop
+    // verdict anywhere upstream shifts a prefix sum and breaks every
+    // downstream bin boundary, so the hash gate pins all ten stages at
+    // once. Scale shape: every stage keeps its standalone plan (per-row
+    // gates on the scan, |sources|-row broadcasts, the artifact side
+    // bucketed and exchange-free, banded blocking only inside the
+    // already-materialized closure).
+    "q226_corpus_release" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dd = docs(s, d)
+      val perturbed = concat(col("text"),
+        when(col("doc_id") % 9 === 0, lit(" \ufffd\ufffddecode"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit("\u0007\u0001"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 23 === 0, lit(" caf\u00c3\u00a9"))
+          .otherwise(lit("")))
+      val enc = dd.withColumn("ptext", perturbed)
+        .filter(length(col("ptext")) ===
+          length(regexp_replace(col("ptext"), "\ufffd", "")))
+        .filter(length(col("ptext")) === length(regexp_replace(col("ptext"),
+          "[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F]", "")))
+        .drop("ptext")
+      val sliced = enc.filter(col("lang") === "en" && col("source") =!= "src0")
+        .select(col("doc_id"), col("source"), col("text"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .withColumn("bin",
+          least(floor(col("quality") * lit(64.0)).cast("long"), lit(63L)))
+      val hist = sliced.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val thr = hist
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("bin").desc)))
+        .withColumn("total", sum(col("c")).over(
+          Window.partitionBy(col("source"))))
+        .withColumn("target",
+          ceil(col("total").cast("double") * lit(0.25)).cast("long"))
+        .filter(col("cum") >= col("target"))
+        .groupBy(col("source")).agg(max(col("bin")).as("thr_bin"))
+      val s3 = sliced.join(broadcast(thr), Seq("source"))
+        .filter(col("bin") >= col("thr_bin"))
+      val s4 = s3.withColumn("rn", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("rn")
+      val closure = graft.sources.DedupClosure.read(s,
+        dd.select(col("doc_id"), col("text")), d)
+      val s5 = s4.join(closure, Seq("doc_id"))
+        .withColumn("rn2", row_number().over(
+          Window.partitionBy(col("canonical")).orderBy(col("doc_id"))))
+        .filter(col("rn2") === 1).drop("rn2")
+        .localCheckpoint() // feeds the Bloom probe AND the anti-join base
+      val bench = dd.filter(col("source") === "src0")
+        .select(explode(TextOps.shingles(col("text"), 8)).as("gram"))
+        .distinct()
+      val bitTable = graft.text.Bloom.bits(bench, "gram", 4, 1 << 18)
+      val grams = s5.select(col("doc_id"),
+        explode(TextOps.shingles(col("text"), 8)).as("gram"))
+      val contaminated = graft.text.Bloom
+        .mightContain(grams, "gram", bitTable, 4, 1 << 18)
+        .select(col("doc_id")).distinct()
+      val train = s5.join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(pmod(TextOps.tokenHash60(col("canonical").cast("string")),
+          lit(100L)) < 80)
+        .localCheckpoint() // feeds the quota table AND the rank window
+      val counts = train.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val scaled = counts.withColumn("s_fp",
+        floor(sqrt(col("n").cast("double")) * lit(1e6)).cast("long"))
+      val tot = scaled.agg(sum(col("s_fp")).as("tot_fp"),
+        sum(col("n")).as("n_total"))
+      val quota = scaled.crossJoin(broadcast(tot))
+        .withColumn("quota",
+          floor(col("n_total").cast("double") * col("s_fp").cast("double")
+            / col("tot_fp").cast("double")).cast("long"))
+        .select(col("source"), col("quota"))
+      val mixed = train.withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(md5(col("text")), col("doc_id"))))
+        .join(broadcast(quota), Seq("source"))
+        .filter(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("text"))
+      graft.text.Packing.packSequences(mixed, "doc_id", "text", 512L)
+        .withColumn("shard", pmod(TextOps.tokenHash60(
+          concat(lit("shard:"), col("bin").cast("string"))), lit(8L)))
+        .select(col("shard"), col("bin"), col("doc_id"), col("off_in_bin"),
+          col("len"), col("doc_from"))
+        .orderBy(col("bin"), col("doc_id"))
     }),
 
     // CORPUS HEALTH REPORT: the q115 near-dup closure aggregated to the
@@ -2450,6 +2659,146 @@ object TextQueries {
        |  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node),
        |comp AS (SELECT root AS doc_id, MIN(node) AS component
        |         FROM reach GROUP BY root)""".stripMargin
+
+  /** Full-recompute oracle for the snapshot-refresh family (q224/q225):
+    * the shared closure chain re-pointed at a `docs2` CTE holding the v2
+    * snapshot, which the incremental plans must equal by their respective
+    * theorems (pure growth / CDC partition). The require() pins the
+    * re-point: if the closure chain ever reads `documents` more than once
+    * the blind replace would corrupt the oracle silently. */
+  private def refreshOracle(docs2Body: String): String = {
+    require(
+      dedupCompCte.sliding("FROM documents".length)
+        .count(_ == "FROM documents") == 1,
+      "closure chain no longer reads `documents` exactly once — " +
+        "re-derive the refresh oracles")
+    val body = dedupCompCte
+      .replace("WITH RECURSIVE ", "")
+      .replace("FROM documents", "FROM docs2")
+    s"""WITH RECURSIVE docs2 AS (
+       |  $docs2Body),
+       |$body
+       |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical
+       |FROM docs2 d LEFT JOIN comp c USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** The q226 composite oracle: stages (1)–(10) of the release chain in
+    * order, each the verbatim SQL twin its standalone query already
+    * carries. The closure chain (`comp`) is the full-corpus closure — the
+    * same values the DedupClosure artifact persists, so the oracle models
+    * the artifact read as a recompute. */
+  private lazy val corpusReleaseSql: String = {
+    val chain = dedupCompCte.replace("WITH RECURSIVE ", "")
+    s"""WITH RECURSIVE $chain,
+       |e0 AS (
+       |  SELECT doc_id, source, lang, text,
+       |    text
+       |    || CASE WHEN doc_id % 9 = 0
+       |         THEN ' ' || chr(65533) || chr(65533) || 'decode' ELSE '' END
+       |    || CASE WHEN doc_id % 17 = 0 THEN chr(7) || chr(1) ELSE '' END
+       |    || CASE WHEN doc_id % 23 = 0
+       |         THEN ' caf' || chr(195) || chr(169) ELSE '' END AS ptext
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id, source, lang, text FROM e0
+       |  WHERE length(ptext) = length(replace(ptext, chr(65533), ''))
+       |    AND length(ptext) = length(regexp_replace(ptext,
+       |      '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'))),
+       |lq AS (SELECT doc_id, source, text, $toksSql AS toks FROM enc
+       |       WHERE lang = 'en' AND source <> 'src0'),
+       |qs AS (SELECT doc_id, source, text, toks,
+       |         least(CAST(floor((
+       |  0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+       |  + 0.3 * (CAST(${langScoreSql(TextOps.langStopwords.toMap.apply("en"))} AS DOUBLE) / greatest(len(toks), 1))
+       |  + 0.2 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1))
+       |  + 0.2 * (1.0 - least((CAST(list_sum(list_prepend(CAST(0 AS BIGINT), list_transform(toks, w -> CAST(length(w) AS BIGINT)))) AS DOUBLE) / greatest(len(toks), 1)) / 10.0, 1.0))
+       |         ) * 64.0) AS BIGINT), 63) AS qbin
+       |       FROM lq),
+       |qh AS (SELECT source, qbin, COUNT(*) AS c FROM qs GROUP BY 1, 2),
+       |qcm AS (SELECT source, qbin,
+       |          SUM(c) OVER (PARTITION BY source ORDER BY qbin DESC) AS cum,
+       |          SUM(c) OVER (PARTITION BY source) AS total FROM qh),
+       |qthr AS (SELECT source, MAX(qbin) AS thr_bin FROM qcm
+       |         WHERE cum >= CAST(ceil(CAST(total AS DOUBLE) * 0.25) AS BIGINT)
+       |         GROUP BY source),
+       |s3x AS (SELECT qs.* FROM qs JOIN qthr USING (source)
+       |        WHERE qs.qbin >= qthr.thr_bin),
+       |s4x AS (SELECT doc_id, source, text, toks FROM (
+       |          SELECT s3x.*, ROW_NUMBER() OVER (PARTITION BY md5(text)
+       |            ORDER BY doc_id) AS rn
+       |          FROM s3x) z1 WHERE rn = 1),
+       |s5x AS (SELECT doc_id, source, text, toks, canonical FROM (
+       |          SELECT s4x.*,
+       |            COALESCE(c.component, s4x.doc_id) AS canonical,
+       |            ROW_NUMBER() OVER (
+       |              PARTITION BY COALESCE(c.component, s4x.doc_id)
+       |              ORDER BY s4x.doc_id) AS rn2
+       |          FROM s4x LEFT JOIN comp c USING (doc_id)) z2
+       |        WHERE rn2 = 1),
+       |bench8 AS (
+       |  SELECT DISTINCT gram FROM (
+       |    SELECT unnest([array_to_string(w[i:i+7], '|')
+       |                   for i in range(1, len(w) - 6)]) AS gram
+       |    FROM (SELECT $toksSql AS w FROM documents
+       |          WHERE source = 'src0') b0) b1),
+       |bbits AS (
+       |  SELECT DISTINCT
+       |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || gram), 1, 15) AS BIGINT) % 262144 AS pos
+       |  FROM bench8 CROSS JOIN range(0, 4) t(j)),
+       |pg AS (
+       |  SELECT DISTINCT doc_id, gram FROM (
+       |    SELECT doc_id,
+       |      unnest([array_to_string(toks[i:i+7], '|')
+       |              for i in range(1, len(toks) - 6)]) AS gram
+       |    FROM s5x) p0),
+       |contam AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT p.doc_id, p.gram, COUNT(*) AS cc
+       |    FROM (SELECT doc_id, gram,
+       |            CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || gram), 1, 15) AS BIGINT) % 262144 AS pos
+       |          FROM pg CROSS JOIN range(0, 4) t(j)) p
+       |    JOIN bbits b USING (pos) GROUP BY 1, 2) z3 WHERE cc = 4),
+       |trn AS (
+       |  SELECT s5x.* FROM s5x
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+       |    AND CAST('0x' || substr(md5(CAST(canonical AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80),
+       |mixcnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+       |           FROM trn GROUP BY source),
+       |mixsc AS (SELECT source, n,
+       |            CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS s_fp
+       |          FROM mixcnt),
+       |mixtot AS (SELECT CAST(SUM(s_fp) AS BIGINT) AS tot_fp,
+       |             CAST(SUM(n) AS BIGINT) AS n_total FROM mixsc),
+       |mixq AS (SELECT source,
+       |           CAST(floor(CAST(n_total AS DOUBLE) * CAST(s_fp AS DOUBLE)
+       |             / CAST(tot_fp AS DOUBLE)) AS BIGINT) AS quota
+       |         FROM mixsc CROSS JOIN mixtot),
+       |mixed AS (
+       |  SELECT doc_id, toks FROM (
+       |    SELECT trn.doc_id, trn.toks, trn.source,
+       |      ROW_NUMBER() OVER (PARTITION BY trn.source
+       |        ORDER BY md5(trn.text), trn.doc_id) AS rk
+       |    FROM trn) z4 JOIN mixq USING (source) WHERE rk <= quota),
+       |counted AS (SELECT doc_id, len(toks) AS n_tok FROM mixed
+       |            WHERE len(toks) > 0),
+       |placed AS (
+       |  SELECT doc_id, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+       |  FROM counted),
+       |spans AS (
+       |  SELECT doc_id, st, st + n_tok AS fin,
+       |    unnest(generate_series(st // 512, (st + n_tok - 1) // 512)) AS bin
+       |  FROM placed)
+       |SELECT
+       |  CAST('0x' || substr(md5('shard:' || CAST(bin AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS shard,
+       |  bin, doc_id,
+       |  GREATEST(st, bin * 512) - bin * 512 AS off_in_bin,
+       |  LEAST(fin, (bin + 1) * 512) - GREATEST(st, bin * 512) AS len,
+       |  GREATEST(st, bin * 512) - st AS doc_from
+       |FROM spans ORDER BY bin, doc_id""".stripMargin
+  }
 
   private val dedupCanonicalSql =
     s"""$dedupCompCte
@@ -3552,14 +3901,18 @@ object TextQueries {
       val j4 = "((j * j) * (j * j))"
       val q2 = s"((1.0 - $j4) * (1.0 - $j4))"
       val q8 = s"(($q2 * $q2) * ($q2 * $q2))"
-      s"""WITH docs2 AS (
+      s"""WITH samp AS (
          |  SELECT doc_id, text FROM documents
+         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+         |        AS BIGINT) % 2 = 0),
+         |docs2 AS (
+         |  SELECT doc_id, text FROM samp
          |  UNION ALL
          |  SELECT doc_id + 1000000,
          |    array_to_string(w[1:CAST(greatest(3.0,
          |      FLOOR(len(w) * ((4.0 + doc_id % 12) / 16.0))) AS BIGINT)],
          |      ' ')
-         |  FROM (SELECT doc_id, $toksSql AS w FROM documents) t0
+         |  FROM (SELECT doc_id, $toksSql AS w FROM samp) t0
          |  WHERE doc_id % 4 = 0),
          |sh AS (
          |  SELECT DISTINCT doc_id, shingle FROM (
@@ -3728,25 +4081,27 @@ object TextQueries {
     // the shared closure chain re-pointed at docs2 (v1 ∪ added), which
     // the incremental star-edge plan must equal by the pure-growth
     // theorem (see the query comment).
-    "q224_closure_refresh" -> {
-      require(
-        dedupCompCte.sliding("FROM documents".length)
-          .count(_ == "FROM documents") == 1,
-        "closure chain no longer reads `documents` exactly once — " +
-          "re-derive the q224 oracle")
-      val body = dedupCompCte
-        .replace("WITH RECURSIVE ", "")
-        .replace("FROM documents", "FROM docs2")
-      s"""WITH RECURSIVE docs2 AS (
-         |  SELECT doc_id, text FROM documents
+    "q224_closure_refresh" -> refreshOracle(
+      s"""SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 10000000, 'v2new ' || text FROM documents
-         |  WHERE doc_id % 11 = 0),
-         |$body
-         |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical
-         |FROM docs2 d LEFT JOIN comp c USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin
-    },
+         |  SELECT doc_id + $AddedDocIdOffset, 'v2new ' || text FROM documents
+         |  WHERE doc_id % 11 = 0""".stripMargin),
+    // q225: same full-recompute oracle over the CDC'd snapshot — survivors
+    // (doc_id % 13 <> 0) plus q224's added docs; the incremental star +
+    // component-local re-pair plan must equal it by the partition argument
+    // in the query comment.
+    "q225_closure_refresh_cdc" -> refreshOracle(
+      s"""SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + $AddedDocIdOffset, 'v2new ' || text FROM documents
+         |  WHERE doc_id % 11 = 0""".stripMargin),
+    // q226: the ten-stage release chain — every stage's already-gated SQL
+    // twin composed in the flagship's order (q190 injection + detection,
+    // q169 histogram gate, q21 fingerprint rule, the shared closure chain
+    // standing in for the artifact, q153's Bloom bit model, q136's
+    // canonical bucket, q124's quota rank, q101's naive prefix sum,
+    // q133's shard hash).
+    "q226_corpus_release" -> corpusReleaseSql,
     "q24_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, token, COUNT(*) AS cnt,

@@ -208,7 +208,17 @@ object StreamOps {
     * not Scala `/` truncation — they differ on negatives), and the fold
     * order is (event-time µs, event_id) — a total order wherever
     * (key, ts) is unique, which the oracle's recursive CTE replays
-    * row-for-row. */
+    * row-for-row.
+    *
+    * REPLAY PRECONDITION (oracle parity): the (ts, event_id) sort is
+    * per-MICRO-BATCH — a recursive statistic has no watermark-style
+    * reordering buffer, so the global fold order equals the oracle's
+    * per-key event-time order only when each key's events arrive in
+    * event-time order ACROSS batches. The gated replays satisfy it
+    * trivially (one AvailableNow batch); a sequenced multi-file replay
+    * (the q78 maxFilesPerTrigger pattern) must sequence files in event-time
+    * order or the fold diverges from the oracle BY DESIGN — out-of-order
+    * arrival is processed in arrival order, the deployment semantic. */
   def ewmaAnomalies(events: Dataset[EvId], warmup: Long = 8L): Dataset[Anomaly] = {
     import events.sparkSession.implicits._
     def usOf(t: java.sql.Timestamp): Long =
@@ -232,6 +242,63 @@ object StreamOps {
                   Math.floorDiv(7L * st.ewmaFp + v, 8L), st.n + 1))
               case None =>
                 cur = Some(EwmaState(v, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          flagged.result().iterator
+      }
+  }
+
+  case class EwmvState(ewmaFp: Long, ewmvFp: Long, n: Long)
+  case class ZAnomaly(user_id: Long, event_id: Long, value_seen: Double,
+                      ewma_prev: Double, sigma2_prev: Double)
+
+  /** Per-key streaming EWMA + EWMV (z-band) anomaly detector — the
+    * variance-adaptive sibling of [[ewmaAnomalies]]'s fixed 4× band (the
+    * ops counterpart of q109's batch z-score, recursive instead of
+    * two-pass): each key carries THREE LONGS of state — the running mean
+    * in 1e2 fixed point, the running variance of one-step residuals in
+    * 1e4 fixed point (EWMA of dev², dev measured against the PRE-update
+    * mean — the classic EWMV residual recurrence), and the fold count.
+    * Flag rule after the `warmup` burn-in: dev² > 9·max(ewmv, 1), i.e.
+    * |v − ewma| > 3σ with a 0.01-unit variance floor so a perfectly
+    * constant history still flags a genuine jump instead of dividing by
+    * zero. A 3σ spike both flags AND inflates ewmv — subsequent
+    * same-sized values stop flagging as the band adapts, which is exactly
+    * the difference from the fixed-band detector.
+    *
+    * Cross-engine exactness and the replay precondition are
+    * [[ewmaAnomalies]]'s verbatim: floor(v·100 + 0.5) quantization,
+    * floorDiv recurrences ewma' = ⌊(7·ewma + v)/8⌋ and
+    * ewmv' = ⌊(7·ewmv + dev²)/8⌋ (dev² ≤ (2e7)² ≈ 4e14, well inside
+    * int64), (event-time µs, event_id) fold order per micro-batch. */
+  def ewmvAnomalies(events: Dataset[EvId], warmup: Long = 8L): Dataset[ZAnomaly] = {
+    import events.sparkSession.implicits._
+    def usOf(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmvState, ZAnomaly](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[EvId], state: GroupState[EwmvState]) =>
+          val sorted = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+          var cur = state.getOption
+          val flagged = Seq.newBuilder[ZAnomaly]
+          sorted.foreach { e =>
+            val v = math.floor(e.value * 100.0 + 0.5).toLong
+            cur match {
+              case Some(st) =>
+                val dev = v - st.ewmaFp
+                if (st.n >= warmup &&
+                    dev * dev > 9L * math.max(st.ewmvFp, 1L))
+                  flagged += ZAnomaly(user, e.event_id,
+                    v.toDouble / 100.0, st.ewmaFp.toDouble / 100.0,
+                    st.ewmvFp.toDouble / 10000.0)
+                cur = Some(EwmvState(
+                  Math.floorDiv(7L * st.ewmaFp + v, 8L),
+                  Math.floorDiv(7L * st.ewmvFp + dev * dev, 8L),
+                  st.n + 1))
+              case None =>
+                cur = Some(EwmvState(v, 0L, 1L))
             }
           }
           cur.foreach(state.update)

@@ -111,15 +111,18 @@ class R14QueriesSpec extends SparkSuite {
 
   // ---- q220 ----------------------------------------------------------------
 
-  test("q220: refine never loses recall; audited exact graph is 3-regular") {
+  test("q220: no descent round loses recall; audited exact graph is 3-regular") {
     val r = SparkEntry.queries("q220_knn_graph")(spark, sf0001).collect().head
     val audited = r.getAs[Long]("n_audited")
     assert(audited > 0 && audited < r.getAs[Long]("n_vecs"))
     assert(r.getAs[Long]("n_exact") === 3L * audited)
     val ri = r.getAs[Double]("recall_init")
     val rr = r.getAs[Double]("recall_refined")
-    assert(ri >= 0.0 && ri <= 1.0 && rr >= 0.0 && rr <= 1.0)
-    assert(rr >= ri, s"refine lost recall: $ri -> $rr")
+    val rr2 = r.getAs[Double]("recall_refined2")
+    assert(ri >= 0.0 && ri <= 1.0 && rr >= 0.0 && rr <= 1.0 &&
+      rr2 >= 0.0 && rr2 <= 1.0)
+    assert(rr >= ri, s"round 1 lost recall: $ri -> $rr")
+    assert(rr2 >= rr, s"round 2 lost recall: $rr -> $rr2")
   }
 
   // ---- q221 ----------------------------------------------------------------
@@ -184,16 +187,18 @@ class R14QueriesSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val v1 = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text"))
+    val off = graft.queries.TextQueries.AddedDocIdOffset
     val added = v1.filter(col("doc_id") % 11 === 0)
-      .select((col("doc_id") + 10000000L).as("doc_id"),
+      .select((col("doc_id") + off).as("doc_id"),
         concat(lit("v2new "), col("text")).as("text"))
     val full = graft.sources.DedupClosure.closure(v1.unionByName(added))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(inc === full)
     // the delta genuinely extends old components (added docs are
     // near-dups of their sources, so some canonical crosses the id gap)
-    assert(inc.exists { case (doc, can) =>
-      doc >= 10000000L && can < 10000000L })
+    assert(inc.exists { case (doc, can) => doc >= off && can < off })
+    // v2 ids are collision-free (the ScaleBench replica-namespace rule)
+    assert(inc.size === inc.map(_._1).size)
   }
 
   // ---- q217 ----------------------------------------------------------------
