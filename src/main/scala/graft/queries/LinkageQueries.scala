@@ -264,10 +264,24 @@ object LinkageQueries {
       val right = r.select(col("rec_id").as("rb"), col("blk"), col("nat"),
         col("name").as("name_b"), col("seg").as("seg_b"),
         col("bal").as("bal_b"))
-      val pat = agreementCols(
+      // EM consumes the pattern table as 1e6-FIXED FREQUENCIES, not raw
+      // pair counts: with raw counts the M-step's (s·1e6) div snw chain
+      // crosses int64 at ~10⁷ candidate pairs (SCALE_r15 measured the
+      // overflow at ×100 — ARITHMETIC_OVERFLOW under ANSI mode), while
+      // normalized shares bound every EM sum at ANY corpus size
+      // (sn ≤ 1e6 ⇒ snw ≤ 1e12 ⇒ s·1e6 ≤ 1e18 < 2⁶³). EM is scale-free in
+      // the pattern distribution, so the only effect is the ≤ 8-way
+      // quantization, mirrored exactly in the oracle. A pattern whose
+      // share floors to 0 drops out — the estimator's resolution floor,
+      // 1e-6 of the candidate mass.
+      val pat0 = agreementCols(
         left.join(right, Seq("blk", "nat")).filter(col("ra") < col("rb")))
         .groupBy(col("name_eq"), col("seg_eq"), col("bal_close"))
         .agg(count(lit(1)).as("n"))
+      val pat = pat0
+        .crossJoin(broadcast(pat0.agg(sum(col("n")).as("sn_tot"))))
+        .select(col("name_eq"), col("seg_eq"), col("bal_close"),
+          expr("(n * 1000000) div sn_tot").as("n"))
         .localCheckpoint() // ≤ 8 rows, scanned once per EM iteration
       val init = s.range(1).select(
         lit(100000L).as("lam"),
@@ -432,9 +446,14 @@ object LinkageQueries {
        |    abs(a.bal - b.bal) <= 1.0 AS bal_close
        |  FROM r a JOIN r b ON a.blk = b.blk AND a.nat = b.nat
        |    AND a.rec_id < b.rec_id),
-       |pat AS (
+       |pat0 AS (
        |  SELECT name_eq, seg_eq, bal_close, CAST(COUNT(*) AS BIGINT) AS n
        |  FROM cand GROUP BY 1, 2, 3),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS sn_tot FROM pat0),
+       |pat AS (
+       |  SELECT name_eq, seg_eq, bal_close,
+       |    (n * 1000000) // sn_tot AS n
+       |  FROM pat0 CROSS JOIN tot),
        |p0 AS (SELECT
        |  CAST(100000 AS BIGINT) AS lam,
        |  CAST(900000 AS BIGINT) AS m1, CAST(900000 AS BIGINT) AS m2,

@@ -1354,8 +1354,11 @@ object TextQueries {
         .select((col("doc_id") + AddedDocIdOffset).as("doc_id"),
           concat(lit("v2new "), col("text")).as("text"))
       val oldClosure = graft.sources.DedupClosure.read(s, v1, d)
-      val sigOld = DedupOps.minhashSignatureArray(
-        DedupOps.shingleTable(v1, "doc_id", "text", 3), 32).cache()
+      // old-side signatures come from the SIGNATURE ARTIFACT, not a
+      // recompute — SCALE_r15 measured the recompute making the refresh
+      // slower than the full rebuild at ×100 (DedupClosure.sigTableName
+      // scaladoc); only the DELTA's signatures are computed per refresh
+      val sigOld = graft.sources.DedupClosure.readSignatures(s, v1, d)
       val sigNew = DedupOps.minhashSignatureArray(
         DedupOps.shingleTable(added, "doc_id", "text", 3), 32).cache()
       val newOld = DedupOps.crossPairsFromSignatures(sigNew, sigOld, 32, 4, 0.5)
@@ -1366,7 +1369,7 @@ object TextQueries {
         .select(col("doc_id").as("src"), col("canonical").as("dst"))
       val edges = star.unionByName(newOld).unionByName(newNew)
         .localCheckpoint()
-      sigOld.unpersist(); sigNew.unpersist()
+      sigNew.unpersist()
       val comp = graft.graph.GraphOps.connectedComponentsDF(edges)
         .withColumnRenamed("id", "doc_id")
       v1.select(col("doc_id")).unionByName(added.select(col("doc_id")))
@@ -1417,17 +1420,19 @@ object TextQueries {
         .join(touched, Seq("canonical"), "left_anti")
         .filter(col("doc_id") =!= col("canonical"))
         .select(col("doc_id").as("src"), col("canonical").as("dst"))
+      // every old-side signature reads from the SIGNATURE ARTIFACT (the
+      // SCALE_r15 lesson — see q224): the touched re-pair semi-joins the
+      // artifact on the delta-sized touched-survivor id set, the new×old
+      // probe anti-joins out the tombstones; only the arriving docs'
+      // signatures are computed
+      val sigAll = graft.sources.DedupClosure.readSignatures(s, v1, d)
       val touchedSurvivors = oldClosure.join(touched, Seq("canonical"))
         .join(removed, Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
-        .join(v1, Seq("doc_id"))
-      val sigT = DedupOps.minhashSignatureArray(
-        DedupOps.shingleTable(touchedSurvivors, "doc_id", "text", 3), 32)
-        .cache()
+      val sigT = sigAll.join(touchedSurvivors, Seq("doc_id"), "left_semi")
       val repaired = DedupOps.minhashPairsFromSignatures(sigT, 32, 4, 0.5)
         .select(col("da").as("src"), col("db").as("dst"))
-      val sigS = DedupOps.minhashSignatureArray(
-        DedupOps.shingleTable(survivors, "doc_id", "text", 3), 32).cache()
+      val sigS = sigAll.join(removed, Seq("doc_id"), "left_anti")
       val sigN = DedupOps.minhashSignatureArray(
         DedupOps.shingleTable(added, "doc_id", "text", 3), 32).cache()
       val newOld = DedupOps.crossPairsFromSignatures(sigN, sigS, 32, 4, 0.5)
@@ -1436,7 +1441,7 @@ object TextQueries {
         .select(col("da").as("src"), col("db").as("dst"))
       val edges = starUntouched.unionByName(repaired)
         .unionByName(newOld).unionByName(newNew).localCheckpoint()
-      sigT.unpersist(); sigS.unpersist(); sigN.unpersist()
+      sigN.unpersist()
       val comp = graft.graph.GraphOps.connectedComponentsDF(edges)
         .withColumnRenamed("id", "doc_id")
       survivors.select(col("doc_id"))
@@ -1527,11 +1532,24 @@ object TextQueries {
       val bench = dd.filter(col("source") === "src0")
         .select(explode(TextOps.shingles(col("text"), 8)).as("gram"))
         .distinct()
-      val bitTable = graft.text.Bloom.bits(bench, "gram", 4, 1 << 18)
+        .localCheckpoint() // feeds the size rule AND the bit table
+      // Bloom SIZED TO THE BENCHMARK: m = max(2^18, next-pow2 ≥ 32·n).
+      // SCALE_r15 measured why a fixed m cannot ship: at ×10 the replica
+      // benchmark's gram set alone fills 2^18 bits past saturation, every
+      // probe returns might-contain, and the release manifest comes out
+      // EMPTY (0 rows at ×10/×30/×100 — the filter silently decontaminated
+      // the whole corpus). 32 bits/gram keeps the k=4 fill ≈ 12 % and the
+      // per-gram FP ≈ 2e-4 at any benchmark size; the oracle re-derives
+      // the identical m from the same gram count.
+      val nBench = math.max(bench.count(), 1L)
+      val mBits = math.max(1L << 18,
+        java.lang.Long.highestOneBit(32L * nBench - 1L) << 1)
+        .min(1L << 30).toInt
+      val bitTable = graft.text.Bloom.bits(bench, "gram", 4, mBits)
       val grams = s5.select(col("doc_id"),
         explode(TextOps.shingles(col("text"), 8)).as("gram"))
       val contaminated = graft.text.Bloom
-        .mightContain(grams, "gram", bitTable, 4, 1 << 18)
+        .mightContain(grams, "gram", bitTable, 4, mBits)
         .select(col("doc_id")).distinct()
       val train = s5.join(contaminated, Seq("doc_id"), "left_anti")
         .filter(pmod(TextOps.tokenHash60(col("canonical").cast("string")),
@@ -2742,9 +2760,14 @@ object TextQueries {
        |                   for i in range(1, len(w) - 6)]) AS gram
        |    FROM (SELECT $toksSql AS w FROM documents
        |          WHERE source = 'src0') b0) b1),
+       |bmeta AS (
+       |  SELECT CAST(greatest(262144.0,
+       |    least(power(2.0, ceil(log2(32.0 * greatest(COUNT(*), 1)))),
+       |      1073741824.0)) AS BIGINT) AS m
+       |  FROM bench8),
        |bbits AS (
        |  SELECT DISTINCT
-       |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || gram), 1, 15) AS BIGINT) % 262144 AS pos
+       |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || gram), 1, 15) AS BIGINT) % (SELECT m FROM bmeta) AS pos
        |  FROM bench8 CROSS JOIN range(0, 4) t(j)),
        |pg AS (
        |  SELECT DISTINCT doc_id, gram FROM (
@@ -2756,7 +2779,7 @@ object TextQueries {
        |  SELECT DISTINCT doc_id FROM (
        |    SELECT p.doc_id, p.gram, COUNT(*) AS cc
        |    FROM (SELECT doc_id, gram,
-       |            CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || gram), 1, 15) AS BIGINT) % 262144 AS pos
+       |            CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || gram), 1, 15) AS BIGINT) % (SELECT m FROM bmeta) AS pos
        |          FROM pg CROSS JOIN range(0, 4) t(j)) p
        |    JOIN bbits b USING (pos) GROUP BY 1, 2) z3 WHERE cc = 4),
        |trn AS (

@@ -82,4 +82,31 @@ object DedupClosure {
     * bucketed (exchange-free on this side) read. */
   def read(spark: SparkSession, docs: DataFrame, dir: String): DataFrame =
     spark.table(materialize(spark, docs, dir))
+
+  /** SIGNATURE artifact — (doc_id, sig array of 32 minhashes), the second
+    * table a snapshot-maintenance system must persist beside the closure.
+    * SCALE_r15 measured why: the r14 incremental refresh (q224) kept only
+    * the closure, so every refresh recomputed MinHash signatures over the
+    * FULL old corpus just to give the new×old probe something to join —
+    * at ×100 that recompute made the "incremental" refresh (63.8 s steady)
+    * SLOWER than the full q115 rebuild (~40–55 s). Signatures are
+    * content-keyed and append-only (a doc's signature never changes), so
+    * they are exactly the artifact shape: write once at snapshot build,
+    * let every refresh scan 32 longs per doc instead of re-exploding and
+    * re-hashing every shingle. Keyed by the same source fingerprint as the
+    * closure (suffix `_sig`); same staleness contract. */
+  def sigTableName(docs: DataFrame, dir: String): String =
+    s"graft_dedup_sig_${Artifacts.sourceFingerprint(docs, dir, "doc_id")}"
+
+  /** Write-once signature materialization (see [[sigTableName]]). */
+  def materializeSignatures(spark: SparkSession, docs: DataFrame, dir: String,
+                            buckets: Int = 8): String =
+    Artifacts.materializeBucketed(spark, sigTableName(docs, dir), "doc_id",
+      buckets)(DedupOps.minhashSignatureArray(
+        DedupOps.shingleTable(docs, "doc_id", "text", 3), 32))
+
+  /** The signature artifact as a DataFrame (doc_id, sig), building on
+    * first use. */
+  def readSignatures(spark: SparkSession, docs: DataFrame, dir: String): DataFrame =
+    spark.table(materializeSignatures(spark, docs, dir))
 }
