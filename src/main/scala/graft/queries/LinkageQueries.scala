@@ -278,6 +278,9 @@ object LinkageQueries {
         left.join(right, Seq("blk", "nat")).filter(col("ra") < col("rb")))
         .groupBy(col("name_eq"), col("seg_eq"), col("bal_close"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // ≤ 8 rows feeding BOTH the total and the
+                           // normalize — without this the corpus-scale
+                           // candidate pass runs twice
       val pat = pat0
         .crossJoin(broadcast(pat0.agg(sum(col("n")).as("sn_tot"))))
         .select(col("name_eq"), col("seg_eq"), col("bal_close"),
