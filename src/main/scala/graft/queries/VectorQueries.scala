@@ -757,10 +757,16 @@ object VectorQueries {
         .join(e.select(col("vec_id").as("v"), col("embedding").as("ev")),
           Seq("v"))
         .withColumn("cos", VectorOps.cosine(col("eu"), col("ev")))
+      // top-3 KEEPS the cosine: a carried edge is never re-scored — the
+      // cosine expression is deterministic on the same doubles, so carried
+      // and recomputed values are bit-identical and each descent round
+      // pays the embedding joins only for pairs it has not seen (at ×100
+      // the embedding side is shuffle-sized, so every avoided scoring
+      // pass is a corpus-scale exchange saved)
       def top3(scored: DataFrame) = scored
         .withColumn("rn", row_number().over(Window.partitionBy(col("u"))
           .orderBy(col("cos").desc, col("v").asc)))
-        .filter(col("rn") <= 3).select(col("u"), col("v"))
+        .filter(col("rn") <= 3).select(col("u"), col("v"), col("cos"))
       val rb = e.select(col("vec_id"),
         pmod(graft.text.TextOps.tokenHash60(col("vec_id").cast("string")),
           lit(nBuckets)).as("rb"))
@@ -770,18 +776,29 @@ object VectorQueries {
         .withColumn("rn", row_number().over(Window.partitionBy(col("u"))
           .orderBy(col("v").asc)))
         .filter(col("rn") <= 3).select(col("u"), col("v"))
-      val g0 = top3(score(cellCand)).unionByName(rndEdges).distinct()
-        .localCheckpoint() // reused 5×: init flags, rev, nbr-of-nbr
-      // one NN-descent round: G ∪ G⁻¹ ∪ (G∘G), re-ranked cosine top-3
-      def descend(g: DataFrame): DataFrame = top3(score(g
-        .unionByName(g.select(col("v").as("u"), col("u").as("v")))
-        .unionByName(g.select(col("u"), col("v").as("mid"))
-          .join(g.select(col("u").as("mid"), col("v").as("w")), Seq("mid"))
-          .select(col("u"), col("w").as("v"))
-          .filter(col("u") =!= col("v")))
-        .distinct()))
-      val init = top3(score(g0))
-      val refined = descend(g0)
+      val g0 = top3(score(cellCand)).select(col("u"), col("v"))
+        .unionByName(rndEdges).distinct()
+        .localCheckpoint() // reused: the sc0 scoring pass + rev/nbr sets
+      // every g0 edge scored ONCE; init and round 1 both read this table
+      val sc0 = score(g0).select(col("u"), col("v"), col("cos"))
+        .localCheckpoint()
+      val init = top3(sc0)
+      // one NN-descent round over a SCORED graph: candidates =
+      // G ∪ G⁻¹ ∪ (G∘G); carried edges keep their cosine, only the
+      // genuinely new pairs (anti-join) pay the embedding joins
+      def descend(scored: DataFrame): DataFrame = {
+        val g = scored.select(col("u"), col("v"))
+        val fresh = g.select(col("v").as("u"), col("u").as("v"))
+          .unionByName(g.select(col("u"), col("v").as("mid"))
+            .join(g.select(col("u").as("mid"), col("v").as("w")), Seq("mid"))
+            .select(col("u"), col("w").as("v"))
+            .filter(col("u") =!= col("v")))
+          .distinct()
+          .join(g, Seq("u", "v"), "left_anti")
+        top3(scored.unionByName(
+          score(fresh).select(col("u"), col("v"), col("cos"))))
+      }
+      val refined = descend(sc0)
         .localCheckpoint() // feeds round 2's three subtrees + the flag join
       val refined2 = descend(refined)
       val audMod = math.max(8L, n / 512L) // ~512 audited at any scale
@@ -793,10 +810,13 @@ object VectorQueries {
         .join(e.select(col("vec_id").as("v"), col("embedding").as("ev")),
           col("u") =!= col("v"))
         .withColumn("cos", VectorOps.cosine(col("eu"), col("ev"))))
-      exact
-        .join(init.withColumn("i", lit(true)), Seq("u", "v"), "left")
-        .join(refined.withColumn("rf", lit(true)), Seq("u", "v"), "left")
-        .join(refined2.withColumn("rf2", lit(true)), Seq("u", "v"), "left")
+      exact.select(col("u"), col("v"))
+        .join(init.select(col("u"), col("v"), lit(true).as("i")),
+          Seq("u", "v"), "left")
+        .join(refined.select(col("u"), col("v"), lit(true).as("rf")),
+          Seq("u", "v"), "left")
+        .join(refined2.select(col("u"), col("v"), lit(true).as("rf2")),
+          Seq("u", "v"), "left")
         .agg(count(lit(1)).as("n_exact"),
           sum(when(col("i"), 1L).otherwise(0L)).as("hit_init"),
           sum(when(col("rf"), 1L).otherwise(0L)).as("hit_refined"),
