@@ -91,7 +91,8 @@ object Bench {
     val stageFams: Seq[(String, Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])] = Seq(
       "q98_erkg_flagship" -> graft.queries.SenzingQueries.flagshipStages,
       "q116_corpus_flagship" -> graft.queries.TextQueries.flagshipStages,
-      "q79_hybrid_linking" -> graft.queries.NlpQueries.hybridStages)
+      "q79_hybrid_linking" -> graft.queries.NlpQueries.hybridStages,
+      "q226_corpus_release" -> graft.queries.TextQueries.releaseStages)
     val doStages = only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_STAGES", "1") != "0"
     val stageJson =
       if (!doStages) "{}"

@@ -68,10 +68,24 @@ object ScaleBench {
       // winnowing fingerprints (df-capped inverted self-join, the q66
       // champion-list shape) joins the decade table per the r14 verdict
       "q224_closure_refresh", "q225_closure_refresh_cdc",
-      "q213_winnow_pairs"),
+      "q213_winnow_pairs",
+      // r16: artifact maintenance — the WARM run builds the v1 artifacts
+      // (closure + signatures) for the replica corpus, the STEADY run is
+      // the maintenance shape proper: tombstone anti-join + delta
+      // signatures + refreshCdc + two bucketed rewrites, so
+      // steady(q229) vs steady(q115) is the measured value of advancing
+      // the snapshot vs rebuilding it at each scale
+      "q229_artifact_maintenance"),
     "graph" -> Seq(
       "q13_two_hop_network", "q17_suspicious_aliases",
       "q15_pagerank", "q86_ppr_seeds", "q143_harmonic_centrality"),
+    // r16: the TPC-H-ish relational core at the decade (r15 verdict item
+    // 3) — fact tables replicate ×M with strided keys (M disconnected
+    // relational copies), dimensions stay shared, so q01/q02's scan +
+    // groupBy must grow ~M under AQE/broadcast plans and q59's cube pays
+    // the grouping-set multiplier on the ~M aggregate, never on the scan.
+    "relational" -> Seq(
+      "q01_pricing_summary", "q02_region_revenue", "q59_cube_revenue"),
     "text" -> Seq(
       "q22_jaccard_pairs", "q35_textrank", "q105_decontam",
       "q112_semdedup", "q138_semdedup_ivf2",
@@ -128,7 +142,14 @@ object ScaleBench {
       // to demonstrate) and the artifact-backed release flagship (warm
       // builds the replica corpus's DedupClosure, steady is the ten-stage
       // consumer chain — the production release-build shape)
-      "q220_knn_graph", "q226_corpus_release"),
+      "q220_knn_graph", "q226_corpus_release",
+      // r16: the kNN-graph CONSUMER — its WARM run builds the replica
+      // corpus's KnnGraphArtifact (pays q220's graph ladder once), its
+      // STEADY run is the production read: bucketed artifact scan +
+      // thresholded CC, so steady(q228) vs steady(q220) is the measured
+      // value of materializing the graph at each scale (the q179 twin
+      // discipline)
+      "q228_semdedup_knn_artifact"),
     // r15: EM linkage at the decade — replicas block into disjoint
     // (blk, nat) spaces (custkey-derived blocks under id striding), so the
     // candidate aggregate must grow ~M while every EM iteration stays an
@@ -153,7 +174,16 @@ object ScaleBench {
       // r15: the z-band detector — per-arrival StateStore work must stay
       // flat (state = 3 longs × |users|, which replicates ~M under the
       // strided user_id namespace)
-      "q227_stream_ewmv"))
+      "q227_stream_ewmv",
+      // r16: the StateStore-heavy members the decade table lacked (r15
+      // verdict item 4) — q96 (sequenced-file dedup replay: checkpoint
+      // fsync + dropDuplicates state ~M keys), q162/q205 (per-window
+      // sketch state: HLL registers / CMS counters, rows ∝ windows not
+      // corpus), q219 (EWMA: 2 longs × |users| state, ~M users), and the
+      // streaming EL serving path (stateless stream-static fan-out —
+      // per-arrival cost must stay flat like q223's)
+      "q96_stream_dedup_late", "q162_stream_hll", "q205_stream_cms_topk",
+      "q219_stream_ewma", "q230_stream_entity_linking"))
 
   /** doc_id/vec_id namespace stride between replicas — far above any
     * driver-generated id at the scales this tool reads. */
@@ -317,16 +347,20 @@ object ScaleBench {
         val fn = SparkEntry.queries(name)
         val warm = timeNoop(fn(spark, dir))
         val steady = timeNoop(fn(spark, dir))
-        val rows = fn(spark, dir).count()
         // refresh queries emit one row per v2 doc_id: a replica/offset
         // collision surfaces as duplicate ids — fail loud, not silently
-        // publish an invalid decade curve
-        if (name.contains("closure_refresh")) {
-          val distinct = fn(spark, dir).select("doc_id").distinct().count()
-          require(distinct == rows,
-            s"$name at x$m: ${rows - distinct} duplicate v2 doc_ids — " +
-              "replica namespace collision")
-        }
+        // publish an invalid decade curve. The check rides the SAME pass
+        // as the row count (one agg) instead of a fourth corpus-scale run.
+        val rows =
+          if (name.contains("closure_refresh")) {
+            val r = fn(spark, dir)
+              .agg(count(col("doc_id")), countDistinct(col("doc_id")))
+              .collect()(0)
+            require(r.getLong(1) == r.getLong(0),
+              s"$name at x$m: ${r.getLong(0) - r.getLong(1)} duplicate " +
+                "v2 doc_ids — replica namespace collision")
+            r.getLong(0)
+          } else fn(spark, dir).count()
         spark.sqlContext.clearCache()
         name -> (warm, steady, rows)
       }

@@ -30,7 +30,9 @@ object NlpQueries {
       .select(explode(TextOps.tokens(col("p_name"))).as("alias"),
         col("p_partkey").as("entity"))
 
-  private def gaz(s: SparkSession, d: String): DataFrame =
+  /** private[queries]: q230 (streaming EL) reuses the exact batch
+    * gazetteer as its static side. */
+  private[queries] def gaz(s: SparkSession, d: String): DataFrame =
     EntityLinking.gazetteer(aliasObs(s, d), "alias", "entity", gazCandidates)
 
   private def candidates(s: SparkSession, d: String): DataFrame =
@@ -41,7 +43,7 @@ object NlpQueries {
     * documents and embeddings scale differently across SFs). Disambiguation
     * scores with the NATIVE codegen cosine (bit-identical to the HOF fold by
     * CosineSpec, ~30× faster) over distinct (doc_id, entity) pairs. */
-  private def contextVecs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private[queries] def contextVecs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, d)
     val nv = broadcast(e.agg(count(lit(1)).as("nvec")))
     val docVecs = Tables.documents(s, d).select(col("doc_id"))
@@ -386,6 +388,18 @@ object NlpQueries {
        |      ORDER BY score DESC, entity ASC) AS lrn FROM sc) t
        |  WHERE lrn = 1)""".stripMargin
 
+  /** q34's full EL oracle — shared VERBATIM by q230, the streaming twin:
+    * the stream computes the same candidate scoring stream-static and the
+    * same per-mention argmax post-sink, so both engines' results coincide
+    * row for row. */
+  private[queries] lazy val entityLinkingSql: String =
+    s"""WITH $tokCte,
+       |$gazCte,
+       |$candCte,
+       |$linkCte
+       |SELECT doc_id, pos, token, entity, prior, score FROM links
+       |ORDER BY doc_id, pos""".stripMargin
+
   /** spans(doc_id, len, surface, pos): all 1..3-token n-gram spans —
     * mirrors EntityLinking.ngramSpans(docs, 3). */
   private val spansCte =
@@ -464,13 +478,7 @@ object NlpQueries {
          |$candCte
          |SELECT doc_id, pos, token, entity, prior FROM cand
          |ORDER BY doc_id, pos, entity""".stripMargin,
-    "q34_entity_linking" ->
-      s"""WITH $tokCte,
-         |$gazCte,
-         |$candCte,
-         |$linkCte
-         |SELECT doc_id, pos, token, entity, prior, score FROM links
-         |ORDER BY doc_id, pos""".stripMargin,
+    "q34_entity_linking" -> entityLinkingSql,
     "q45_phrase_mentions" -> phraseMentionOracle,
     // q53 computes the SAME result through the ac_spans expression — one
     // oracle string, two execution strategies, both hash-verified.

@@ -583,6 +583,56 @@ object StreamingQueries {
         .orderBy(col("event_id"))
     }),
 
+    // STREAMING ENTITY LINKING — the reference's core flow (gazetteer NER
+    // V5 → candidates V2 → prior×cosine argmax V3,
+    // /root/reference/dagster_icij/assets.py:107-130 + dev.ipynb cells
+    // 84-88) in deployment shape (r15 verdict item 5): documents ARRIVE,
+    // the "model" — alias→entity priors calibrated on the reference
+    // corpus (J2's gazetteer) plus the entity/context vector tables — is
+    // STATIC, and every arrival is scored by stateless stream-static
+    // joins: posexplode tokens (map-side), broadcast gazetteer join
+    // (per-token candidate fan-out bounded by the top-8 prior cap),
+    // context vector by doc_id % nvec with nvec riding the plan as a
+    // literal (q223's codebook-literal rule), entity vectors by equi-join,
+    // score = prior × native cosine. No watermark, no StateStore —
+    // per-arrival cost is the candidate fan-out, flat in corpus size. The
+    // per-mention argmax (rn = 1 by score desc, entity asc) is a bounded
+    // per-key reduction applied POST-SINK — the q201/q223 house pattern:
+    // append mode cannot rank, and in production the top-1 pick is the
+    // sink consumer's O(candidates-per-mention) reduction, not stream
+    // state. Oracle = q34's batch EL oracle VERBATIM — the gate pins the
+    // streaming path to the batch semantics row for row.
+    "q230_stream_entity_linking" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      // static sides, each materialized once (the deployment's model)
+      val gazT = NlpQueries.gaz(s, d).localCheckpoint()
+      val ev = NlpQueries.contextVecs(s, d)._2.localCheckpoint()
+      val e = Tables.embeddings(s, d)
+      val nvec = e.count() // plan literal
+      val ctx = e.select(col("vec_id").as("vid"),
+        col("embedding").as("ctx_emb")).localCheckpoint()
+      val toks = docsStream(s, d)
+        .select(col("doc_id"),
+          posexplode(graft.text.TextOps.tokens(col("text")))
+            .as(Seq("pos", "token")))
+      val scored = toks
+        .join(broadcast(gazT), col("token") === col("alias"))
+        .withColumn("vid", col("doc_id") % nvec)
+        .join(ctx, Seq("vid"))
+        .join(ev, Seq("entity"))
+        .withColumn("score", col("prior") *
+          call_function("cosine_sim", col("ctx_emb"), col("ent_emb")))
+        .select(col("doc_id"), col("pos"), col("token"), col("entity"),
+          col("prior"), col("score"))
+      runToTable(scored, "q230_stream_entity_linking", "append")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"), col("pos"))
+            .orderBy(col("score").desc, col("entity").asc)))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // REAL LATE DATA under the gate (the one behavior single-batch replay
     // cannot exercise): events split into three single-file batches replayed
     // in order via mtime + maxFilesPerTrigger=1 —
@@ -915,6 +965,11 @@ object StreamingQueries {
         |WHERE s.n >= 8
         |  AND (e.v - s.ewma) * (e.v - s.ewma) > 9 * greatest(s.ewmv, 1)
         |ORDER BY e.event_id""".stripMargin,
+
+    // q230: q34's batch EL oracle VERBATIM — the streaming path
+    // (stream-static candidate scoring + post-sink per-mention argmax)
+    // must equal the batch entity linking row for row.
+    "q230_stream_entity_linking" -> NlpQueries.entityLinkingSql,
 
     // q186: batch twin of the stream-static linkage — weights from the
     // A–A reference pairs, scores over the A×B blocked pairs.

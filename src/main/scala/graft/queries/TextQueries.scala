@@ -466,7 +466,12 @@ object TextQueries {
         floor(size(w).cast("double") * frac)).cast("long")
       val dd2 = dd.select(col("doc_id"), col("text"))
         .unionByName(dd.filter(col("doc_id") % 4 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          // variants mint in the SAME reserved namespace as q224/q225's
+          // added docs (AddedDocIdOffset, covered by ScaleBench's static
+          // replica-collision require) — the old +10⁶ offset could alias a
+          // real doc_id under a ×M replica namespace, and the oracle
+          // mirrors the offset so the DuckDB gate could never catch it
+          .select((col("doc_id") + AddedDocIdOffset).as("doc_id"),
             array_join(slice(w, lit(1), pfx.cast("int")), " ").as("text")))
       val exact = DedupOps.jaccardPairsPrefix(dd2, "doc_id", "text", 3, 0.25)
       val bands = DedupOps.minhashSignatureArray(
@@ -1402,10 +1407,14 @@ object TextQueries {
     // removed docs plus the new docs' pairs, and (a)/(b) reproduce the
     // old×old part exactly (no v1 pair crosses components, so the
     // untouched stars and the touched local re-pairs partition it).
-    // Spec law (R15QueriesSpec): rows of untouched components are
-    // BYTE-IDENTICAL to the v1 closure — the work the refresh provably
-    // skipped. At 100 TB the win is (b)'s mass: touched components are
-    // delta-sized, so re-pair cost ∝ |delta|·avg-component, not corpus².
+    // Spec law (R15QueriesSpec): untouched components' star EDGES are
+    // reused verbatim (never re-paired) and the output equals the full v2
+    // recompute bit for bit; canonical IDENTITY for an untouched row holds
+    // only absent added-doc bridges — a new doc near-dup of members of two
+    // v1 components can legitimately merge them and lower the canonical,
+    // so the spec bounds changed untouched rows (≤10%) rather than
+    // asserting zero. At 100 TB the win is (b)'s mass: touched components
+    // are delta-sized, so re-pair cost ∝ |delta|·avg-component, not corpus².
     "q225_closure_refresh_cdc" -> ((s, d) => {
       val v1 = docs(s, d).select(col("doc_id"), col("text"))
       val removed = v1.filter(col("doc_id") % 13 === 0).select(col("doc_id"))
@@ -1413,43 +1422,46 @@ object TextQueries {
       val added = v1.filter(col("doc_id") % 11 === 0)
         .select((col("doc_id") + AddedDocIdOffset).as("doc_id"),
           concat(lit("v2new "), col("text")).as("text"))
-      val oldClosure = graft.sources.DedupClosure.read(s, v1, d)
-      val touched = oldClosure.join(removed, Seq("doc_id"))
-        .select(col("canonical")).distinct().localCheckpoint() // delta-sized
-      val starUntouched = oldClosure
-        .join(touched, Seq("canonical"), "left_anti")
-        .filter(col("doc_id") =!= col("canonical"))
-        .select(col("doc_id").as("src"), col("canonical").as("dst"))
-      // every old-side signature reads from the SIGNATURE ARTIFACT (the
-      // SCALE_r15 lesson — see q224): the touched re-pair semi-joins the
-      // artifact on the delta-sized touched-survivor id set, the new×old
-      // probe anti-joins out the tombstones; only the arriving docs'
-      // signatures are computed
-      val sigAll = graft.sources.DedupClosure.readSignatures(s, v1, d)
-      val touchedSurvivors = oldClosure.join(touched, Seq("canonical"))
-        .join(removed, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"))
-      val sigT = sigAll.join(touchedSurvivors, Seq("doc_id"), "left_semi")
-      val repaired = DedupOps.minhashPairsFromSignatures(sigT, 32, 4, 0.5)
-        .select(col("da").as("src"), col("db").as("dst"))
-      val sigS = sigAll.join(removed, Seq("doc_id"), "left_anti")
-      val sigN = DedupOps.minhashSignatureArray(
-        DedupOps.shingleTable(added, "doc_id", "text", 3), 32).cache()
-      val newOld = DedupOps.crossPairsFromSignatures(sigN, sigS, 32, 4, 0.5)
-        .select(col("ida").as("src"), col("idb").as("dst"))
-      val newNew = DedupOps.minhashPairsFromSignatures(sigN, 32, 4, 0.5)
-        .select(col("da").as("src"), col("db").as("dst"))
-      val edges = starUntouched.unionByName(repaired)
-        .unionByName(newOld).unionByName(newNew).localCheckpoint()
-      sigN.unpersist()
-      val comp = graft.graph.GraphOps.connectedComponentsDF(edges)
-        .withColumnRenamed("id", "doc_id")
-      survivors.select(col("doc_id"))
-        .unionByName(added.select(col("doc_id")))
-        .join(comp, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("canonical"))
+      // plan body lives in DedupClosure.refreshCdc (r16: the same step is
+      // the build half of the q229 artifact maintenance — shared code, and
+      // this gate keeps pinning it against the full-recompute oracle)
+      graft.sources.DedupClosure
+        .refreshCdc(s, v1, d, survivors, added, removed)
         .orderBy(col("doc_id"))
+    }),
+
+    // ARTIFACT MAINTENANCE FROM A CDC DELTA — the lifecycle step q224/q225
+    // read THROUGH but never wrote (r15 verdict item 2): they consume the
+    // v1 signature/closure artifacts and emit a refreshed closure IN-PLAN,
+    // so the artifacts themselves stay frozen at v1 and the next refresh
+    // pays the same delta again — at 100 TB the snapshot must ADVANCE.
+    // This query executes the maintenance action: the v2 SIGNATURE table
+    // = v1 artifact rows minus tombstones plus the delta's computed
+    // signatures (delta-proportional shingle work — a surviving doc's
+    // signature is content-keyed and copies verbatim, the exact reason
+    // the artifact exists), the v2 CLOSURE = refreshCdc's star-reuse +
+    // component-local re-pair, and BOTH persist bucketed-by-doc_id under
+    // versioned names (v1 fingerprint + tag) so every downstream consumer
+    // (q146/q147/q209–q211/q226's stage 5) can re-point at v2 with no
+    // exchange on the artifact side. The gated output is the v2 closure
+    // READ BACK FROM THE MAINTAINED TABLE — the oracle is the full
+    // recompute over (survivors ∪ added), so the gate pins the persisted
+    // artifact's contents, not just an in-plan frame; R16QueriesSpec
+    // additionally pins the v2 signature table against a from-scratch
+    // signature build. Scale shape: maintenance cost is delta-
+    // proportional (tombstone anti-join + delta shingles + refreshCdc's
+    // delta-local pairs) + one bucketed rewrite of each table — never a
+    // corpus re-shingle or re-pair (SCALE_r16 row vs the rebuild curve).
+    "q229_artifact_maintenance" -> ((s, d) => {
+      val v1 = docs(s, d).select(col("doc_id"), col("text"))
+      val removed = v1.filter(col("doc_id") % 13 === 0).select(col("doc_id"))
+      val survivors = v1.filter(col("doc_id") % 13 =!= 0)
+      val added = v1.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + AddedDocIdOffset).as("doc_id"),
+          concat(lit("v2new "), col("text")).as("text"))
+      val (_, cloV2) = graft.sources.DedupClosure
+        .maintainCdc(s, v1, d, survivors, added, removed, "cdc")
+      s.table(cloV2).orderBy(col("doc_id"))
     }),
 
     // CORPUS-RELEASE FLAGSHIP — the artifact-backed end-to-end batch flow
@@ -1485,99 +1497,12 @@ object TextQueries {
     // gates on the scan, |sources|-row broadcasts, the artifact side
     // bucketed and exchange-free, banded blocking only inside the
     // already-materialized closure).
-    "q226_corpus_release" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val dd = docs(s, d)
-      val perturbed = concat(col("text"),
-        when(col("doc_id") % 9 === 0, lit(" \ufffd\ufffddecode"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 17 === 0, lit("\u0007\u0001"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 23 === 0, lit(" caf\u00c3\u00a9"))
-          .otherwise(lit("")))
-      val enc = dd.withColumn("ptext", perturbed)
-        .filter(length(col("ptext")) ===
-          length(regexp_replace(col("ptext"), "\ufffd", "")))
-        .filter(length(col("ptext")) === length(regexp_replace(col("ptext"),
-          "[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F]", "")))
-        .drop("ptext")
-      val sliced = enc.filter(col("lang") === "en" && col("source") =!= "src0")
-        .select(col("doc_id"), col("source"), col("text"),
-          TextOps.qualityScore(col("text")).as("quality"))
-        .withColumn("bin",
-          least(floor(col("quality") * lit(64.0)).cast("long"), lit(63L)))
-      val hist = sliced.groupBy(col("source"), col("bin"))
-        .agg(count(lit(1)).as("c"))
-      val thr = hist
-        .withColumn("cum", sum(col("c")).over(
-          Window.partitionBy(col("source")).orderBy(col("bin").desc)))
-        .withColumn("total", sum(col("c")).over(
-          Window.partitionBy(col("source"))))
-        .withColumn("target",
-          ceil(col("total").cast("double") * lit(0.25)).cast("long"))
-        .filter(col("cum") >= col("target"))
-        .groupBy(col("source")).agg(max(col("bin")).as("thr_bin"))
-      val s3 = sliced.join(broadcast(thr), Seq("source"))
-        .filter(col("bin") >= col("thr_bin"))
-      val s4 = s3.withColumn("rn", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-        .filter(col("rn") === 1).drop("rn")
-      val closure = graft.sources.DedupClosure.read(s,
-        dd.select(col("doc_id"), col("text")), d)
-      val s5 = s4.join(closure, Seq("doc_id"))
-        .withColumn("rn2", row_number().over(
-          Window.partitionBy(col("canonical")).orderBy(col("doc_id"))))
-        .filter(col("rn2") === 1).drop("rn2")
-        .localCheckpoint() // feeds the Bloom probe AND the anti-join base
-      val bench = dd.filter(col("source") === "src0")
-        .select(explode(TextOps.shingles(col("text"), 8)).as("gram"))
-        .distinct()
-        .localCheckpoint() // feeds the size rule AND the bit table
-      // Bloom SIZED TO THE BENCHMARK: m = max(2^18, next-pow2 ≥ 32·n).
-      // SCALE_r15 measured why a fixed m cannot ship: at ×10 the replica
-      // benchmark's gram set alone fills 2^18 bits past saturation, every
-      // probe returns might-contain, and the release manifest comes out
-      // EMPTY (0 rows at ×10/×30/×100 — the filter silently decontaminated
-      // the whole corpus). 32 bits/gram keeps the k=4 fill ≈ 12 % and the
-      // per-gram FP ≈ 2e-4 at any benchmark size; the oracle re-derives
-      // the identical m from the same gram count.
-      val nBench = math.max(bench.count(), 1L)
-      val mBits = math.max(1L << 18,
-        java.lang.Long.highestOneBit(32L * nBench - 1L) << 1)
-        .min(1L << 30).toInt
-      val bitTable = graft.text.Bloom.bits(bench, "gram", 4, mBits)
-      val grams = s5.select(col("doc_id"),
-        explode(TextOps.shingles(col("text"), 8)).as("gram"))
-      val contaminated = graft.text.Bloom
-        .mightContain(grams, "gram", bitTable, 4, mBits)
-        .select(col("doc_id")).distinct()
-      val train = s5.join(contaminated, Seq("doc_id"), "left_anti")
-        .filter(pmod(TextOps.tokenHash60(col("canonical").cast("string")),
-          lit(100L)) < 80)
-        .localCheckpoint() // feeds the quota table AND the rank window
-      val counts = train.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val scaled = counts.withColumn("s_fp",
-        floor(sqrt(col("n").cast("double")) * lit(1e6)).cast("long"))
-      val tot = scaled.agg(sum(col("s_fp")).as("tot_fp"),
-        sum(col("n")).as("n_total"))
-      val quota = scaled.crossJoin(broadcast(tot))
-        .withColumn("quota",
-          floor(col("n_total").cast("double") * col("s_fp").cast("double")
-            / col("tot_fp").cast("double")).cast("long"))
-        .select(col("source"), col("quota"))
-      val mixed = train.withColumn("rk", row_number().over(
-          Window.partitionBy(col("source"))
-            .orderBy(md5(col("text")), col("doc_id"))))
-        .join(broadcast(quota), Seq("source"))
-        .filter(col("rk") <= col("quota"))
-        .select(col("doc_id"), col("text"))
-      graft.text.Packing.packSequences(mixed, "doc_id", "text", 512L)
-        .withColumn("shard", pmod(TextOps.tokenHash60(
-          concat(lit("shard:"), col("bin").cast("string"))), lit(8L)))
-        .select(col("shard"), col("bin"), col("doc_id"), col("off_in_bin"),
-          col("len"), col("doc_from"))
-        .orderBy(col("bin"), col("doc_id"))
-    }),
+    // Plan body lives in corpusReleaseStage (r16: Bench times each
+    // CUMULATIVE stage prefix — releaseStages — so a regression inside one
+    // of the ten stages localizes as a jump between consecutive entries
+    // instead of hiding in the whole-query median; at 100 TB a release
+    // build is the query a user babysits).
+    "q226_corpus_release" -> ((s, d) => corpusReleaseStage(s, d, 10)),
 
     // CORPUS HEALTH REPORT: the q115 near-dup closure aggregated to the
     // numbers a data-curation dashboard actually shows — per-source doc
@@ -2579,6 +2504,134 @@ object TextQueries {
       .select(col("doc_id")).distinct()
     s2.join(contaminated, Seq("doc_id"), "left_anti")
   }
+
+  /** q226's ten-stage release chain, cut at cumulative stage `upTo`
+    * (10 = the exact q226 plan; see the q226 map comment for stage
+    * semantics). One body serves the gated query and [[releaseStages]] —
+    * the prefix plans are BY CONSTRUCTION the gated plan's own subtrees. */
+  private[queries] def corpusReleaseStage(s: SparkSession, d: String,
+                                          upTo: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = docs(s, d)
+    val perturbed = concat(col("text"),
+      when(col("doc_id") % 9 === 0, lit(" \ufffd\ufffddecode"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 17 === 0, lit("\u0007\u0001"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 23 === 0, lit(" caf\u00c3\u00a9"))
+        .otherwise(lit("")))
+    val enc = dd.withColumn("ptext", perturbed)
+      .filter(length(col("ptext")) ===
+        length(regexp_replace(col("ptext"), "\ufffd", "")))
+      .filter(length(col("ptext")) === length(regexp_replace(col("ptext"),
+        "[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F]", "")))
+      .drop("ptext")
+    if (upTo == 1) return enc
+    val sliced = enc.filter(col("lang") === "en" && col("source") =!= "src0")
+      .select(col("doc_id"), col("source"), col("text"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .withColumn("bin",
+        least(floor(col("quality") * lit(64.0)).cast("long"), lit(63L)))
+    if (upTo == 2) return sliced
+    val hist = sliced.groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val thr = hist
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("bin").desc)))
+      .withColumn("total", sum(col("c")).over(
+        Window.partitionBy(col("source"))))
+      .withColumn("target",
+        ceil(col("total").cast("double") * lit(0.25)).cast("long"))
+      .filter(col("cum") >= col("target"))
+      .groupBy(col("source")).agg(max(col("bin")).as("thr_bin"))
+    val s3 = sliced.join(broadcast(thr), Seq("source"))
+      .filter(col("bin") >= col("thr_bin"))
+    if (upTo == 3) return s3
+    val s4 = s3.withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1).drop("rn")
+    if (upTo == 4) return s4
+    val closure = graft.sources.DedupClosure.read(s,
+      dd.select(col("doc_id"), col("text")), d)
+    // LEFT join + coalesce-to-self mirrors the oracle's shape: closure()
+    // is total over docs today, but an artifact that omitted singleton
+    // docs must default canonical = doc_id, not drop the doc from the
+    // release (the inner-join form would silently shrink the manifest)
+    val s5 = s4.join(closure, Seq("doc_id"), "left")
+      .withColumn("canonical", coalesce(col("canonical"), col("doc_id")))
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("canonical")).orderBy(col("doc_id"))))
+      .filter(col("rn2") === 1).drop("rn2")
+      .localCheckpoint() // feeds the Bloom probe AND the anti-join base
+    if (upTo == 5) return s5
+    val bench = dd.filter(col("source") === "src0")
+      .select(explode(TextOps.shingles(col("text"), 8)).as("gram"))
+      .distinct()
+      .localCheckpoint() // feeds the size rule AND the bit table
+    // Bloom SIZED TO THE BENCHMARK: m = max(2^18, next-pow2 ≥ 32·n).
+    // SCALE_r15 measured why a fixed m cannot ship: at ×10 the replica
+    // benchmark's gram set alone fills 2^18 bits past saturation, every
+    // probe returns might-contain, and the release manifest comes out
+    // EMPTY (0 rows at ×10/×30/×100 — the filter silently decontaminated
+    // the whole corpus). 32 bits/gram keeps the k=4 fill ≈ 12 % and the
+    // per-gram FP ≈ 2e-4 at any benchmark size; the oracle re-derives
+    // the identical m from the same gram count.
+    val nBench = math.max(bench.count(), 1L)
+    val mBits = math.max(1L << 18,
+      java.lang.Long.highestOneBit(32L * nBench - 1L) << 1)
+      .min(1L << 30).toInt
+    val bitTable = graft.text.Bloom.bits(bench, "gram", 4, mBits)
+    val grams = s5.select(col("doc_id"),
+      explode(TextOps.shingles(col("text"), 8)).as("gram"))
+    val contaminated = graft.text.Bloom
+      .mightContain(grams, "gram", bitTable, 4, mBits)
+      .select(col("doc_id")).distinct()
+    val decon = s5.join(contaminated, Seq("doc_id"), "left_anti")
+    if (upTo == 6) return decon
+    val train = decon
+      .filter(pmod(TextOps.tokenHash60(col("canonical").cast("string")),
+        lit(100L)) < 80)
+      .localCheckpoint() // feeds the quota table AND the rank window
+    if (upTo == 7) return train
+    val counts = train.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val scaled = counts.withColumn("s_fp",
+      floor(sqrt(col("n").cast("double")) * lit(1e6)).cast("long"))
+    val tot = scaled.agg(sum(col("s_fp")).as("tot_fp"),
+      sum(col("n")).as("n_total"))
+    val quota = scaled.crossJoin(broadcast(tot))
+      .withColumn("quota",
+        floor(col("n_total").cast("double") * col("s_fp").cast("double")
+          / col("tot_fp").cast("double")).cast("long"))
+      .select(col("source"), col("quota"))
+    val mixed = train.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(md5(col("text")), col("doc_id"))))
+      .join(broadcast(quota), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("text"))
+    if (upTo == 8) return mixed
+    val packed = graft.text.Packing.packSequences(mixed, "doc_id", "text", 512L)
+    if (upTo == 9) return packed
+    packed
+      .withColumn("shard", pmod(TextOps.tokenHash60(
+        concat(lit("shard:"), col("bin").cast("string"))), lit(8L)))
+      .select(col("shard"), col("bin"), col("doc_id"), col("off_in_bin"),
+        col("len"), col("doc_from"))
+      .orderBy(col("bin"), col("doc_id"))
+  }
+
+  /** CUMULATIVE stage prefixes of q226 for Bench's per-stage timing (r15
+    * verdict item 8) — same contract as [[flagshipStages]]: stage k
+    * executes stages 1..k of the release chain, so a regression localizes
+    * to the jump between consecutive entries. The last entry is the exact
+    * q226 plan. */
+  def releaseStages: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq("s1_encoding_gate", "s2_lang_slice", "s3_quality_gate",
+      "s4_exact_dedup", "s5_artifact_canonical", "s6_bloom_decontam",
+      "s7_split", "s8_temperature_mix", "s9_pack", "s10_shard")
+      .zipWithIndex.map { case (n, i) =>
+        n -> ((s: SparkSession, d: String) => corpusReleaseStage(s, d, i + 1))
+      }
 
   /** CUMULATIVE stage prefixes of the q116 flagship for Bench's per-stage
     * timing: stage k executes stages 1..k, so a wrong-plan stage shows as a
@@ -3931,7 +3984,7 @@ object TextQueries {
          |docs2 AS (
          |  SELECT doc_id, text FROM samp
          |  UNION ALL
-         |  SELECT doc_id + 1000000,
+         |  SELECT doc_id + $AddedDocIdOffset,
          |    array_to_string(w[1:CAST(greatest(3.0,
          |      FLOOR(len(w) * ((4.0 + doc_id % 12) / 16.0))) AS BIGINT)],
          |      ' ')
@@ -4114,6 +4167,15 @@ object TextQueries {
     // component-local re-pair plan must equal it by the partition argument
     // in the query comment.
     "q225_closure_refresh_cdc" -> refreshOracle(
+      s"""SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + $AddedDocIdOffset, 'v2new ' || text FROM documents
+         |  WHERE doc_id % 11 = 0""".stripMargin),
+    // q229: the same full-recompute oracle as q225 — here it gates the v2
+    // closure READ BACK from the maintained (persisted, bucketed) table,
+    // so a maintenance bug that corrupts the artifact on disk fails the
+    // hash even if the in-plan refresh was right.
+    "q229_artifact_maintenance" -> refreshOracle(
       s"""SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
          |  UNION ALL
          |  SELECT doc_id + $AddedDocIdOffset, 'v2new ' || text FROM documents

@@ -71,4 +71,23 @@ object Artifacts {
     }
     table
   }
+
+  /** MAINTENANCE materialization: always (re)write `build` under `table` —
+    * the CDC-batch action, NOT a cache probe. The write-once law above
+    * governs SNAPSHOT builds (same fingerprint ⇒ same contents ⇒ skip);
+    * maintenance advances a version, so re-running it must re-apply the
+    * delta, never silently return the stale table. Same orphan-location
+    * cleanup: a LOCATION left by a previous session with no catalog entry
+    * would fail saveAsTable. */
+  def rematerializeBucketed(spark: SparkSession, table: String, keyCol: String,
+                            buckets: Int)(build: => DataFrame): String = {
+    if (!spark.catalog.tableExists(table)) {
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(warehouse)) fs.delete(warehouse, true)
+    }
+    Bucketing.writeBucketed(build, table, keyCol, buckets)
+    table
+  }
 }
