@@ -352,7 +352,8 @@ object ScaleBench {
         // publish an invalid decade curve. The check rides the SAME pass
         // as the row count (one agg) instead of a fourth corpus-scale run.
         val rows =
-          if (name.contains("closure_refresh")) {
+          if (name.contains("closure_refresh") ||
+              name.contains("artifact_maintenance")) {
             val r = fn(spark, dir)
               .agg(count(col("doc_id")), countDistinct(col("doc_id")))
               .collect()(0)

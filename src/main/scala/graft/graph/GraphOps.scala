@@ -201,7 +201,17 @@ object GraphOps {
         .join(stepped.select(col("id").as("pid"), col("comp").as("pcomp")),
           col("comp") === col("pid"), "left")
         .select(col("id"), coalesce(col("pcomp"), col("comp")).as("comp"))
-      lab = jumped.localCheckpoint()
+      // localCheckpoint REWRITES the new LogicalRDD's stats from the plan
+      // it checkpoints (Spark 4.x rewriteStatsAndConstraints) — so round
+      // n's carried estimate feeds round n+1's self-join PRODUCT and the
+      // size stat compounds ~quadratically per round. A graph that needs
+      // many pointer-jump rounds (measured: q228's ×100 semantic graph,
+      // ~25+) overflows BigInteger inside the stats visitor before the
+      // loop converges. Re-wrapping the already-materialized RDD resets
+      // the leaf to default stats — constant-size estimates every round,
+      // identical data (the same wrap this function applies at entry/exit).
+      val ck = jumped.localCheckpoint()
+      lab = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
       // SUM over zero rows is NULL — an empty label table (no edges after
       // upstream filtering) is already a fixpoint, not an error.
       val s = Option(lab.agg(sum(col("comp"))).first().getAs[java.lang.Long](0))

@@ -367,7 +367,10 @@ object NlpQueries {
        |  SELECT doc_id, pos, token, entity, prior
        |  FROM tok JOIN gz ON token = alias)""".stripMargin
 
-  /** links: disambiguated (rn=1) entity links incl. score. */
+  /** links: disambiguated (rn=1) entity links incl. score. PRIOR BACKOFF
+    * (mirrors EntityLinking.disambiguate): a candidate missing either
+    * vector keeps score = prior (cos neutral 1.0) — never fires on the
+    * dense driver corpora, total under strided replica namespaces. */
   private val linkCte =
     s"""nv AS (SELECT COUNT(*) AS nvec FROM embeddings),
        |dv AS (
@@ -378,10 +381,15 @@ object NlpQueries {
        |  SELECT p_partkey AS entity, e.embedding AS ent_emb
        |  FROM part CROSS JOIN nv
        |  JOIN embeddings e ON e.vec_id = p_partkey % nvec),
+       |pc AS (
+       |  SELECT p.doc_id, p.entity,
+       |    ${cosSql("ctx_emb", "ent_emb")} AS ctx_cos
+       |  FROM (SELECT DISTINCT doc_id, entity FROM cand) p
+       |  JOIN dv USING (doc_id) JOIN ev USING (entity)),
        |sc AS (
        |  SELECT c.doc_id, c.pos, c.token, c.entity, c.prior,
-       |    c.prior * ${cosSql("ctx_emb", "ent_emb")} AS score
-       |  FROM cand c JOIN dv USING (doc_id) JOIN ev USING (entity)),
+       |    c.prior * COALESCE(p.ctx_cos, 1.0) AS score
+       |  FROM cand c LEFT JOIN pc p USING (doc_id, entity)),
        |links AS (
        |  SELECT doc_id, pos, token, entity, prior, score FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, pos

@@ -616,13 +616,17 @@ object StreamingQueries {
         .select(col("doc_id"),
           posexplode(graft.text.TextOps.tokens(col("text")))
             .as(Seq("pos", "token")))
+      // LEFT joins + coalesce: the prior-backoff rule (see
+      // EntityLinking.disambiguate — a candidate missing either vector
+      // scores on its prior; cosine_sim of a null array is null)
       val scored = toks
         .join(broadcast(gazT), col("token") === col("alias"))
         .withColumn("vid", col("doc_id") % nvec)
-        .join(ctx, Seq("vid"))
-        .join(ev, Seq("entity"))
-        .withColumn("score", col("prior") *
-          call_function("cosine_sim", col("ctx_emb"), col("ent_emb")))
+        .join(ctx, Seq("vid"), "left")
+        .join(ev, Seq("entity"), "left")
+        .withColumn("score", col("prior") * coalesce(
+          call_function("cosine_sim", col("ctx_emb"), col("ent_emb")),
+          lit(1.0)))
         .select(col("doc_id"), col("pos"), col("token"), col("entity"),
           col("prior"), col("score"))
       runToTable(scored, "q230_stream_entity_linking", "append")

@@ -260,6 +260,17 @@ object EntityLinking {
         col("score"), col("rn")): _*)
   }
 
+  /** V3 — prior × context-cosine argmax per mention. PRIOR BACKOFF: a
+    * candidate whose doc or entity has no vector keeps its prior as the
+    * score (cos treated as neutral 1.0) instead of being dropped — the
+    * standard graceful degradation when the embedding store lags the
+    * entity store. On a corpus whose vector tables cover every doc/entity
+    * (the driver testdata — ids dense modulo nvec) the backoff never
+    * fires and results are identical to the inner-join form; under an
+    * id-strided replica namespace (ScaleBench) the old inner joins
+    * silently emptied the whole linking output (measured r16: q34 = 0
+    * rows at ×10 because every top-8 entity of the one cross-table alias
+    * lost its vector under % nvec). */
   def disambiguate(candidates: DataFrame, docVecs: DataFrame,
                    entVecs: DataFrame,
                    cosineFn: (Column, Column) => Column = VectorOps.cosine): DataFrame = {
@@ -269,8 +280,9 @@ object EntityLinking {
       .select(col("doc_id"), col("entity"),
         cosineFn(col("ctx_emb"), col("ent_emb")).as("ctx_cos"))
     val scored = candidates
-      .join(pairCos, Seq("doc_id", "entity"))
-      .withColumn("score", col("prior") * col("ctx_cos"))
+      .join(pairCos, Seq("doc_id", "entity"), "left")
+      .withColumn("score",
+        col("prior") * coalesce(col("ctx_cos"), lit(1.0)))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id"), col("pos"))
