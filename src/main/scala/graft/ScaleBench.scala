@@ -74,8 +74,11 @@ object ScaleBench {
       // the maintenance shape proper: tombstone anti-join + delta
       // signatures + refreshCdc + two bucketed rewrites, so
       // steady(q229) vs steady(q115) is the measured value of advancing
-      // the snapshot vs rebuilding it at each scale
-      "q229_artifact_maintenance"),
+      // the snapshot vs rebuilding it at each scale; q231 is the
+      // delta-layout twin — steady(q231) vs steady(q229) prices the
+      // merge-on-read write-amplification win (SCALE_r16 measured q229's
+      // residual corpus-size term as the bucketed v2 rewrite)
+      "q229_artifact_maintenance", "q231_artifact_maintenance_delta"),
     "graph" -> Seq(
       "q13_two_hop_network", "q17_suspicious_aliases",
       "q15_pagerank", "q86_ppr_seeds", "q143_harmonic_centrality"),
@@ -149,7 +152,11 @@ object ScaleBench {
       // thresholded CC, so steady(q228) vs steady(q220) is the measured
       // value of materializing the graph at each scale (the q179 twin
       // discipline)
-      "q228_semdedup_knn_artifact"),
+      "q228_semdedup_knn_artifact",
+      // r16: frozen-model embed maintenance — warm builds the replica
+      // corpus's EmbedArtifact + idf, steady is the delta shape (delta
+      // embed + tombstone write + merge-on-read compose)
+      "q232_embed_maintenance"),
     // r15: EM linkage at the decade — replicas block into disjoint
     // (blk, nat) spaces (custkey-derived blocks under id striding), so the
     // candidate aggregate must grow ~M while every EM iteration stays an

@@ -1464,6 +1464,34 @@ object TextQueries {
       s.table(cloV2).orderBy(col("doc_id"))
     }),
 
+    // DELTA-LAYOUT ARTIFACT MAINTENANCE — q229's production refinement
+    // (merge-on-read): SCALE_r16 measured q229's residual corpus-size
+    // term as the bucketed REWRITE of both v2 tables, not the delta
+    // compute; this query persists only delta-sized tables — the added
+    // docs' signatures, the tombstone list, and the closure rows whose
+    // canonical CAN have changed (correct superset by the q225 partition
+    // argument: only touched components and added-containing components
+    // can move) — and the gated output is the COMPOSED merge-on-read
+    // view: v1 artifact ∖ tombstones ∖ changed-keys ∪ changed. The
+    // log-structured shape every production table format (Delta/Iceberg/
+    // Hudi) uses for exactly this write-amplification reason. Oracle =
+    // the same full v2 recompute as q225/q229, so the gate pins the
+    // composition law end-to-end: one wrong tombstone or a missed
+    // changed row breaks the hash. R16QueriesSpec additionally pins the
+    // delta tables' sizes (delta-proportional, never corpus-sized).
+    "q231_artifact_maintenance_delta" -> ((s, d) => {
+      val v1 = docs(s, d).select(col("doc_id"), col("text"))
+      val removed = v1.filter(col("doc_id") % 13 === 0).select(col("doc_id"))
+      val survivors = v1.filter(col("doc_id") % 13 =!= 0)
+      val added = v1.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + AddedDocIdOffset).as("doc_id"),
+          concat(lit("v2new "), col("text")).as("text"))
+      graft.sources.DedupClosure
+        .maintainCdcDelta(s, v1, d, survivors, added, removed, "cdcd")
+      graft.sources.DedupClosure.readDelta(s, v1, d, "cdcd")
+        .orderBy(col("doc_id"))
+    }),
+
     // CORPUS-RELEASE FLAGSHIP — the artifact-backed end-to-end batch flow
     // (r14-verdict item 6): q116 proves the quality→dedup→decontam→pack
     // chain as self-contained plans; THIS query is the production shape a
@@ -4176,6 +4204,14 @@ object TextQueries {
     // so a maintenance bug that corrupts the artifact on disk fails the
     // hash even if the in-plan refresh was right.
     "q229_artifact_maintenance" -> refreshOracle(
+      s"""SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + $AddedDocIdOffset, 'v2new ' || text FROM documents
+         |  WHERE doc_id % 11 = 0""".stripMargin),
+    // q231: the same full-recompute oracle — here it gates the COMPOSED
+    // merge-on-read view over the delta tables, so the composition law
+    // (v1 ∖ tomb ∖ changed-keys ∪ changed = v2) is what the hash pins.
+    "q231_artifact_maintenance_delta" -> refreshOracle(
       s"""SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0
          |  UNION ALL
          |  SELECT doc_id + $AddedDocIdOffset, 'v2new ' || text FROM documents

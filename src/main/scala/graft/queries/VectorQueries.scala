@@ -811,6 +811,41 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // EMBED-ARTIFACT CDC MAINTENANCE, FROZEN MODEL — the vector family's
+    // delta-layout lifecycle step (q231's shape applied to EmbedArtifact,
+    // r15 verdict item 2's "signature/embed artifacts" completed): the
+    // delta's documents are embedded under the SNAPSHOT's (token, idf)
+    // table (VectorOps.hashEmbedLongWithIdf) — tf-idf weights are
+    // corpus-statistics-dependent, so re-deriving idf from the grown
+    // corpus would silently change EVERY persisted vector and invalidate
+    // every downstream ANN index; freezing the featurizer at snapshot
+    // build is what production embedding pipelines do, and it is WHY the
+    // maintenance write can be delta-sized (a survivor's vector provably
+    // never changes). Writes: the added docs' vectors + a tombstone list;
+    // gated output = the composed merge-on-read v2 table in q178's
+    // exploded (vec_id, pos, val) form. Unseen delta vocabulary carries
+    // weight 0 (the frozen-featurizer OOV rule — 'v2new' itself exercises
+    // it). Oracle: the v1 hash-embed chain (idf over the FULL v1 corpus)
+    // for survivors ∪ the delta chain applied under the SAME idf —
+    // survivor rows must equal the v1 artifact's bytes, delta rows the
+    // frozen application, and one drifted idf value anywhere breaks the
+    // hash.
+    "q232_embed_maintenance" -> ((s, d) => {
+      val dd = Tables.documents(s, d)
+      val v1 = dd.select(col("doc_id"), col("text"))
+      val removed = v1.filter(col("doc_id") % 13 === 0).select(col("doc_id"))
+      val added = v1.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + TextQueries.AddedDocIdOffset).as("doc_id"),
+          concat(lit("v2new "), col("text")).as("text"))
+      graft.sources.EmbedArtifact.maintainCdcDelta(
+        s, dd, d, added, removed, "cdcd")
+      graft.sources.EmbedArtifact.readDelta(s, dd, d, "cdcd")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").as("val"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
     // IVF CELL-BALANCE REPORT — index-health diagnostics for the ANN
     // family (q28/q54/q112/q138/q170): per-cell population under the
     // corpus-derived k ∝ N codebook (q112's dial), reduced to the numbers
@@ -1955,6 +1990,30 @@ object VectorQueries {
     // emit the identical pair set and cosines.
     "q179_artifact_lsh" -> hashEmbedLshSql,
 
+    // q232: v1 chain (idf over the FULL v1 corpus) for the surviving
+    // docs ∪ the delta chain under the SAME (frozen) idf — the builder
+    // CTEs guarantee the two instantiations share every arithmetic rule,
+    // and the composed merge-on-read output is what the hash pins.
+    "q232_embed_maintenance" ->
+      s"""WITH ${hashTfCtes("v", "documents")},
+         |vst AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+         |idf AS (SELECT token,
+         |          CAST(${graft.functions.IntLn.iln1e9Sql("n_docs")} - ${graft.functions.IntLn.iln1e9Sql("df")} AS DOUBLE) / 1e9 AS idf
+         |        FROM (SELECT token, COUNT(*) AS df FROM vtft GROUP BY token) d
+         |        CROSS JOIN vst),
+         |${hashApplyCtes("v", "documents", "idf")},
+         |dd2 AS (SELECT doc_id + ${TextQueries.AddedDocIdOffset} AS doc_id,
+         |               'v2new ' || text AS text
+         |        FROM documents WHERE doc_id % 11 = 0),
+         |${hashTfCtes("x", "dd2")},
+         |${hashApplyCtes("x", "dd2", "idf")}
+         |SELECT vec_id, pos, val FROM (
+         |  SELECT doc_id AS vec_id, pos, val FROM vhemb
+         |  WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id AS vec_id, pos, val FROM xhemb) t
+         |ORDER BY vec_id, pos""".stripMargin,
+
     // Hard negatives: q25's windowed-top-k discipline with the
     // label-mismatch predicate in the join.
     "q159_hard_negatives" ->
@@ -2122,6 +2181,44 @@ object VectorQueries {
       |      FROM f GROUP BY doc_id),
       |hemb AS (SELECT f.doc_id, f.pos, f.c / n.norm AS val
       |         FROM f JOIN n USING (doc_id))""".stripMargin
+
+  /** Name-prefixed tf CTEs of the hash embedder over `rel` — the q232
+    * oracle instantiates the chain twice (v1 corpus / CDC delta) with the
+    * SAME frozen idf table, so the chain is a builder, not a copy. */
+  private def hashTfCtes(p: String, rel: String): String =
+    s"""${p}tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      w -> len(w) > 0)) AS token
+       |  FROM $rel),
+       |${p}tft AS (SELECT doc_id, token, COUNT(*) AS tf
+       |            FROM ${p}tok GROUP BY 1, 2)""".stripMargin
+
+  /** Name-prefixed weighting/normalization CTEs (the
+    * [[graft.vector.VectorOps.hashEmbedLongWithIdf]] tail) over a tf
+    * chain from [[hashTfCtes]] and a caller-named idf relation. */
+  private def hashApplyCtes(p: String, rel: String, idfRel: String): String =
+    s"""${p}w AS (SELECT t.doc_id, h % 64 AS pos,
+       |        (1 - 2 * ((h >> 6) % 2))
+       |          * CAST(floor(CAST(t.tf AS DOUBLE) * i.idf * 1e9) AS BIGINT) AS w_fp
+       |      FROM (SELECT *,
+       |              CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+       |            FROM ${p}tft) t
+       |      JOIN $idfRel i USING (token)),
+       |${p}cnt AS (SELECT doc_id, pos, SUM(w_fp) AS c_fp
+       |            FROM ${p}w GROUP BY 1, 2),
+       |${p}grid AS (SELECT d.doc_id, u.pos
+       |         FROM (SELECT DISTINCT doc_id FROM $rel) d
+       |         CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) u),
+       |${p}f AS (SELECT g.doc_id, g.pos,
+       |        CAST(COALESCE(c.c_fp, 0) AS DOUBLE) / 1e9 AS c
+       |      FROM ${p}grid g LEFT JOIN ${p}cnt c
+       |        ON c.doc_id = g.doc_id AND c.pos = g.pos),
+       |${p}n AS (SELECT doc_id,
+       |        sqrt(CAST(greatest(SUM(CAST(floor(c * c * 1e9) AS BIGINT)), 1) AS DOUBLE) / 1e9) AS norm
+       |      FROM ${p}f GROUP BY doc_id),
+       |${p}hemb AS (SELECT f.doc_id, f.pos, f.c / n.norm AS val
+       |         FROM ${p}f f JOIN ${p}n n USING (doc_id))""".stripMargin
 
   /** IVF oracle, nprobe-parameterized: q28 single-probe, q54 multi-probe. */
   private def ivfOracle(nprobe: Int): String =

@@ -187,4 +187,78 @@ object DedupClosure {
       refreshCdc(spark, v1, dir, survivors, added, removed))
     (sigV2, cloV2)
   }
+
+  /** DELTA-LAYOUT CDC maintenance — [[maintainCdc]]'s production
+    * refinement: the monolithic form re-persists BOTH corpus-sized v2
+    * tables per delta (at ×100 the bucketed rewrite is the maintenance
+    * cost's one corpus-size term, SCALE_r16); this layout writes only
+    * DELTA-SIZED tables — the added docs' signatures, a tombstone id
+    * list, and the closure rows whose canonical CAN have changed — and
+    * lets [[readDelta]]/[[readDeltaSignatures]] compose v2 at read time
+    * (v1 artifact ∖ tombstones ∖ changed-keys ∪ changed — the
+    * log-structured / merge-on-read shape every production table format
+    * uses for exactly this reason).
+    *
+    * The changed-row superset is CORRECT by the q225 partition argument:
+    * a doc's canonical can change only if its component lost a member
+    * (touched by a removal) or gained a new-edge path (contains an added
+    * doc) — v2's pair graph differs from v1's only by removed-incident
+    * and added-incident edges, so components touching neither keep their
+    * membership and min-id verbatim. `changed` = v2 rows of
+    * added-containing components ∪ v2 rows of touched-component
+    * survivors — delta-proportional by the same argument that prices
+    * (b) in [[refreshCdc]]. R16QueriesSpec pins composed == monolithic
+    * == full rebuild AND the delta tables' sizes. */
+  def maintainCdcDelta(spark: SparkSession, v1: DataFrame, dir: String,
+                       survivors: DataFrame, added: DataFrame,
+                       removed: DataFrame, tag: String,
+                       buckets: Int = 8): (String, String, String) = {
+    val sigD = Artifacts.rematerializeBucketed(spark,
+      s"${sigTableName(v1, dir)}_${tag}_dsig", "doc_id", buckets)(
+      DedupOps.minhashSignatureArray(
+        DedupOps.shingleTable(added, "doc_id", "text", 3), 32))
+    val tomb = Artifacts.rematerializeBucketed(spark,
+      s"${tableName(v1, dir)}_${tag}_tomb", "doc_id", 1)(removed)
+    val v2 = refreshCdc(spark, v1, dir, survivors, added, removed)
+      .localCheckpoint() // feeds the two changed-row semi-joins
+    val oldClosure = read(spark, v1, dir)
+    val touched = oldClosure.join(removed, Seq("doc_id"))
+      .select(col("canonical")).distinct()
+    val touchedSurv = oldClosure.join(touched, Seq("canonical"))
+      .join(removed, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+    val addedCanon = v2
+      .join(added.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("canonical")).distinct()
+    val changed = v2.join(addedCanon, Seq("canonical"), "left_semi")
+      .unionByName(v2.join(touchedSurv, Seq("doc_id"), "left_semi"))
+      .distinct()
+    val dclo = Artifacts.rematerializeBucketed(spark,
+      s"${tableName(v1, dir)}_${tag}_dclo", "doc_id", buckets)(changed)
+    (sigD, tomb, dclo)
+  }
+
+  /** Composed v2 closure over the delta layout (merge-on-read): v1 rows
+    * minus tombstones minus changed keys, union the changed rows. Both
+    * anti-join sides are delta-sized broadcasts; the v1 side stays a
+    * bucketed scan. */
+  def readDelta(spark: SparkSession, v1: DataFrame, dir: String,
+                tag: String): DataFrame = {
+    val chg = spark.table(s"${tableName(v1, dir)}_${tag}_dclo")
+    read(spark, v1, dir)
+      .join(spark.table(s"${tableName(v1, dir)}_${tag}_tomb"),
+        Seq("doc_id"), "left_anti")
+      .join(chg.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(chg)
+  }
+
+  /** Composed v2 signatures over the delta layout: v1 artifact minus
+    * tombstones union the delta signatures (signatures are content-keyed
+    * — survivor rows never change, so no changed-row tier exists). */
+  def readDeltaSignatures(spark: SparkSession, v1: DataFrame, dir: String,
+                          tag: String): DataFrame =
+    readSignatures(spark, v1, dir)
+      .join(spark.table(s"${tableName(v1, dir)}_${tag}_tomb"),
+        Seq("doc_id"), "left_anti")
+      .unionByName(spark.table(s"${sigTableName(v1, dir)}_${tag}_dsig"))
 }

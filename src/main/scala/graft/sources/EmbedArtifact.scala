@@ -59,4 +59,45 @@ object EmbedArtifact {
     * a bucketed (exchange-free on this side) read. */
   def read(spark: SparkSession, docs: DataFrame, dir: String): DataFrame =
     spark.table(materialize(spark, docs, dir))
+
+  /** DELTA-LAYOUT CDC maintenance of the embed artifact (the
+    * [[DedupClosure.maintainCdcDelta]] shape for the vector family) under
+    * the FROZEN-MODEL contract: the delta's documents are embedded with
+    * the SNAPSHOT's (token, idf) statistics
+    * ([[VectorOps.hashEmbedLongWithIdf]]) — in production the featurizer
+    * is trained once per snapshot; re-deriving idf from the grown corpus
+    * would silently change EVERY persisted vector (tf-idf weights are
+    * corpus-statistics-dependent) and invalidate every downstream ANN
+    * index. Under the frozen model a survivor's vector never changes, so
+    * the maintenance writes are delta-sized: the added docs' vectors and
+    * a tombstone list; [[readDelta]] composes v2 merge-on-read. Unseen
+    * delta vocabulary carries weight 0 (the frozen-featurizer OOV rule,
+    * see hashEmbedLongWithIdf). */
+  def maintainCdcDelta(spark: SparkSession, v1docs: DataFrame, dir: String,
+                       added: DataFrame, removed: DataFrame, tag: String,
+                       buckets: Int = 8): (String, String) = {
+    val idf = VectorOps.hashEmbedIdf(
+      v1docs.select(col("doc_id"), col("text")), "doc_id", "text")
+    val embD = Artifacts.rematerializeBucketed(spark,
+      s"${tableName(v1docs, dir)}_${tag}_demb", "vec_id", buckets)(
+      VectorOps.hashEmbedLongWithIdf(added, "doc_id", "text", Dim, idf)
+        .groupBy(col("doc_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("val")))),
+          e => e.getField("val")).as("embedding"))
+        .select(col("doc_id").as("vec_id"), col("embedding")))
+    val tomb = Artifacts.rematerializeBucketed(spark,
+      s"${tableName(v1docs, dir)}_${tag}_tomb", "vec_id", 1)(
+      removed.select(col("doc_id").as("vec_id")))
+    (embD, tomb)
+  }
+
+  /** Composed v2 embeddings over the delta layout (merge-on-read): v1
+    * artifact minus tombstones union the delta vectors. */
+  def readDelta(spark: SparkSession, v1docs: DataFrame, dir: String,
+                tag: String): DataFrame =
+    read(spark, v1docs, dir)
+      .join(spark.table(s"${tableName(v1docs, dir)}_${tag}_tomb"),
+        Seq("vec_id"), "left_anti")
+      .unionByName(spark.table(s"${tableName(v1docs, dir)}_${tag}_demb"))
 }

@@ -707,7 +707,6 @@ object VectorOps {
   def hashEmbedLong(docs: DataFrame, idCol: String, textCol: String,
                     dim: Int): DataFrame = {
     require(dim > 0 && (dim & (dim - 1)) == 0, "hashEmbedLong: dim must be a power of two")
-    val signShift = java.lang.Integer.numberOfTrailingZeros(dim)
     val tf = docs
       .select(col(idCol).as("doc_id"),
         explode(graft.text.TextOps.tokens(col(textCol))).as("token"))
@@ -715,14 +714,66 @@ object VectorOps {
       .agg(count(lit(1)).as("tf"))
     val nDocs = broadcast(
       docs.agg(countDistinct(col(idCol)).as("n_docs")))
+    // the df/idf table derives from the SAME tf subtree the weighting
+    // joins back to (one aggregate shuffle, reused) — the WithIdf variant
+    // below exists for callers whose idf is a FROZEN snapshot table
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .crossJoin(nDocs)
       .select(col("token"),
         ((graft.functions.IntLn.iln1e9(col("n_docs"))
           - graft.functions.IntLn.iln1e9(col("df")))
           .cast("double") / lit(1e9)).as("idf"))
+    hashEmbedApply(docs, idCol, tf, df, dim)
+  }
+
+  /** The (token, idf) weight table [[hashEmbedLong]] trains on `docs` —
+    * exposed so a FROZEN-MODEL consumer (EmbedArtifact CDC maintenance,
+    * q232) can embed a delta under the SNAPSHOT's statistics: in
+    * production an embedding model is trained once and applied to every
+    * later batch; re-deriving idf from a grown corpus would silently
+    * re-embed (and re-index) everything downstream. Same exact integer
+    * arithmetic as the in-plan form (IntLn fixed-point). */
+  def hashEmbedIdf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.text.TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = broadcast(
+      docs.agg(countDistinct(col(idCol)).as("n_docs")))
+    tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .select(col("token"),
+        ((graft.functions.IntLn.iln1e9(col("n_docs"))
+          - graft.functions.IntLn.iln1e9(col("df")))
+          .cast("double") / lit(1e9)).as("idf"))
+  }
+
+  /** [[hashEmbedLong]] under a CALLER-SUPPLIED (token, idf) table — the
+    * frozen-model application path. Tokens absent from the idf table
+    * (vocabulary unseen at snapshot time) carry weight 0 by the inner
+    * join — exactly how a frozen featurizer treats out-of-vocabulary
+    * input. */
+  def hashEmbedLongWithIdf(docs: DataFrame, idCol: String, textCol: String,
+                           dim: Int, idfTable: DataFrame): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, "hashEmbedLong: dim must be a power of two")
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.text.TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    hashEmbedApply(docs, idCol, tf, idfTable, dim)
+  }
+
+  /** Shared weighting/normalization tail of the hash embedder: hash the
+    * (doc, token, tf) stream against a (token, idf) table, fold signed
+    * fixed-point weights per (doc, pos), zero-fill the grid, L2-normalize.
+    * Exactly [[hashEmbedLong]]'s arithmetic — one body, two idf sources. */
+  private def hashEmbedApply(docs: DataFrame, idCol: String, tf: DataFrame,
+                             idfTable: DataFrame, dim: Int): DataFrame = {
+    val signShift = java.lang.Integer.numberOfTrailingZeros(dim)
     val h = graft.text.TextOps.tokenHash60(col("token"))
-    val counts = tf.join(df, Seq("token"))
+    val counts = tf.join(idfTable, Seq("token"))
       .select(col("doc_id"), pmod(h, lit(dim.toLong)).as("pos"),
         ((lit(1L) - lit(2L) * pmod(shiftright(h, signShift), lit(2L)))
           * floor(col("tf").cast("double") * col("idf") * lit(1e9)).cast("long"))

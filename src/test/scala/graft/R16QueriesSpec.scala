@@ -96,6 +96,68 @@ class R16QueriesSpec extends SparkSuite {
     assert(sigMaint.exists { case (id, _) => id >= off })
   }
 
+  // ---- q231 ----------------------------------------------------------------
+
+  test("q231: delta-layout composition equals the full rebuild; delta tables are delta-sized") {
+    val off = graft.queries.TextQueries.AddedDocIdOffset
+    val v1 = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val added = v1.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + off).as("doc_id"),
+        concat(lit("v2new "), col("text")).as("text"))
+    val v2 = v1.filter(col("doc_id") % 13 =!= 0).unionByName(added)
+    // the query runs the maintenance and returns the composed view
+    val composed = SparkEntry.queries("q231_artifact_maintenance_delta")(
+      spark, sf0001).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.sources.DedupClosure.closure(v2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(composed === full)
+    // the composed SIGNATURE view equals a from-scratch v2 signature build
+    val sigC = graft.sources.DedupClosure
+      .readDeltaSignatures(spark, v1, sf0001, "cdcd")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet
+    val sigF = graft.dedup.DedupOps.minhashSignatureArray(
+      graft.dedup.DedupOps.shingleTable(v2, "doc_id", "text", 3), 32)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toVector)).toSet
+    assert(sigC === sigF)
+    // delta-sized writes: the changed-closure table is a small fraction of
+    // the corpus, the delta-signature table is exactly the added docs
+    val v1n = v1.count()
+    val dclo = spark.table(
+      s"${graft.sources.DedupClosure.tableName(v1, sf0001)}_cdcd_dclo")
+    assert(dclo.count() < v1n / 2,
+      s"changed-closure table is not delta-sized: ${dclo.count()} of $v1n")
+    val dsig = spark.table(
+      s"${graft.sources.DedupClosure.sigTableName(v1, sf0001)}_cdcd_dsig")
+    assert(dsig.count() === added.count())
+  }
+
+  // ---- q232 ----------------------------------------------------------------
+
+  test("q232: frozen-model law — survivor vectors byte-identical to the v1 artifact, delta embedded under v1 idf") {
+    val off = graft.queries.TextQueries.AddedDocIdOffset
+    val dd = Tables.documents(spark, sf0001)
+    val rows = SparkEntry.queries("q232_embed_maintenance")(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // no removed ids survive; added ids present
+    assert(!rows.keys.exists { case (id, _) => id % 13 == 0 && id < off })
+    assert(rows.keys.exists { case (id, _) => id >= off })
+    // survivor rows equal the v1 artifact EXACTLY (the frozen-model law:
+    // a surviving doc's vector never changes under maintenance)
+    val v1art = graft.sources.EmbedArtifact.read(spark, dd, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    v1art.foreach { case (id, emb) =>
+      if (id % 13 != 0) emb.zipWithIndex.foreach { case (v, p) =>
+        assert(rows((id, p.toLong)) === v, s"vec $id pos $p drifted")
+      }
+    }
+    // every composed vector is 64-dimensional
+    val dims = rows.keys.groupBy(_._1).map { case (_, ks) => ks.size }.toSet
+    assert(dims === Set(64))
+  }
+
   // ---- q230 ----------------------------------------------------------------
 
   test("q230: streaming entity linking equals batch q34 row for row") {
