@@ -156,7 +156,31 @@ object ScaleBench {
       // r16: frozen-model embed maintenance — warm builds the replica
       // corpus's EmbedArtifact + idf, steady is the delta shape (delta
       // embed + tombstone write + merge-on-read compose)
-      "q232_embed_maintenance"),
+      "q232_embed_maintenance",
+      // r17: kNN-graph CDC maintenance — warm builds the replica corpus's
+      // graph artifact + frozen routing index (the 205.8 s@×100 build paid
+      // once), steady is the maintenance proper: tombstone-incident list
+      // repair + frozen-index routing of arrivals + one localized descent
+      // round + three delta-sized writes. steady(q233) vs warm(q233) /
+      // steady(q220) is the measured value of advancing the graph snapshot
+      // vs rebuilding it — the triangle-closing curve (r16 verdict item 1)
+      "q233_knn_maintenance",
+      // r17: the semantic-closure artifact consumer — warm builds the
+      // θ=0.4 canonical table off the graph artifact (pays q228's CC
+      // once), steady is a bucketed scan + expression work; vs q228's
+      // steady (CC per read) this prices persisting the closure itself
+      "q234_semantic_split",
+      // r17: the q214 decade rows the r16 verdict flagged as the one
+      // designated 100 TB scale path never measured past ×1 — q214's
+      // sampled audit must hold its exact-tier pair mass ∝ rate² while
+      // the LSH side stays full; q206 is the unsampled truth curve,
+      // measured beside it once (×10/×30 only — its exact tier is the
+      // documented superlinear baseline, a ×100 would just re-burn it)
+      "q214_lsh_recall_sampled", "q206_lsh_recall_report"),
+    // r17: the reference's flagship fused read path (RRF of prior×cosine
+    // + fuzzy + BM25 — each tier had a scale dial, the fused read was
+    // never pushed; r16 verdict item 4)
+    "nlp" -> Seq("q79_hybrid_linking"),
     // r15: EM linkage at the decade — replicas block into disjoint
     // (blk, nat) spaces (custkey-derived blocks under id striding), so the
     // candidate aggregate must grow ~M while every EM iteration stays an
@@ -190,7 +214,15 @@ object ScaleBench {
       // streaming EL serving path (stateless stream-static fan-out —
       // per-arrival cost must stay flat like q223's)
       "q96_stream_dedup_late", "q162_stream_hll", "q205_stream_cms_topk",
-      "q219_stream_ewma", "q230_stream_entity_linking"))
+      "q219_stream_ewma", "q230_stream_entity_linking",
+      // r17: the stream-stream OUTER join — the one streaming operator
+      // class without a ×100 row (r16 verdict item 4): two-sided interval
+      // state + min-side watermark eviction, state ∝ in-horizon rows
+      "q89_stream_outer_join",
+      // r17: the unlinked-drift monitor — stateless broadcast alias probe
+      // + windowed StateStore agg; per-arrival cost must stay flat, state
+      // ∝ windows × sources
+      "q235_stream_unlinked_drift"))
 
   /** doc_id/vec_id namespace stride between replicas — far above any
     * driver-generated id at the scales this tool reads. */
@@ -350,37 +382,79 @@ object ScaleBench {
           }
           d
         }
+      // Write-IO accounting (r16 verdict item 6): maintenance queries'
+      // separating number is BYTES WRITTEN, not seconds — the monolithic
+      // vs merge-on-read layouts measure ~parity in wall at replica scale
+      // because the avoided rewrite is small there; the write column is
+      // the asymptote the layouts actually differ on. Measured as the sum
+      // of warehouse files modified during the run (artifact tables are
+      // the only warehouse writers; the noop sink writes nothing).
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      def writtenBytesSince(t0: Long): Long = {
+        val root = Paths.get(warehouse)
+        if (!Files.exists(root)) 0L
+        else {
+          val s = Files.walk(root)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala
+              .filter(p => Files.isRegularFile(p) &&
+                Files.getLastModifiedTime(p).toMillis >= t0)
+              .map(Files.size).sum
+          } finally s.close()
+        }
+      }
       val perQuery = names.map { name =>
         val fn = SparkEntry.queries(name)
+        // warm (build) readings are SINGLE-SHOT by design: a warm run that
+        // builds a write-once artifact cannot be repeated without deleting
+        // the artifact it exists to keep (and a decade of 4 mults already
+        // costs ~15 min per batch) — treat cross-mult non-monotonicity in
+        // the warm column as single-measurement noise; steady is the
+        // production-read number and the one the curves are judged on.
+        val tw0 = System.currentTimeMillis()
         val warm = timeNoop(fn(spark, dir))
+        val warmMb = writtenBytesSince(tw0).toDouble / 1e6
+        val ts0 = System.currentTimeMillis()
         val steady = timeNoop(fn(spark, dir))
+        val steadyMb = writtenBytesSince(ts0).toDouble / 1e6
         // refresh queries emit one row per v2 doc_id: a replica/offset
         // collision surfaces as duplicate ids — fail loud, not silently
         // publish an invalid decade curve. The check rides the SAME pass
         // as the row count (one agg) instead of a fourth corpus-scale run.
+        // count(1) + null-count alongside countDistinct: count(doc_id)
+        // skips NULLs, so a maintenance bug emitting NULL ids would
+        // otherwise pass the collision check silently (r16 advice).
         val rows =
           if (name.contains("closure_refresh") ||
               name.contains("artifact_maintenance")) {
             val r = fn(spark, dir)
-              .agg(count(col("doc_id")), countDistinct(col("doc_id")))
+              .agg(count(lit(1)), countDistinct(col("doc_id")),
+                sum(when(col("doc_id").isNull, 1L).otherwise(0L)))
               .collect()(0)
+            val nulls = if (r.isNullAt(2)) 0L else r.getLong(2)
+            require(nulls == 0L,
+              s"$name at x$m: $nulls NULL v2 doc_ids — maintenance bug")
             require(r.getLong(1) == r.getLong(0),
               s"$name at x$m: ${r.getLong(0) - r.getLong(1)} duplicate " +
                 "v2 doc_ids — replica namespace collision")
             r.getLong(0)
           } else fn(spark, dir).count()
         spark.sqlContext.clearCache()
-        name -> (warm, steady, rows)
+        name -> (warm, steady, rows, warmMb, steadyMb)
       }
       m -> perQuery
     }
 
     val json = perMult.map { case (m, qs) =>
-      val inner = qs.map { case (n, (w, s, r)) =>
-        s""""$n":{"warm_sec":$w,"steady_sec":$s,"rows":$r}"""
+      val inner = qs.map { case (n, (w, s, r, wmb, smb)) =>
+        s""""$n":{"warm_sec":$w,"steady_sec":$s,"rows":$r,""" +
+          f""""warm_written_mb":$wmb%.1f,"steady_written_mb":$smb%.1f}"""
       }.mkString(",")
       s""""x$m":{$inner}"""
-    }.mkString("{\"base\":\"" + base + "\",", ",", "}")
+    }.mkString("{\"base\":\"" + base + "\",\"warm_note\":" +
+      "\"warm readings are single-shot build runs; steady is the judged curve\",", ",", "}")
     Files.write(Paths.get(outPath), json.getBytes(StandardCharsets.UTF_8))
     println(json)
     spark.stop()

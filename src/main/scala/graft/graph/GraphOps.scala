@@ -208,10 +208,17 @@ object GraphOps {
       // many pointer-jump rounds (measured: q228's ×100 semantic graph,
       // ~25+) overflows BigInteger inside the stats visitor before the
       // loop converges. Re-wrapping the already-materialized RDD resets
-      // the leaf to default stats — constant-size estimates every round,
-      // identical data (the same wrap this function applies at entry/exit).
+      // the leaf to default stats — identical data, but the wrap pays an
+      // InternalRow→Row→InternalRow conversion of the full label table,
+      // so it is GATED on round count (r16 advice): shallow graphs (the
+      // common case — pointer jumping converges in O(log n) rounds) never
+      // pay the conversion tax, and deep graphs reset the leaf every
+      // round from round 8 on, far below the ~25-round overflow horizon
+      // (rounds ≤ 8 were measured safe for years of shallower corpora).
       val ck = jumped.localCheckpoint()
-      lab = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+      lab =
+        if (round < 8) ck
+        else ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
       // SUM over zero rows is NULL — an empty label table (no edges after
       // upstream filtering) is already a fixpoint, not an error.
       val s = Option(lab.agg(sum(col("comp"))).first().getAs[java.lang.Long](0))

@@ -186,8 +186,11 @@ object CurationQueries {
     // decimal→double). Scale shape: one (source, word) count — map-side
     // combinable — then a |sources|-row rollup.
     "q192_lexical_diversity" -> ((s, d) => {
-      val wc = docs(s, d)
-        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      // r17: (source, word) counts off the materialized token view
+      // (TokenArtifact — the per-run tokenize pass becomes a snapshot
+      // artifact scan; values and oracle unchanged)
+      val wc = graft.sources.TokenArtifact.readTokens(s, docs(s, d), d)
+        .select(col("source"), col("token").as("w"))
         .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
       wc.groupBy(col("source"))
         .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),

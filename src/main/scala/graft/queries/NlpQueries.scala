@@ -347,8 +347,10 @@ object NlpQueries {
        |  SELECT doc_id, unnest(w) AS token, unnest(range(len(w))) AS pos
        |  FROM (SELECT doc_id, ${toksSql("text")} AS w FROM documents) t0)""".stripMargin
 
-  /** gz: capped weighted gazetteer (alias, entity, prior). */
-  private val gazCte =
+  /** gz: capped weighted gazetteer (alias, entity, prior).
+    * private[queries]: q235 (streaming unlinked-drift) reuses the alias
+    * set as its static model side. */
+  private[queries] val gazCte =
     s"""obs AS (
        |  SELECT unnest(${toksSql("p_name")}) AS alias, p_partkey AS entity
        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
@@ -367,9 +369,12 @@ object NlpQueries {
        |  SELECT doc_id, pos, token, entity, prior
        |  FROM tok JOIN gz ON token = alias)""".stripMargin
 
-  /** links: disambiguated (rn=1) entity links incl. score. PRIOR BACKOFF
-    * (mirrors EntityLinking.disambiguate): a candidate missing either
-    * vector keeps score = prior (cos neutral 1.0) — never fires on the
+  /** links: disambiguated (rn=1) entity links incl. score. TWO-TIER PRIOR
+    * BACKOFF (mirrors EntityLinking.disambiguate): a candidate missing
+    * either vector keeps score = prior but ranks strictly below every
+    * fully-scored candidate of the mention (leading `ctx_cos IS NOT NULL
+    * DESC` key — r17: the r16 neutral-1.0 form let unembedded entities
+    * dominate scored ones under partial coverage). Never fires on the
     * dense driver corpora, total under strided replica namespaces. */
   private val linkCte =
     s"""nv AS (SELECT COUNT(*) AS nvec FROM embeddings),
@@ -388,12 +393,13 @@ object NlpQueries {
        |  JOIN dv USING (doc_id) JOIN ev USING (entity)),
        |sc AS (
        |  SELECT c.doc_id, c.pos, c.token, c.entity, c.prior,
-       |    c.prior * COALESCE(p.ctx_cos, 1.0) AS score
+       |    c.prior * COALESCE(p.ctx_cos, 1.0) AS score,
+       |    p.ctx_cos IS NOT NULL AS has_cos
        |  FROM cand c LEFT JOIN pc p USING (doc_id, entity)),
        |links AS (
        |  SELECT doc_id, pos, token, entity, prior, score FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, pos
-       |      ORDER BY score DESC, entity ASC) AS lrn FROM sc) t
+       |      ORDER BY has_cos DESC, score DESC, entity ASC) AS lrn FROM sc) t
        |  WHERE lrn = 1)""".stripMargin
 
   /** q34's full EL oracle — shared VERBATIM by q230, the streaming twin:

@@ -616,25 +616,72 @@ object StreamingQueries {
         .select(col("doc_id"),
           posexplode(graft.text.TextOps.tokens(col("text")))
             .as(Seq("pos", "token")))
-      // LEFT joins + coalesce: the prior-backoff rule (see
+      // LEFT joins + coalesce: the TWO-TIER prior-backoff rule (see
       // EntityLinking.disambiguate — a candidate missing either vector
-      // scores on its prior; cosine_sim of a null array is null)
+      // scores on its prior but ranks below every fully-scored candidate
+      // of the mention; cosine_sim of a null array is null)
       val scored = toks
         .join(broadcast(gazT), col("token") === col("alias"))
         .withColumn("vid", col("doc_id") % nvec)
         .join(ctx, Seq("vid"), "left")
         .join(ev, Seq("entity"), "left")
-        .withColumn("score", col("prior") * coalesce(
-          call_function("cosine_sim", col("ctx_emb"), col("ent_emb")),
-          lit(1.0)))
+        .withColumn("ctx_cos",
+          call_function("cosine_sim", col("ctx_emb"), col("ent_emb")))
+        .withColumn("score", col("prior") * coalesce(col("ctx_cos"), lit(1.0)))
         .select(col("doc_id"), col("pos"), col("token"), col("entity"),
-          col("prior"), col("score"))
+          col("prior"), col("score"), col("ctx_cos").isNotNull.as("has_cos"))
       runToTable(scored, "q230_stream_entity_linking", "append")
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id"), col("pos"))
-            .orderBy(col("score").desc, col("entity").asc)))
-        .filter(col("rn") === 1).drop("rn")
+            .orderBy(col("has_cos").desc, col("score").desc,
+              col("entity").asc)))
+        .filter(col("rn") === 1).drop("rn", "has_cos")
         .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // STREAMING UNLINKED-REVIEW DRIFT — the V6 report's live twin (r16
+    // verdict item 7): q230 links arriving mentions; the reference's
+    // flagship READ is the UNLINKED-mention review
+    // (/root/reference/src/analysis.py:35, q36/q49), and the signal an EL
+    // deployment actually pages on is its RATE moving — a gazetteer gone
+    // stale against drifting input shows up as a rising share of tokens no
+    // alias covers, long before anyone reads a review table. q198's
+    // discipline applied to EL quality: the per-source unlinked-rate
+    // BASELINE is computed on the static reference corpus (one long per
+    // source), arriving docs explode to tokens (map-side), left-join the
+    // BROADCAST alias set (stateless stream-static probe — the gazetteer
+    // is the model, same static side as q230), aggregate per (1-minute
+    // window × source) IN THE STREAMING ENGINE (StateStore rows ∝
+    // windows×sources, never corpus), and each window's fixed-point rate
+    // compares to its baseline — |rate − base| > 0.03 flags drift. All
+    // integer arithmetic (floor-div fixed point), so the batch oracle
+    // reproduces every flag bit for bit.
+    "q235_stream_unlinked_drift" -> ((s, d) => {
+      import graft.text.TextOps
+      val al = NlpQueries.gaz(s, d).select(col("alias")).distinct()
+        .withColumn("known", lit(1L)).localCheckpoint()
+      val baseline = Tables.documents(s, d)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+        .join(broadcast(al), col("token") === col("alias"), "left")
+        .groupBy(col("source"))
+        .agg(expr("sum(case when known is null then 1 else 0 end) " +
+          "* 1000000000 div count(1)").as("base_fp"))
+      val win = docsStream(s, d)
+        .select(col("ts"), col("source"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .join(broadcast(al), col("token") === col("alias"), "left")
+        .groupBy(window(col("ts"), "1 minute"), col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_unlinked"))
+        .select(col("window.start").cast("long").as("w_start"),
+          col("source"), col("n_tokens"), col("n_unlinked"))
+      runToTable(win, "q235_stream_unlinked_drift", "complete")
+        .join(broadcast(baseline), Seq("source"))
+        .withColumn("rate_fp", expr("n_unlinked * 1000000000 div n_tokens"))
+        .select(col("w_start"), col("source"), col("n_tokens"),
+          col("n_unlinked"), col("rate_fp"), col("base_fp"),
+          (abs(col("rate_fp") - col("base_fp")) > lit(30000000L)).as("drift"))
+        .orderBy(col("w_start"), col("source"))
     }),
 
     // REAL LATE DATA under the gate (the one behavior single-batch replay
@@ -974,6 +1021,37 @@ object StreamingQueries {
     // (stream-static candidate scoring + post-sink per-mention argmax)
     // must equal the batch entity linking row for row.
     "q230_stream_entity_linking" -> NlpQueries.entityLinkingSql,
+    // Unlinked-rate drift: the q198 window rule ((doc_id+86400)//60*60 —
+    // docsStream's synthetic ts) over token×alias coverage; all floor-div
+    // fixed point, every drift flag bit-identical.
+    "q235_stream_unlinked_drift" ->
+      s"""WITH ${NlpQueries.gazCte},
+         |al AS (SELECT DISTINCT alias FROM gz),
+         |tk AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+         |                       w -> len(w) > 0)) AS token
+         |  FROM documents),
+         |mt AS (
+         |  SELECT t.doc_id, t.source,
+         |    CASE WHEN a.alias IS NULL THEN 1 ELSE 0 END AS unl
+         |  FROM tk t LEFT JOIN al a ON t.token = a.alias),
+         |base AS (
+         |  SELECT source,
+         |    CAST(SUM(unl) * 1000000000 // COUNT(*) AS BIGINT) AS base_fp
+         |  FROM mt GROUP BY 1),
+         |win AS (
+         |  SELECT (doc_id + 86400) // 60 * 60 AS w_start, source,
+         |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(unl) AS BIGINT) AS n_unlinked
+         |  FROM mt GROUP BY 1, 2)
+         |SELECT w.w_start, w.source, w.n_tokens, w.n_unlinked,
+         |  CAST(w.n_unlinked * 1000000000 // w.n_tokens AS BIGINT) AS rate_fp,
+         |  b.base_fp,
+         |  abs(w.n_unlinked * 1000000000 // w.n_tokens - b.base_fp)
+         |    > 30000000 AS drift
+         |FROM win w JOIN base b USING (source)
+         |ORDER BY w_start, source""".stripMargin,
 
     // q186: batch twin of the stream-static linkage — weights from the
     // A–A reference pairs, scores over the A×B blocked pairs.

@@ -364,8 +364,12 @@ object TextQueries {
     // two final ratios (longs-in, one IEEE division — cross-engine
     // exact).
     "q215_good_turing" -> ((s, d) => {
-      val tf = docs(s, d)
-        .select(explode(TextOps.shingles(col("text"), 3)).as("token"))
+      // r17: type frequencies come off the materialized shingle view
+      // (TokenArtifact — values identical to the in-plan explode, oracle
+      // unchanged); the tokenize pass is paid once per snapshot, not per
+      // diagnostic
+      val tf = graft.sources.TokenArtifact.readShingles(s, docs(s, d), d)
+        .select(col("shingle").as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("r"))
       val cc = tf.groupBy(col("r")).agg(count(lit(1)).as("n_types"))
         .localCheckpoint() // tiny; scanned twice (self-join on r+1)
@@ -398,8 +402,9 @@ object TextQueries {
     // the fit is a |sources|-row aggregate.
     "q216_zipf_slope" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val tf = docs(s, d)
-        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      // r17: (source, token) stream off the materialized token view
+      val tf = graft.sources.TokenArtifact.readTokens(s, docs(s, d), d)
+        .select(col("source"), col("token"))
         .groupBy(col("source"), col("token")).agg(count(lit(1)).as("freq"))
       val ranked = tf.withColumn("rnk",
           row_number().over(Window.partitionBy(col("source"))
@@ -2226,9 +2231,9 @@ object TextQueries {
     // exact columns (shingle-set self-join) are the oracle baseline,
     // bounded by shingle sharing, not N².
     "q163_source_similarity" -> ((s, d) => {
-      val ss = docs(s, d)
-        .select(col("source"),
-          explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+      // r17: source-grain shingle sets off the materialized shingle view
+      val ss = graft.sources.TokenArtifact.readShingles(s, docs(s, d), d)
+        .select(col("source"), col("shingle"))
         .distinct()
       val sig = ss
         .select(col("source"), explode(sequence(lit(0), lit(31))).as("i"),
@@ -2311,9 +2316,9 @@ object TextQueries {
     // shingle; the window sum runs over |sources| rows, not the corpus.
     "q166_source_novelty" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val ss = docs(s, d)
-        .select(col("source"),
-          explode(TextOps.shingles(col("text"), 3)).as("shingle"))
+      // r17: source-grain shingle sets off the materialized shingle view
+      val ss = graft.sources.TokenArtifact.readShingles(s, docs(s, d), d)
+        .select(col("source"), col("shingle"))
         .distinct()
       val firsts = ss.groupBy(col("shingle"))
         .agg(min(col("source")).as("source"))

@@ -846,6 +846,63 @@ object VectorQueries {
         .orderBy(col("vec_id"), col("pos"))
     }),
 
+    // kNN-GRAPH ARTIFACT CDC MAINTENANCE — the triangle-closing lifecycle
+    // step (r16 verdict item 1): DedupClosure and EmbedArtifact both had
+    // CDC delta maintenance; the kNN graph — the most EXPENSIVE of the
+    // three snapshot builds (205.8 s at ×100) — was rebuild-only. The
+    // maintenance rule and its correctness/quality contracts live in
+    // KnnGraphArtifact.maintainCdcDelta's scaladoc: removal-incident lists
+    // repaired from surviving neighbors-of-neighbors + reverse edges,
+    // arriving vectors routed through the FROZEN snapshot index (persisted
+    // cells + books — re-deriving k ∝ N would re-assign every vector),
+    // one NN-descent round localized to the touched frontier, untouched
+    // lists verbatim BY CONSTRUCTION. Fixture: tombstones = vec_id % 13,
+    // arrivals = vec_id % 11 re-minted at the offset namespace with
+    // per-element NEGATED embeddings (within-arrival geometry preserved,
+    // decorrelated from the snapshot — the sign-flip replica trick).
+    // Gated output = the COMPOSED merge-on-read v2 graph; the oracle
+    // replays the v1 build chain (the q220 CTEs — so the gate re-pins the
+    // artifact) plus the full maintenance rule in SQL: one wrong routing
+    // argmin, missed repair candidate, or broken composition breaks the
+    // hash. Bit-equality to a from-scratch v2 rebuild is deliberately NOT
+    // the contract (approximate graphs are trajectory-dependent — see the
+    // scaladoc); R17QueriesSpec measures maintained-vs-rebuilt recall.
+    "q233_knn_maintenance" -> ((s, d) => {
+      val e = emb(s, d)
+      val removed = e.filter(col("vec_id") % 13 === 0).select(col("vec_id"))
+      val added = e.filter(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + TextQueries.AddedDocIdOffset).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      graft.sources.KnnGraphArtifact.maintainCdcDelta(
+        s, e, d, added, removed, "cdcd")
+      graft.sources.KnnGraphArtifact.readDelta(s, e, d, "cdcd")
+        .orderBy(col("u"), col("v"))
+    }),
+
+    // SEMANTIC SPLIT ASSIGNMENT OFF THE PERSISTED SEMANTIC CLOSURE — the
+    // q146 consumer discipline one level up (r16 verdict item 3): q228
+    // reads the graph artifact but still pays pointer-jumping CC on every
+    // read (39.4 s at ×100, CC-bound); the θ=0.4 canonical table is now
+    // itself a write-once artifact (KnnGraphArtifact.materializeSemClosure,
+    // built once per snapshot off the persisted graph, bucketed by
+    // vec_id), and THIS consumer — leakage-safe splits in embedding
+    // space, so semantic near-dups never straddle train/val/test (q136's
+    // md5-bucket rule on the SEMANTIC canonical) — pays a bucketed scan
+    // plus per-row expression work, never an embed, a cell build, or a
+    // CC. Oracle = q228's recursive chain + the split rule, exact.
+    "q234_semantic_split" -> ((s, d) => {
+      val e = emb(s, d)
+      val cl = graft.sources.KnnGraphArtifact.readSemClosure(s, e, d)
+      cl.withColumn("bucket",
+          pmod(graft.text.TextOps.tokenHash60(col("canonical").cast("string")),
+            lit(100L)))
+        .select(col("vec_id"), col("canonical"), col("bucket"),
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy(col("vec_id"))
+    }),
+
     // IVF CELL-BALANCE REPORT — index-health diagnostics for the ANN
     // family (q28/q54/q112/q138/q170): per-cell population under the
     // corpus-derived k ∝ N codebook (q112's dial), reduced to the numbers
@@ -1642,6 +1699,143 @@ object VectorQueries {
          |  COALESCE(c.canonical, e.vec_id) <> e.vec_id AS pruned
          |FROM embeddings e LEFT JOIN comp c USING (vec_id)
          |ORDER BY e.vec_id""".stripMargin,
+    // kNN-graph CDC maintenance: the v1 chain (q220's CTEs — fine/f2c/
+    // ecoarse are the FROZEN books, af the frozen cells, refined2 the v1
+    // graph) + the full maintenance rule — tombstone drop, touched-list
+    // repair (reverse + neighbors-of-neighbors), added routed through the
+    // frozen books (the vc/af argmin shapes on the added table), one
+    // localized descent round, merge-on-read composition. Mirrors
+    // KnnGraphArtifact.maintainCdcDelta/readDelta clause for clause.
+    "q233_knn_maintenance" ->
+      s"""WITH $ivf2AfCte,
+         |$knnChainCte,
+         |mg1 AS MATERIALIZED (SELECT u, v, cos FROM refined2),
+         |maf0 AS MATERIALIZED (SELECT vec_id, cluster FROM af),
+         |mrem AS MATERIALIZED (
+         |  SELECT vec_id FROM embeddings WHERE vec_id % 13 = 0),
+         |madd AS MATERIALIZED (
+         |  SELECT vec_id + ${TextQueries.AddedDocIdOffset} AS vec_id,
+         |    list_transform(embedding, x -> -x) AS embedding
+         |  FROM embeddings WHERE vec_id % 11 = 0),
+         |me2 AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 13 <> 0
+         |  UNION ALL SELECT vec_id, embedding FROM madd),
+         |mg1s AS MATERIALIZED (
+         |  SELECT u, v, cos FROM mg1
+         |  WHERE u NOT IN (SELECT vec_id FROM mrem)
+         |    AND v NOT IN (SELECT vec_id FROM mrem)),
+         |mtu AS MATERIALIZED (
+         |  SELECT DISTINCT u FROM mg1
+         |  WHERE v IN (SELECT vec_id FROM mrem)
+         |    AND u NOT IN (SELECT vec_id FROM mrem)),
+         |mac AS (
+         |  SELECT vec_id, embedding, ccell FROM (
+         |    SELECT a.vec_id, a.embedding, c.ccell,
+         |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${l2Sql("a.embedding", "c.ccentroid")} ASC, c.ccell ASC) AS rn
+         |    FROM madd a CROSS JOIN ecoarse c) t
+         |  WHERE rn = 1),
+         |maf AS MATERIALIZED (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT v.vec_id, f.cell AS cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${l2Sql("v.embedding", "f.centroid")} ASC, f.cell ASC) AS rn
+         |    FROM mac v JOIN f2c f ON f.ccell = v.ccell) t
+         |  WHERE rn = 1),
+         |mscell AS MATERIALIZED (
+         |  SELECT vec_id, cluster FROM maf0 WHERE vec_id % 13 <> 0),
+         |mcadd AS (
+         |  SELECT a.vec_id AS u, s.vec_id AS v
+         |    FROM maf a JOIN mscell s USING (cluster)
+         |  UNION ALL
+         |  SELECT s.vec_id, a.vec_id FROM maf a JOIN mscell s USING (cluster)
+         |  UNION ALL
+         |  SELECT a.vec_id, b.vec_id FROM maf a JOIN maf b
+         |    ON a.cluster = b.cluster),
+         |mcrep AS (
+         |  SELECT g.v AS u, g.u AS v FROM mg1s g
+         |  WHERE g.v IN (SELECT u FROM mtu)
+         |  UNION ALL
+         |  SELECT a.u, b.v FROM mg1s a JOIN mg1s b ON a.v = b.u
+         |  WHERE a.u IN (SELECT u FROM mtu)),
+         |mcnew AS MATERIALIZED (
+         |  SELECT DISTINCT u, v FROM (
+         |    SELECT u, v FROM mcadd UNION ALL SELECT u, v FROM mcrep) t
+         |  WHERE u <> v
+         |    AND NOT EXISTS (SELECT 1 FROM mg1s g WHERE g.u = t.u AND g.v = t.v)),
+         |msc1 AS (
+         |  SELECT c.u, c.v, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM mcnew c JOIN me2 ea ON ea.vec_id = c.u
+         |  JOIN me2 eb ON eb.vec_id = c.v),
+         |mtchd AS MATERIALIZED (
+         |  SELECT DISTINCT u FROM (
+         |    SELECT u FROM mtu UNION ALL SELECT vec_id FROM madd
+         |    UNION ALL SELECT u FROM mcnew) t),
+         |mgpt AS MATERIALIZED (
+         |  SELECT u, v, cos FROM (
+         |    SELECT u, v, cos, ROW_NUMBER() OVER (PARTITION BY u
+         |      ORDER BY cos DESC, v ASC) AS rn
+         |    FROM (SELECT g.u, g.v, g.cos FROM mg1s g
+         |            WHERE g.u IN (SELECT u FROM mtchd)
+         |          UNION ALL SELECT u, v, cos FROM msc1) t0) t
+         |  WHERE rn <= 3),
+         |mgp AS MATERIALIZED (
+         |  SELECT u, v, cos FROM mg1s WHERE u NOT IN (SELECT u FROM mtchd)
+         |  UNION ALL SELECT u, v, cos FROM mgpt),
+         |mcl AS MATERIALIZED (
+         |  SELECT DISTINCT u, v FROM (
+         |    SELECT g.v AS u, g.u AS v FROM mgp g
+         |    WHERE g.v IN (SELECT u FROM mtchd)
+         |    UNION ALL
+         |    SELECT a.u, b.v FROM mgpt a JOIN mgp b ON a.v = b.u) t
+         |  WHERE u <> v
+         |    AND NOT EXISTS (SELECT 1 FROM mgp g WHERE g.u = t.u AND g.v = t.v)),
+         |msc2 AS (
+         |  SELECT c.u, c.v, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+         |  FROM mcl c JOIN me2 ea ON ea.vec_id = c.u
+         |  JOIN me2 eb ON eb.vec_id = c.v),
+         |mdg AS (
+         |  SELECT u, v, cos FROM (
+         |    SELECT u, v, cos, ROW_NUMBER() OVER (PARTITION BY u
+         |      ORDER BY cos DESC, v ASC) AS rn
+         |    FROM (SELECT u, v, cos FROM mgpt
+         |          UNION ALL SELECT u, v, cos FROM msc2) t0) t
+         |  WHERE rn <= 3)
+         |SELECT u, v, cos FROM (
+         |  SELECT u, v, cos FROM mg1
+         |  WHERE u NOT IN (SELECT vec_id FROM mrem)
+         |    AND u NOT IN (SELECT u FROM mtchd)
+         |  UNION ALL
+         |  SELECT u, v, cos FROM mdg) t
+         |ORDER BY u, v""".stripMargin,
+    // Semantic split off the persisted closure: q228's chain + q136's
+    // md5-bucket split rule on the SEMANTIC canonical.
+    "q234_semantic_split" ->
+      s"""WITH RECURSIVE $ivf2AfCte,
+         |$knnChainCte,
+         |sem AS (
+         |  SELECT u AS src, v AS dst FROM refined2 WHERE cos >= 0.4
+         |  UNION ALL
+         |  SELECT v, u FROM refined2 WHERE cos >= 0.4),
+         |reach(root, node) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM sem) t
+         |  UNION
+         |  SELECT r.root, e.dst FROM reach r JOIN sem e ON e.src = r.node),
+         |comp AS (SELECT root AS vec_id, MIN(node) AS canonical
+         |         FROM reach GROUP BY root),
+         |asg AS (
+         |  SELECT e.vec_id, COALESCE(c.canonical, e.vec_id) AS canonical
+         |  FROM embeddings e LEFT JOIN comp c USING (vec_id)),
+         |bkt AS (
+         |  SELECT vec_id, canonical,
+         |    CAST('0x' || substr(md5(CAST(canonical AS VARCHAR)), 1, 15)
+         |      AS BIGINT) % 100 AS bucket
+         |  FROM asg)
+         |SELECT vec_id, canonical, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM bkt ORDER BY vec_id""".stripMargin,
     "q187_prototype_prune" ->
       s"""WITH ${kmeansCte(8, 2)},
          |mem AS (

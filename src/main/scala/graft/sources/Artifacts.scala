@@ -50,23 +50,27 @@ object Artifacts {
       .map("%02x".format(_)).mkString.take(12)
   }
 
-  /** Write-once materialization: persist `build` bucketed+sorted on
-    * `keyCol` under `table` unless it already exists in the catalog.
-    *
-    * The default (in-memory) catalog is per-session but the warehouse
-    * directory persists: a previous session may have left the table's
-    * LOCATION behind with no catalog entry carrying its bucketing
-    * metadata. Orphaned data without metadata is unreadable as a bucketed
-    * table, so clear it and rebuild rather than fail on
-    * LOCATION_ALREADY_EXISTS.
-    */
-  def materializeBucketed(spark: SparkSession, table: String, keyCol: String,
-                          buckets: Int)(build: => DataFrame): String = {
+  /** Orphan-LOCATION cleanup shared by both materialization entry points
+    * (extracted per the r11 drift lesson — one copy, not two): the default
+    * (in-memory) catalog is per-session but the warehouse directory
+    * persists, so a previous session may have left the table's LOCATION
+    * behind with no catalog entry carrying its bucketing metadata.
+    * Orphaned data without metadata is unreadable as a bucketed table, so
+    * clear it and rebuild rather than fail on LOCATION_ALREADY_EXISTS. */
+  private def clearOrphanLocation(spark: SparkSession, table: String): Unit =
     if (!spark.catalog.tableExists(table)) {
       val warehouse = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table)
       val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(warehouse)) fs.delete(warehouse, true)
+    }
+
+  /** Write-once materialization: persist `build` bucketed+sorted on
+    * `keyCol` under `table` unless it already exists in the catalog. */
+  def materializeBucketed(spark: SparkSession, table: String, keyCol: String,
+                          buckets: Int)(build: => DataFrame): String = {
+    if (!spark.catalog.tableExists(table)) {
+      clearOrphanLocation(spark, table)
       Bucketing.writeBucketed(build, table, keyCol, buckets)
     }
     table
@@ -76,17 +80,10 @@ object Artifacts {
     * the CDC-batch action, NOT a cache probe. The write-once law above
     * governs SNAPSHOT builds (same fingerprint ⇒ same contents ⇒ skip);
     * maintenance advances a version, so re-running it must re-apply the
-    * delta, never silently return the stale table. Same orphan-location
-    * cleanup: a LOCATION left by a previous session with no catalog entry
-    * would fail saveAsTable. */
+    * delta, never silently return the stale table. */
   def rematerializeBucketed(spark: SparkSession, table: String, keyCol: String,
                             buckets: Int)(build: => DataFrame): String = {
-    if (!spark.catalog.tableExists(table)) {
-      val warehouse = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table)
-      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(warehouse)) fs.delete(warehouse, true)
-    }
+    clearOrphanLocation(spark, table)
     Bucketing.writeBucketed(build, table, keyCol, buckets)
     table
   }

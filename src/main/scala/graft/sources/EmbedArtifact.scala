@@ -60,6 +60,29 @@ object EmbedArtifact {
   def read(spark: SparkSession, docs: DataFrame, dir: String): DataFrame =
     spark.table(materialize(spark, docs, dir))
 
+  /** FROZEN (token, idf) table of the snapshot — ITS OWN fingerprinted,
+    * write-once artifact (r16 advice: the first r16 form re-derived idf
+    * from the full v1 corpus on EVERY maintenance call — a corpus-scale
+    * tokenize plus two aggregate shuffles hiding inside the "delta-sized"
+    * path; persisting the statistics the featurizer was frozen WITH makes
+    * maintenance compute genuinely delta-proportional). Bucketed by token
+    * — the key the delta's tf stream joins on. */
+  def idfTableName(docs: DataFrame, dir: String): String =
+    s"${tableName(docs, dir)}_idf"
+
+  /** Write-once idf materialization (one corpus-scale derivation, at v1
+    * build time or first maintenance — never per delta). */
+  def materializeIdf(spark: SparkSession, docs: DataFrame, dir: String,
+                     buckets: Int = 8): String =
+    Artifacts.materializeBucketed(spark, idfTableName(docs, dir), "token",
+      buckets)(VectorOps.hashEmbedIdf(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text"))
+
+  /** The frozen idf artifact as a DataFrame (token, idf), building it on
+    * first use. */
+  def readIdf(spark: SparkSession, docs: DataFrame, dir: String): DataFrame =
+    spark.table(materializeIdf(spark, docs, dir))
+
   /** DELTA-LAYOUT CDC maintenance of the embed artifact (the
     * [[DedupClosure.maintainCdcDelta]] shape for the vector family) under
     * the FROZEN-MODEL contract: the delta's documents are embedded with
@@ -72,12 +95,14 @@ object EmbedArtifact {
     * the maintenance writes are delta-sized: the added docs' vectors and
     * a tombstone list; [[readDelta]] composes v2 merge-on-read. Unseen
     * delta vocabulary carries weight 0 (the frozen-featurizer OOV rule,
-    * see hashEmbedLongWithIdf). */
+    * see hashEmbedLongWithIdf). The idf statistics come from the
+    * PERSISTED [[readIdf]] artifact, so a maintenance call's compute is
+    * the delta tokenize + a delta-tf × idf-artifact join — nothing
+    * corpus-scale (r16 advice executed). */
   def maintainCdcDelta(spark: SparkSession, v1docs: DataFrame, dir: String,
                        added: DataFrame, removed: DataFrame, tag: String,
                        buckets: Int = 8): (String, String) = {
-    val idf = VectorOps.hashEmbedIdf(
-      v1docs.select(col("doc_id"), col("text")), "doc_id", "text")
+    val idf = readIdf(spark, v1docs, dir)
     val embD = Artifacts.rematerializeBucketed(spark,
       s"${tableName(v1docs, dir)}_${tag}_demb", "vec_id", buckets)(
       VectorOps.hashEmbedLongWithIdf(added, "doc_id", "text", Dim, idf)

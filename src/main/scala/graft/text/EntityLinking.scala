@@ -260,17 +260,22 @@ object EntityLinking {
         col("score"), col("rn")): _*)
   }
 
-  /** V3 — prior × context-cosine argmax per mention. PRIOR BACKOFF: a
-    * candidate whose doc or entity has no vector keeps its prior as the
-    * score (cos treated as neutral 1.0) instead of being dropped — the
-    * standard graceful degradation when the embedding store lags the
-    * entity store. On a corpus whose vector tables cover every doc/entity
-    * (the driver testdata — ids dense modulo nvec) the backoff never
-    * fires and results are identical to the inner-join form; under an
-    * id-strided replica namespace (ScaleBench) the old inner joins
-    * silently emptied the whole linking output (measured r16: q34 = 0
-    * rows at ×10 because every top-8 entity of the one cross-table alias
-    * lost its vector under % nvec). */
+  /** V3 — prior × context-cosine argmax per mention. TWO-TIER PRIOR
+    * BACKOFF: a candidate whose doc or entity has no vector keeps its
+    * prior as the score instead of being dropped — the standard graceful
+    * degradation when the embedding store lags the entity store — but it
+    * ranks STRICTLY BELOW every fully-scored candidate of the same
+    * mention (leading `has_cos DESC` sort key). The r16 form scored
+    * missing-vector candidates prior·1.0 — the MAXIMUM of the cosine
+    * range — so under partial vector coverage the argmax systematically
+    * preferred unembedded entities (r16 advice); under this rule the
+    * backoff decides only when NO candidate of the mention is scored
+    * (rank by prior — the correct vector-free fallback). On a corpus
+    * whose vector tables cover every doc/entity (the driver testdata —
+    * ids dense modulo nvec) neither tier fires differently and results
+    * equal the inner-join form; under an id-strided replica namespace
+    * (ScaleBench) the pre-backoff inner joins silently emptied the whole
+    * linking output (measured r16: q34 = 0 rows at ×10). */
   def disambiguate(candidates: DataFrame, docVecs: DataFrame,
                    entVecs: DataFrame,
                    cosineFn: (Column, Column) => Column = VectorOps.cosine): DataFrame = {
@@ -286,7 +291,8 @@ object EntityLinking {
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id"), col("pos"))
-          .orderBy(col("score").desc, col("entity").asc)))
+          .orderBy(col("ctx_cos").isNotNull.desc, col("score").desc,
+            col("entity").asc)))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("pos"), col("token"), col("entity"),
         col("prior"), col("score"))
