@@ -317,13 +317,22 @@ object TextQueries {
     // corpus (that side is the cheap tier and sampling it would change
     // what is being audited) and then restricted to pairs with BOTH
     // endpoints sampled — pair-level truth samples at rate², so the exact
-    // tier costs ~1/4 of q206's at rate 1/2, and precision/recall are
-    // unbiased estimators of the corpus numbers. `n_sampled` prices the
-    // estimate beside it (the q197 self-pricing discipline).
+    // tier costs ~rate² of q206's, and precision/recall are unbiased
+    // estimators of the corpus numbers. `n_sampled` prices the estimate
+    // beside it (the q197 self-pricing discipline). r17: the modulus is
+    // DECADE-ADAPTIVE (the q220/q221 rule, applied after SCALE_r17's
+    // first q214 run measured 29.7 → 249.1 s at ×30 → ×100 — the fixed
+    // rate-1/2 exact tier keeps a (N/2)² pair term): mod = max(2, N/2500)
+    // pins the audited doc count at ~2500 as the corpus grows, so the
+    // exact tier's pair mass is FLAT at any scale while the audited LSH
+    // side stays the full-corpus production pair set. At the sf0.01 gate
+    // corpus and the sf0.1 ×1 base N/2500 < 2, so mod = 2 — the gate
+    // hash and the ×1 curve point are unchanged by the dial.
     "q214_lsh_recall_sampled" -> ((s, d) => {
       val dd = docs(s, d)
+      val mod = math.max(2L, dd.count() / 2500L)
       val sampled = dd.filter(
-        pmod(TextOps.tokenHash60(col("doc_id").cast("string")), lit(2L))
+        pmod(TextOps.tokenHash60(col("doc_id").cast("string")), lit(mod))
           === 0L)
       val keep = sampled.select(col("doc_id"))
       val exact = DedupOps.jaccardPairsPrefix(sampled, "doc_id", "text", 3, 0.5)
@@ -3928,7 +3937,8 @@ object TextQueries {
          |samp AS (
          |  SELECT doc_id FROM documents
          |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-         |        AS BIGINT) % 2 = 0),
+         |        AS BIGINT)
+         |        % greatest(2, (SELECT COUNT(*) FROM documents) // 2500) = 0),
          |shs AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN samp USING (doc_id)),
          |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shs GROUP BY doc_id),
          |common AS (
