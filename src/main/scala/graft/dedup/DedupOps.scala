@@ -125,9 +125,19 @@ object DedupOps {
     // per-doc shingle SET as an array column (map-side, no shuffle): the
     // prefix filter works on the exploded form, the exact verify intersects
     // the arrays per candidate pair — two equi-joins + per-row expression
-    // work instead of re-exploding both sides and re-aggregating counts
-    val docSets = docs.select(col(idCol).as("doc_id"),
-      graft.text.TextOps.shingles(col(textCol), n).as("sh_arr")).cache()
+    // work instead of re-exploding both sides and re-aggregating counts.
+    // r17: (a) the scan is FANNED OUT (guide §2.5 — the single-file scan
+    // serialized the shingle build onto one core); (b) eagerly materialized
+    // via localCheckpoint, NOT a lazy cache — docSets feeds THREE broadcast
+    // subtrees (freq under AQE, both verify sides), whose concurrent
+    // driver-pool build jobs each recomputed the full shingle pass when
+    // they lost the lazy-cache block race (measured: 6 × 3.7 s single-task
+    // rebuilds of this subtree inside one q22 run — the hybridLinking
+    // lesson applied here).
+    val docSets = graft.sources.Layout.fanOutScan(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        graft.text.TextOps.shingles(col(textCol), n).as("sh_arr"))
+      .localCheckpoint()
     val sh = docSets.select(col("doc_id"), size(col("sh_arr")).as("n_sh"),
       explode(col("sh_arr")).as("shingle"))
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
@@ -147,9 +157,7 @@ object DedupOps {
         (size(col("sa")) + size(col("sb")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("da"), col("db"), col("jaccard"))
-    val out = pairs.localCheckpoint()
-    docSets.unpersist()
-    out
+    pairs.localCheckpoint()
   }
 
   /** Modulus of the universal MinHash family (2^28: products stay far below
@@ -291,17 +299,47 @@ object DedupOps {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Per-doc array signatures straight off the text column via the NATIVE
+    * fused expression ([[graft.functions.MinhashSignature]]) — value- and
+    * row-set-identical to `minhashSignatureArray(shingleTable(...), k)`
+    * (law-pinned in DedupSpec): the explode+groupBy form emits one row per
+    * doc with ≥ 1 shingle, so the native form filters on the same
+    * `size(tokens) ≥ n` condition (≥ n tokens ⇔ ≥ 1 shingle) BEFORE the
+    * fan-out, where it is a cheap split in the pushed-down scan.
+    *
+    * Why (guide §2.4 remove-the-shuffle + §4.1 prefer-codegen): the
+    * relational form explodes every shingle OCCURRENCE and shuffles the
+    * (doc_id, hs) table into k min-aggregates — a corpus-scale exchange
+    * whose map side (one md5 per shingle) also ran single-task on narrow
+    * scans. The native expression computes the identical signature in one
+    * fused per-row loop: no explode, no exchange, and the md5 work rides
+    * the fanned-out scan ([[graft.sources.Layout.fanOutScan]]). */
+  def minhashSignatureRows(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    graft.sources.Layout.fanOutScan(
+        docs.filter(org.apache.spark.sql.functions.size(
+          TextOps.tokens(col(textCol))) >= n), col(idCol))
+      .select(col(idCol).as("doc_id"),
+        minhashSignatureNative(col(textCol), n, k).as("sig"))
+  }
+
   /** Full MinHash+LSH near-dup pipeline: candidates from band buckets,
     * verified with the exact per-position signature agreement estimate.
-    * Output: (da, db, est_jaccard) with est >= threshold. */
+    * Output: (da, db, est_jaccard) with est >= threshold.
+    *
+    * r17: signatures come from [[minhashSignatureRows]] (fused native
+    * expression over the fanned-out scan — one corpus exchange REMOVED vs
+    * the explode+groupBy form; values identical, oracles untouched), and
+    * the signature table is eagerly materialized (localCheckpoint, not a
+    * lazy cache) because it feeds both banded self-join sides plus two
+    * verify joins — under AQE those sides broadcast, and concurrent
+    * broadcast-build jobs racing a lazy cache each recompute the signature
+    * pass (the q22/hybridLinking lesson). */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n)
-    val sig = minhashSignatureArray(sh, k).cache()
-    val out = minhashPairsFromSignatures(sig, k, rowsPerBand, threshold)
-      .localCheckpoint()
-    sig.unpersist()
-    out
+    val sig = minhashSignatureRows(docs, idCol, textCol, n, k).localCheckpoint()
+    minhashPairsFromSignatures(sig, k, rowsPerBand, threshold).localCheckpoint()
   }
 
   /** MinHash signature as a single per-row EXPRESSION over the text column

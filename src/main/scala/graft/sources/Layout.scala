@@ -25,6 +25,27 @@ import org.apache.spark.sql.functions.col
   */
 object Layout {
 
+  /** SCALE-ADAPTIVE SCAN FAN-OUT (optimization guide §2.5 "input skew: one
+    * huge unsplittable file", §2.6 idle capacity): a scan whose file layout
+    * yields fewer partitions than the cluster has cores serializes every
+    * map-side expression above it — md5 shingling, cosine folds, AC scans —
+    * onto that partition count. The driver tables are one single-row-group
+    * parquet file each, so every CPU-heavy scan stage in the suite ran
+    * 1-of-N-cores (measured: q23's signature stage = 4.7 s in ONE task on
+    * local[32]). When (and only when) the scan is narrower than the core
+    * count, hash-repartition on the row key up to defaultParallelism — one
+    * exchange of an input that is small BY CONSTRUCTION (a large input
+    * already scans wide) buys full-width execution of everything above it.
+    * At production scale the gate no-ops: a 100 TB table scans as thousands
+    * of splits, `getNumPartitions ≥ cores`, and no exchange is added.
+    * Deterministic (hash partitioning on the key column, not round-robin),
+    * so task retries cannot reshuffle rows (guide §2.5 SPARK-38388 note)
+    * and downstream per-row/fixed-point results are unchanged. */
+  def fanOutScan(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, key) else df
+  }
+
   def writePartitionedSorted(df: DataFrame, dir: String,
                              partCol: String, sortCols: Seq[String]): Unit =
     df.repartition(col(partCol))
