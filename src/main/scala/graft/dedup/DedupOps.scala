@@ -34,9 +34,13 @@ object DedupOps {
         col(idCol) === min(col(idCol)).over(Window.partitionBy(col("fp_md5"))))
   }
 
-  /** Exploded (doc_id, shingle) long table — the shuffle-friendly form. */
+  /** Exploded (doc_id, shingle) long table — the shuffle-friendly form.
+    * r17: the scan is fanned out ([[graft.sources.Layout.fanOutScan]]) so
+    * the explode + per-shingle hashing above it runs cluster-wide instead
+    * of at the (possibly single-task) scan width; a no-op on wide scans. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    graft.sources.Layout.fanOutScan(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
         explode(TextOps.shingles(col(textCol), n)).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs (da < db, jaccard >= threshold).
@@ -398,8 +402,12 @@ object DedupOps {
     * Docs with fewer than w gram hashes (< w + k − 1 tokens) yield NO
     * fingerprints — below the guarantee's detectable-match length.
     * Output: (doc_id, fp) exploded, distinct per doc. */
-  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+  def winnowFingerprints(docs0: DataFrame, idCol: String, textCol: String,
                          k: Int, w: Int): DataFrame = {
+    // fan out the scan: one md5 per gram × O(m·w) window mins is the
+    // suite's densest per-row expression — measured 3.9 s in ONE task on
+    // the single-file driver scan (guide §2.5)
+    val docs = graft.sources.Layout.fanOutScan(docs0, col(idCol))
     val hs = transform(TextOps.ngramsOf(TextOps.tokens(col(textCol)), k),
       g => minhashBase(g))
     val fps = get(transform(array(hs), hsV =>
@@ -451,7 +459,8 @@ object DedupOps {
     * than over 32 (that is the point: the 32-bit tier's selectivity was
     * partly band-collision noise). */
   def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
+    val tok = graft.sources.Layout.fanOutScan(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", TextOps.tokenHash60(col("token")))
@@ -493,7 +502,7 @@ object DedupOps {
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = docs
+    val wins = graft.sources.Layout.fanOutScan(docs, col(idCol))
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= w)
       .select(col("doc_id"),
@@ -523,7 +532,8 @@ object DedupOps {
     * signed contributions → per-(doc, bit) sum → pack bits into one long.
     * Every stage is a hash aggregation with map-side combine. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
+    val tok = graft.sources.Layout.fanOutScan(docs, col(idCol))
+      .select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("cnt"))
       .withColumn("h", conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"))

@@ -308,8 +308,7 @@ object StreamingQueries {
       import graft.dedup.DedupOps
       graft.functions.GraftFunctions.register(s)
       val corpus = Tables.documents(s, d).filter(col("source") === "src0")
-      val sigC = DedupOps.minhashSignatureArray(
-        DedupOps.shingleTable(corpus, "doc_id", "text", 3), 32)
+      val sigC = DedupOps.minhashSignatureRows(corpus, "doc_id", "text", 3, 32)
         .localCheckpoint()
       val staticSide = DedupOps.bandedBuckets(sigC, 32, 4)
         .join(sigC, Seq("doc_id"))

@@ -488,8 +488,7 @@ object TextQueries {
           .select((col("doc_id") + AddedDocIdOffset).as("doc_id"),
             array_join(slice(w, lit(1), pfx.cast("int")), " ").as("text")))
       val exact = DedupOps.jaccardPairsPrefix(dd2, "doc_id", "text", 3, 0.25)
-      val bands = DedupOps.minhashSignatureArray(
-          DedupOps.shingleTable(dd2, "doc_id", "text", 3), 32)
+      val bands = DedupOps.minhashSignatureRows(dd2, "doc_id", "text", 3, 32)
         .select(col("doc_id"),
           DedupOps.bandBuckets(col("sig"), 32, 4).as("bs"))
         .localCheckpoint() // joined twice (da and db sides)
@@ -534,7 +533,7 @@ object TextQueries {
     // top-50 by (score, doc_id) — a TakeOrdered, never a full sort.
     "q217_dsir_weights" -> ((s, d) => {
       import graft.functions.IntLn
-      val toks = docs(s, d)
+      val toks = graft.sources.Layout.fanOutScan(docs(s, d), col("doc_id"))
         .select(col("doc_id"), col("source"),
           explode(TextOps.tokens(col("text"))).as("token"))
         .withColumn("b", pmod(TextOps.tokenHash60(col("token")), lit(256L)))
@@ -995,12 +994,16 @@ object TextQueries {
       import graft.text.Bloom
       val k = 4; val m = 1 << 18
       val dd = docs(s, d)
-      val bench = dd.filter(col("source") === "src0")
+      val bench = graft.sources.Layout.fanOutScan(
+          dd.filter(col("source") === "src0"), col("doc_id"))
         .select(explode(TextOps.shingles(col("text"), 8)).as("gram"))
         .distinct()
         .localCheckpoint() // feeds BOTH the bit table and the exact probe
       val bitTable = Bloom.bits(bench, "gram", k, m)
-      val train = dd.filter(col("source") =!= "src0")
+      // fanned out: the k salted md5 probes per gram ran single-task on the
+      // narrow scan (5.3 s measured in one q153 run)
+      val train = graft.sources.Layout.fanOutScan(
+        dd.filter(col("source") =!= "src0"), col("doc_id"))
       val grams = train.select(col("doc_id"),
         explode(TextOps.shingles(col("text"), 8)).as("gram"))
       val bloomHits = Bloom.mightContain(grams, "gram", bitTable, k, m)
@@ -1258,9 +1261,14 @@ object TextQueries {
     // docs' shingle sets (semi-join pushdown), and both containment
     // directions are emitted. The oracle applies the identical blocking.
     "q121_containment_pairs" -> ((s, d) => {
-      val sh = docs(s, d).select(col("doc_id"),
+      // r17: fanned-out scan (guide §2.5) + eager materialization — sh is
+      // referenced six times across sizes/rare/rsh²/shc²; un-materialized,
+      // the explode subtree re-ran per reference (3 × 4 s measured)
+      val sh = graft.sources.Layout.fanOutScan(docs(s, d), col("doc_id"))
+        .select(col("doc_id"),
           explode(TextOps.shingles(col("text"), 3)).as("shingle"))
         .distinct()
+        .localCheckpoint()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 5).select(col("shingle"))
@@ -1314,10 +1322,10 @@ object TextQueries {
       // (batch, corpus) candidate only in its FIRST colliding band, so
       // there is no pair-level distinct, and the verify is one zip_with
       // over the two cached arrays — no k-row-per-side join traffic.
-      val sigC = DedupOps.minhashSignatureArray(
-        DedupOps.shingleTable(corpus, "doc_id", "text", 3), 32).cache()
-      val sigB = DedupOps.minhashSignatureArray(
-        DedupOps.shingleTable(batch, "doc_id", "text", 3), 32).cache()
+      val sigC = DedupOps.minhashSignatureRows(corpus, "doc_id", "text", 3, 32)
+        .localCheckpoint()
+      val sigB = DedupOps.minhashSignatureRows(batch, "doc_id", "text", 3, 32)
+        .localCheckpoint()
       val dupOfCorpus = DedupOps
         .crossPairsFromSignatures(sigB, sigC, 32, 4, 0.5)
         .groupBy(col("ida").as("doc_id"))
@@ -1329,7 +1337,6 @@ object TextQueries {
         .minhashPairsFromSignatures(survivorSig, 32, 4, 0.5)
         .select(col("da").as("src"), col("db").as("dst"))
         .localCheckpoint()
-      sigB.unpersist(); sigC.unpersist()
       val comp = graft.graph.GraphOps.connectedComponentsDF(pairsS)
       val batchSide = batch.join(dupOfCorpus, Seq("doc_id"), "left_anti")
         .join(comp, col("doc_id") === col("id"), "left")
@@ -1378,8 +1385,8 @@ object TextQueries {
       // slower than the full rebuild at ×100 (DedupClosure.sigTableName
       // scaladoc); only the DELTA's signatures are computed per refresh
       val sigOld = graft.sources.DedupClosure.readSignatures(s, v1, d)
-      val sigNew = DedupOps.minhashSignatureArray(
-        DedupOps.shingleTable(added, "doc_id", "text", 3), 32).cache()
+      val sigNew = DedupOps.minhashSignatureRows(added, "doc_id", "text", 3, 32)
+        .localCheckpoint() // referenced twice (new×old probe + new×new)
       val newOld = DedupOps.crossPairsFromSignatures(sigNew, sigOld, 32, 4, 0.5)
         .select(col("ida").as("src"), col("idb").as("dst"))
       val newNew = DedupOps.minhashPairsFromSignatures(sigNew, 32, 4, 0.5)
@@ -1388,7 +1395,6 @@ object TextQueries {
         .select(col("doc_id").as("src"), col("canonical").as("dst"))
       val edges = star.unionByName(newOld).unionByName(newNew)
         .localCheckpoint()
-      sigNew.unpersist()
       val comp = graft.graph.GraphOps.connectedComponentsDF(edges)
         .withColumnRenamed("id", "doc_id")
       v1.select(col("doc_id")).unionByName(added.select(col("doc_id")))
@@ -1628,10 +1634,10 @@ object TextQueries {
         .select(col("doc_id"), col("text"))
       val train = dd.filter(col("source") =!= "src0")
         .select(col("doc_id"), col("text"))
-      val sigBn = DedupOps.minhashSignatureArray(
-        DedupOps.shingleTable(bench, "doc_id", "text", 3), 32).cache()
-      val sigT = DedupOps.minhashSignatureArray(
-        DedupOps.shingleTable(train, "doc_id", "text", 3), 32).cache()
+      val sigBn = DedupOps.minhashSignatureRows(bench, "doc_id", "text", 3, 32)
+        .localCheckpoint()
+      val sigT = DedupOps.minhashSignatureRows(train, "doc_id", "text", 3, 32)
+        .localCheckpoint()
       // first-collision cross probe (DedupOps.crossPairsFromSignatures,
       // shared with q125): one emission per candidate, verify via zip_with
       // over the cached per-doc signature arrays
@@ -1641,9 +1647,7 @@ object TextQueries {
           max(col("est_jaccard")).as("max_est"),
           min(col("idb")).as("first_bench"))
         .orderBy(col("doc_id"))
-        .localCheckpoint()
-      sigBn.unpersist(); sigT.unpersist()
-      out
+      out.localCheckpoint()
     }),
 
     // CROSS-SOURCE LEAKAGE REPORT: the q23 near-dup pair graph joined back
@@ -2480,8 +2484,8 @@ object TextQueries {
     // scans. Inherits q23's blocking contract (candidates must share a
     // band — sweeping UP from the floor only ever filters).
     "q175_dedup_threshold_sweep" -> ((s, d) => {
-      val sig = DedupOps.minhashSignatureArray(
-        DedupOps.shingleTable(docs(s, d), "doc_id", "text", 3), 32)
+      val sig = DedupOps.minhashSignatureRows(docs(s, d), "doc_id", "text", 3, 32)
+        .localCheckpoint() // three plan references (bands ×2, verify ×2)
       val pairs = DedupOps.minhashPairsFromSignatures(sig, 32, 4, 0.5)
         .localCheckpoint()
       val thr = s.range(5).select(

@@ -744,7 +744,12 @@ object VectorQueries {
       // re-scored, each descent round pays the embedding joins only for
       // pairs it has not seen.
       import graft.sources.KnnGraphArtifact
-      val e = emb(s, d).select(col("vec_id"), col("embedding"))
+      graft.functions.GraftFunctions.register(s)
+      // r17: fanned out BEFORE the checkpoint — every scoring join and the
+      // exact-audit broadcast-NL stage inherits this table's width, and the
+      // single-file scan pinned them all to one task (guide §2.5)
+      val e = graft.sources.Layout.fanOutScan(
+          emb(s, d).select(col("vec_id"), col("embedding")), col("vec_id"))
         .localCheckpoint() // feeds cells, scoring joins, and the exact side
       val n = e.count()
       val (sc0, refined, refined2) = KnnGraphArtifact.stages(e)
@@ -757,7 +762,11 @@ object VectorQueries {
         .select(col("vec_id").as("u"), col("embedding").as("eu"))
         .join(e.select(col("vec_id").as("v"), col("embedding").as("ev")),
           col("u") =!= col("v"))
-        .withColumn("cos", VectorOps.cosine(col("eu"), col("ev"))))
+        // native codegen cosine — bit-identical to the HOF fold
+        // (CosineSpec); the audit's N_audited×N pass was the query's
+        // single largest stage as an interpreted fold
+        .withColumn("cos",
+          call_function("cosine_sim", col("eu"), col("ev"))))
       exact.select(col("u"), col("v"))
         .join(init.select(col("u"), col("v"), lit(true).as("i")),
           Seq("u", "v"), "left")

@@ -102,8 +102,7 @@ object DedupClosure {
   def materializeSignatures(spark: SparkSession, docs: DataFrame, dir: String,
                             buckets: Int = 8): String =
     Artifacts.materializeBucketed(spark, sigTableName(docs, dir), "doc_id",
-      buckets)(DedupOps.minhashSignatureArray(
-        DedupOps.shingleTable(docs, "doc_id", "text", 3), 32))
+      buckets)(DedupOps.minhashSignatureRows(docs, "doc_id", "text", 3, 32))
 
   /** The signature artifact as a DataFrame (doc_id, sig), building on
     * first use. */
@@ -142,15 +141,14 @@ object DedupClosure {
     val repaired = DedupOps.minhashPairsFromSignatures(sigT, 32, 4, 0.5)
       .select(col("da").as("src"), col("db").as("dst"))
     val sigS = sigAll.join(removed, Seq("doc_id"), "left_anti")
-    val sigN = DedupOps.minhashSignatureArray(
-      DedupOps.shingleTable(added, "doc_id", "text", 3), 32).cache()
+    val sigN = DedupOps.minhashSignatureRows(added, "doc_id", "text", 3, 32)
+      .localCheckpoint() // referenced twice (new×old probe + new×new)
     val newOld = DedupOps.crossPairsFromSignatures(sigN, sigS, 32, 4, 0.5)
       .select(col("ida").as("src"), col("idb").as("dst"))
     val newNew = DedupOps.minhashPairsFromSignatures(sigN, 32, 4, 0.5)
       .select(col("da").as("src"), col("db").as("dst"))
     val edges = starUntouched.unionByName(repaired)
       .unionByName(newOld).unionByName(newNew).localCheckpoint()
-    sigN.unpersist()
     val comp = GraphOps.connectedComponentsDF(edges)
       .withColumnRenamed("id", "doc_id")
     survivors.select(col("doc_id"))
@@ -180,8 +178,8 @@ object DedupClosure {
       s"${sigTableName(v1, dir)}_$tag", "doc_id", buckets)(
       readSignatures(spark, v1, dir)
         .join(removed, Seq("doc_id"), "left_anti")
-        .unionByName(DedupOps.minhashSignatureArray(
-          DedupOps.shingleTable(added, "doc_id", "text", 3), 32)))
+        .unionByName(DedupOps.minhashSignatureRows(
+          added, "doc_id", "text", 3, 32)))
     val cloV2 = Artifacts.rematerializeBucketed(spark,
       s"${tableName(v1, dir)}_$tag", "doc_id", buckets)(
       refreshCdc(spark, v1, dir, survivors, added, removed))
@@ -215,8 +213,7 @@ object DedupClosure {
                        buckets: Int = 8): (String, String, String) = {
     val sigD = Artifacts.rematerializeBucketed(spark,
       s"${sigTableName(v1, dir)}_${tag}_dsig", "doc_id", buckets)(
-      DedupOps.minhashSignatureArray(
-        DedupOps.shingleTable(added, "doc_id", "text", 3), 32))
+      DedupOps.minhashSignatureRows(added, "doc_id", "text", 3, 32))
     val tomb = Artifacts.rematerializeBucketed(spark,
       s"${tableName(v1, dir)}_${tag}_tomb", "doc_id", 1)(removed)
     val v2 = refreshCdc(spark, v1, dir, survivors, added, removed)

@@ -40,13 +40,19 @@ object KnnGraphArtifact {
   /** Neighbors kept per vector — q220's dial. */
   val K = 3
 
-  /** Attach exact cosines to a candidate edge table (u, v). */
-  def score(e: DataFrame, cand: DataFrame): DataFrame = cand
-    .join(e.select(col("vec_id").as("u"), col("embedding").as("eu")),
-      Seq("u"))
-    .join(e.select(col("vec_id").as("v"), col("embedding").as("ev")),
-      Seq("v"))
-    .withColumn("cos", VectorOps.cosine(col("eu"), col("ev")))
+  /** Attach exact cosines to a candidate edge table (u, v). r17: the
+    * cosine is the NATIVE codegen expression (bit-identical to the HOF
+    * fold by CosineSpec, ~30× less per-row work — guide §4.1): every
+    * build/maintenance scoring pass runs it once per candidate edge. */
+  def score(e: DataFrame, cand: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    cand
+      .join(e.select(col("vec_id").as("u"), col("embedding").as("eu")),
+        Seq("u"))
+      .join(e.select(col("vec_id").as("v"), col("embedding").as("ev")),
+        Seq("v"))
+      .withColumn("cos", call_function("cosine_sim", col("eu"), col("ev")))
+  }
 
   /** Per-u top-K by (cos desc, v asc) — the shared total order that makes
     * per-round recall monotone (see q220's scaladoc). */
@@ -102,11 +108,21 @@ object KnnGraphArtifact {
       .withColumn("rn", row_number().over(Window.partitionBy(col("u"))
         .orderBy(col("v").asc)))
       .filter(col("rn") <= 3).select(col("u"), col("v"))
-    val g0 = topK(score(e, cellCand)).select(col("u"), col("v"))
-      .unionByName(rndEdges).distinct()
-      .localCheckpoint() // reused: the sc0 scoring pass + rev/nbr sets
-    // every g0 edge scored ONCE; init and round 1 both read this table
-    val sc0 = score(e, g0).select(col("u"), col("v"), col("cos"))
+    // r17 (guide §2.4 — don't recompute what a prior stage already paid
+    // for): the warm-start used to build g0 = topK(score(cellCand)) ∪
+    // rndEdges as a PAIR set and then re-score the WHOLE union — the
+    // within-cell edges paid the two embedding joins + cosine twice. Keep
+    // the scored within-cell top-K as-is and score only the random-bucket
+    // edges not already in it: the (u, v) set and every cosine are
+    // identical (same expression over the same embeddings), so q220's gate
+    // and the persisted artifact are unchanged, but one O(N·K) scoring
+    // pass (two corpus-side joins) is removed from the build.
+    val cellTop = topK(score(e, cellCand)).localCheckpoint()
+    val rndNew = rndEdges
+      .join(cellTop.select(col("u"), col("v")), Seq("u", "v"), "left_anti")
+    // every edge scored ONCE; init and round 1 both read this table
+    val sc0 = cellTop
+      .unionByName(score(e, rndNew).select(col("u"), col("v"), col("cos")))
       .localCheckpoint()
     val refined = descend(e, sc0)
       .localCheckpoint() // feeds round 2's three subtrees (+ q220's flag join)

@@ -49,8 +49,9 @@ object TokenArtifact {
                           buckets: Int = 8): String =
     Artifacts.materializeBucketed(spark, shingleTableName(docs, dir),
       "doc_id", buckets)(
-      docs.select(col("doc_id"), col("source"),
-        explode(TextOps.shingles(col("text"), 3)).as("shingle")))
+      Layout.fanOutScan(docs, col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.shingles(col("text"), 3)).as("shingle")))
 
   /** Write-once (doc_id, source, token) materialization — whitespace
     * tokens with repeats (the exact [[TextOps.tokens]] stream). */
@@ -58,8 +59,9 @@ object TokenArtifact {
                         buckets: Int = 8): String =
     Artifacts.materializeBucketed(spark, tokenTableName(docs, dir),
       "doc_id", buckets)(
-      docs.select(col("doc_id"), col("source"),
-        explode(TextOps.tokens(col("text"))).as("token")))
+      Layout.fanOutScan(docs, col("doc_id"))
+        .select(col("doc_id"), col("source"),
+          explode(TextOps.tokens(col("text"))).as("token")))
 
   /** The shingle view (doc_id, source, shingle), building on first use. */
   def readShingles(spark: SparkSession, docs: DataFrame, dir: String): DataFrame =

@@ -32,9 +32,12 @@ object CountMin {
       16, 10).cast("long"), lit(w.toLong))
 
   /** Sketch build over a (token) occurrence stream: (r, idx, c) with
-    * d·w rows at most. */
+    * d·w rows at most. r17: the input is fanned out
+    * ([[graft.sources.Layout.fanOutScan]]) — the d salted md5 hashes per
+    * occurrence ran at scan width (single-task on the narrow driver files,
+    * 5.3 s measured in one q156 run); a no-op on wide scans. */
   def sketch(tokens: DataFrame, d: Int, w: Int): DataFrame =
-    tokens
+    graft.sources.Layout.fanOutScan(tokens, col("token"))
       .select(col("token"), explode(sequence(lit(0), lit(d - 1))).as("r"))
       .select(col("r"), rowHash(col("r"), col("token"), w).as("idx"))
       .groupBy(col("r"), col("idx")).agg(count(lit(1)).as("c"))

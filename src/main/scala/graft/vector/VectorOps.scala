@@ -116,12 +116,18 @@ object VectorOps {
     * Output: (query_id, neighbor_id, cosine, rn). */
   def knnBruteForce(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
-    val scored = corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb"))
+    // fanned out: the broadcast-NL scoring stage inherits the corpus scan's
+    // width (single-task on the narrow driver files); cosine is the native
+    // codegen twin (bit-identical by CosineSpec)
+    val scored = graft.sources.Layout.fanOutScan(
+        corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("c_emb")), col("neighbor_id"))
       .join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cosine",
+        call_function("cosine_sim", col("q_emb"), col("c_emb")))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -215,7 +221,9 @@ object VectorOps {
     * ([[graft.functions.CosineSimilarity]]) — bit-identical results. */
   def cosinePairs(vecs: DataFrame, threshold: Double,
                   cosineFn: (Column, Column) => Column = cosine): DataFrame = {
-    val a = vecs.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    // fanned out: the O(N²) scoring stage streams side `a` at scan width
+    val a = graft.sources.Layout.fanOutScan(
+      vecs.select(col("vec_id").as("ia"), col("embedding").as("ea")), col("ia"))
     val b = vecs.select(col("vec_id").as("ib"), col("embedding").as("eb"))
     a.join(b, col("ia") < col("ib"))
       .withColumn("cosine", cosineFn(col("ea"), col("eb")))
@@ -354,11 +362,13 @@ object VectorOps {
           .orderBy(col("dist").asc, col("cell").asc)))
       .filter(col("crn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cell"))
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val list = corpus.select(col(cellCol).as("cell"),
       col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     broadcast(assigned).join(list, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cosine",
+        call_function("cosine_sim", col("q_emb"), col("c_emb")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id").asc)))
@@ -496,7 +506,10 @@ object VectorOps {
     *
     * @return (vec_id, cluster) — cluster ids are fine-seed vec_ids */
   def ivf2Assign(vecs: DataFrame, k: Int, c: Int): DataFrame = {
-    val v = vecs.select(col("vec_id"), col("embedding"))
+    // r17: fanned out — the two argmin passes are the per-row hot loop and
+    // ran at scan width (3.5 s single-task measured in q220's warm start)
+    val v = graft.sources.Layout.fanOutScan(
+      vecs.select(col("vec_id"), col("embedding")), col("vec_id"))
     val (gbook, ebookRow) = ivf2Books(vecs, k, c)
     val withCoarse = v.crossJoin(broadcast(ebookRow))
       .withColumn("ccell",
