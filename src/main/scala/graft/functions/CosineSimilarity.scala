@@ -106,6 +106,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.cosineSim)
     ext.injectFunction(GraftFunctions.lshSignatureSalted)
     ext.injectFunction(GraftFunctions.minhashSignature)
+    ext.injectFunction(GraftFunctions.simhash32)
     ext.injectFunction(AcFunctions.acSpans)
     ext.injectFunction(CounterMapFunctions.counterMap)
   }
@@ -135,6 +136,11 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         MinhashSignature(children(0), children(1), children(2)))
 
+  val simhash32: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimhashText].getName, "simhash32"),
+      (children: Seq[Expression]) => SimhashText(children(0)))
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(cosineSim._1, cosineSim._2, cosineSim._3)
@@ -144,5 +150,7 @@ object GraftFunctions {
       lshSignatureSalted._1, lshSignatureSalted._2, lshSignatureSalted._3)
     spark.sessionState.functionRegistry.registerFunction(
       minhashSignature._1, minhashSignature._2, minhashSignature._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      simhash32._1, simhash32._2, simhash32._3)
   }
 }

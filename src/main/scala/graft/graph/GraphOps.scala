@@ -166,13 +166,17 @@ object GraphOps {
     }
     val sym = loopSession.createDataFrame(symPlan.rdd, symPlan.schema)
       .localCheckpoint()
-    // ~100k edges per partition, floored at the cluster's core count,
-    // never above the session setting (a conf tuned BELOW the default is
-    // respected — the operator only ever shrinks its own stages)
+    // ~100k edges per partition, never above the session setting (a conf
+    // tuned BELOW the default is respected — the operator only ever
+    // shrinks its own stages). r17: the old core-count FLOOR is gone — it
+    // contradicted the size rule exactly where the rule matters (a
+    // few-thousand-edge label table ran every round's 3 shuffles as 32
+    // near-empty tasks; AQE cannot coalesce here because the loop executes
+    // through the RDD path). At corpus scale edges/100k ≫ cores and the
+    // floor never bound anyway; guide §2.2.
     val parts = math.min(
       spark.sessionState.conf.numShufflePartitions,
-      math.max(spark.sparkContext.defaultParallelism,
-        (sym.count() / 100000L).toInt + 1))
+      (sym.count() / 100000L).toInt + 1)
     loopSession.conf.set("spark.sql.shuffle.partitions", parts.toString)
     val res = connectedComponentsLoop(sym, maxRounds)
     spark.createDataFrame(res.rdd, res.schema)

@@ -49,6 +49,21 @@ object StreamingQueries {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
   }
 
+  /** State partitions for the replay harness (r17, guide §2.2 "fewer,
+    * larger partitions"): a stateful operator opens/commits/snapshots ONE
+    * state-store instance per shuffle partition per micro-batch, and with
+    * `spark.sql.shuffle.partitions = cores` the three-batch replays paid
+    * 32 store lifecycles per operator per batch to hold KBs of state —
+    * measured: q89's three stateful stages carried ~70 s of task time each
+    * holding < 0.5 MB (the per-store open/commit/fsync floor, paid ×32).
+    * State-store count is a DEPLOYMENT dial (pinned by the checkpoint at
+    * the first batch, invariant under executor count), so the harness
+    * right-sizes it to the replay's state volume and exposes the env knob
+    * production would tune upward with state size. Partitioning is by key
+    * hash either way — results are identical. */
+  private val streamParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+
   private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
     val spark = df.sparkSession
     val sink = s"${name}_${runSeq.incrementAndGet()}"
@@ -56,7 +71,9 @@ object StreamingQueries {
     // try/finally: a stream that throws mid-run must still stop its query and
     // release the temp view + checkpoint dir, or repeated failed invocations
     // leak driver memory and /tmp state
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
     try {
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
       val q = df.writeStream
         .format("memory")
         .queryName(sink)
@@ -68,6 +85,7 @@ object StreamingQueries {
       finally if (q.isActive) q.stop()
       spark.table(sink).localCheckpoint()
     } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", priorParts)
       spark.catalog.dropTempView(sink)
       rmTree(ckptPath.toFile)
     }
@@ -868,8 +886,11 @@ object StreamingQueries {
       // eviction boundary on FIRST-ARRIVAL ts: expiry (ts+delay) below
       // wm (maxTs − delay) ⇔ ts below maxTs − 2·delay
       val boundaryUs = (86400L + maxId) * 1000000L - 2L * delayMs * 1000L
+      graft.functions.GraftFunctions.register(s)
+      // native simhash32 (law-pinned == simhashExpr == relational simhash)
+      // — the interpreted HOF fold cost ~2 s per prep pass at scan width
       val sig = docs.withColumn("simhash",
-        DedupOps.simhashExpr(TextOps.tokens(col("text"))))
+        call_function("simhash32", col("text")))
       val grp = sig.groupBy(col("simhash"))
         .agg(min(col("doc_id")).as("gmin"), max(col("doc_id")).as("gmax"))
       val rearrivals = sig.join(grp, Seq("simhash"))
@@ -881,7 +902,7 @@ object StreamingQueries {
       val lateProbes = docs.filter(col("doc_id") % 5 === 3)
         .select(col("doc_id"),
           concat(lit("late-probe-"), col("doc_id")).as("text"))
-        .withColumn("psim", DedupOps.simhashExpr(TextOps.tokens(col("text"))))
+        .withColumn("psim", call_function("simhash32", col("text")))
         .join(sig.select(col("simhash").as("psim")).distinct(),
           Seq("psim"), "left_anti")
         .select(col("doc_id"), col("text"),
@@ -923,7 +944,9 @@ object StreamingQueries {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ckpt")
       val sinkA = s"q97a_${runSeq.incrementAndGet()}"
       val sinkB = s"q97b_${runSeq.incrementAndGet()}"
+      val priorParts = s.conf.get("spark.sql.shuffle.partitions")
       try {
+        s.conf.set("spark.sql.shuffle.partitions", streamParts)
         val base = 1600000000000L
         def runOnce(sink: String): Unit = {
           val stream = s.readStream
@@ -949,6 +972,7 @@ object StreamingQueries {
           .orderBy(col("w_start"), col("event_type"))
           .localCheckpoint()
       } finally {
+        s.conf.set("spark.sql.shuffle.partitions", priorParts)
         s.catalog.dropTempView(sinkA); s.catalog.dropTempView(sinkB)
         rmTree(srcDir.toFile); rmTree(ckpt.toFile)
       }

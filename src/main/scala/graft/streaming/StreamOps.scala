@@ -357,11 +357,13 @@ object StreamOps {
     * caveat) — use [[nearDupDedupBounded]] when state must stay bounded.
     * Documents whose token multisets hash to the same 32-bit SimHash
     * (near-identical content) keep only the first arrival. */
-  def nearDupDedup(docs: DataFrame, textCol: String, watermark: String): DataFrame =
+  def nearDupDedup(docs: DataFrame, textCol: String, watermark: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.withWatermark("ts", watermark)
       .withColumn("simhash",
-        graft.dedup.DedupOps.simhashExpr(graft.text.TextOps.tokens(col(textCol))))
+        org.apache.spark.sql.functions.call_function("simhash32", col(textCol)))
       .dropDuplicates("simhash")
+  }
 
   /** BOUNDED-STATE near-dup dedup: `dropDuplicatesWithinWatermark` keeps a
     * SimHash key's state only until the watermark passes its first
@@ -375,11 +377,13 @@ object StreamOps {
     * governs state EVICTION only. Gated end-to-end under a sequenced
     * three-batch replay by q96. */
   def nearDupDedupBounded(docs: DataFrame, textCol: String,
-                          watermark: String): DataFrame =
+                          watermark: String): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.withWatermark("ts", watermark)
       .withColumn("simhash",
-        graft.dedup.DedupOps.simhashExpr(graft.text.TextOps.tokens(col(textCol))))
+        org.apache.spark.sql.functions.call_function("simhash32", col(textCol)))
       .dropDuplicatesWithinWatermark("simhash")
+  }
 
   /** End-to-end STREAMING training-data ingest — the north-star pipeline as
     * one incremental query: quality-filter → PII-mask → context-window chunk

@@ -58,6 +58,24 @@ class DedupSpec extends SparkSuite {
     assert(ex == rel)
   }
 
+  test("equality law: native simhash32 == per-row simhashExpr (incl. edge cases)") {
+    import org.apache.spark.sql.functions.{call_function, col}
+    graft.functions.GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val edge = Seq((100L, ""), (101L, "   "), (102L, "one"),
+      (103L, " leading and trailing  "), (104L, "rep rep rep uniq"))
+      .toDF("doc_id", "text")
+    val d = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    val ex = d.select(col("doc_id"),
+        DedupOps.simhashExpr(graft.text.TextOps.tokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nat = d.select(col("doc_id"),
+        call_function("simhash32", col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nat == ex)
+  }
+
   test("segmentDedup: first occurrence keeps, later copies are stripped") {
     val s = spark
     import s.implicits._
