@@ -234,6 +234,42 @@ object GraphOps {
     lab.select(col("id"), col("comp").as("component"))
   }
 
+
+  /** Run an iterative operator's loop in a throwaway child session whose
+    * shuffle partitions are sized to the LOOP's working set — r17:
+    * [[connectedComponentsDF]]'s measured discipline (its ×100 ScaleBench
+    * row: steady wall MONOTONIC in the inherited partition count — pure
+    * per-task scheduling overhead × stages × rounds) extended to every
+    * iterative operator. `inputs` are the loop-invariant tables, already
+    * projected to the columns the loop reads: each is materialized ONCE
+    * into the child session (one Row conversion — the same cost
+    * connectedComponentsDF accepts for its edge table, and it doubles as
+    * the eager materialization the loops previously did with a lazy
+    * cache); partitions = rows/100k of the largest input, capped by the
+    * caller's conf (at corpus scale rows/100k ≫ cores and nothing
+    * changes). The result is re-wrapped into the caller's session so
+    * downstream plans never reference child-session frames. Partitioning
+    * never changes values: every loop in this file is fixed-point or
+    * integer arithmetic with order-free aggregation. */
+  private def inLoopSession(inputs: Seq[DataFrame])(
+      body: Seq[DataFrame] => DataFrame): DataFrame = {
+    val spark = inputs.head.sparkSession
+    val ls = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (!ls.conf.getOption(k).contains(v))
+        try ls.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+    val wrapped = inputs.map(f =>
+      ls.createDataFrame(f.rdd, f.schema).localCheckpoint())
+    val rows = wrapped.map(_.count()).max
+    val parts = math.min(spark.sessionState.conf.numShufflePartitions,
+      (rows / 100000L).toInt + 1)
+    ls.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    val res = body(wrapped)
+    spark.createDataFrame(res.rdd, res.schema)
+  }
+
   /** BFS DISTANCE labeling (unweighted SSSP) within `maxHops`: the
     * first-reach hop of every vertex — [[kHop]]'s reachability SET enriched
     * to distances. Same scale shape: the labeled set stays seed-neighborhood
@@ -243,25 +279,27 @@ object GraphOps {
     * Output: (id, dist) for vertices within maxHops of a seed.
     */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
-                   broadcastFrontier: Boolean = false): DataFrame = {
-    var labeled = seeds.select(col("id")).distinct()
-      .withColumn("dist", lit(0))
-    var frontier = labeled.select(col("id"))
-    for (h <- 1 to maxHops) {
-      // broadcast is OPT-IN: on hub-heavy graphs a frontier ring can reach
-      // graph scale and an unconditional hint is a driver OOM hazard — by
-      // default AQE broadcasts small rings at runtime and shuffles big ones
-      val probe = if (broadcastFrontier) broadcast(frontier) else frontier
-      val ring = edges.join(probe, col("src") === col("id"))
-        .select(col("dst").as("id")).distinct()
-        .join(labeled.select(col("id")), Seq("id"), "left_anti")
-        .localCheckpoint() // consumed twice (union + next frontier) and
-        // feeds the next round's anti-join — keep the lineage flat
-      labeled = labeled.unionByName(ring.withColumn("dist", lit(h)))
-      frontier = ring
+                   broadcastFrontier: Boolean = false): DataFrame =
+    inLoopSession(Seq(edges.select(col("src"), col("dst")),
+        seeds.select(col("id")).distinct())) { case Seq(e, sd) =>
+      var labeled = sd.withColumn("dist", lit(0))
+      var frontier = labeled.select(col("id"))
+      for (h <- 1 to maxHops) {
+        // broadcast is OPT-IN: on hub-heavy graphs a frontier ring can reach
+        // graph scale and an unconditional hint is a driver OOM hazard — by
+        // default AQE broadcasts small rings at runtime and shuffles big ones
+        val probe = if (broadcastFrontier) broadcast(frontier) else frontier
+        val ring = e.join(probe, col("src") === col("id"))
+          .select(col("dst").as("id")).distinct()
+          .join(labeled.select(col("id")), Seq("id"), "left_anti")
+          .localCheckpoint() // consumed twice (union + next frontier) and
+          // feeds the next round's anti-join — keep the lineage flat
+        labeled = labeled.unionByName(ring.withColumn("dist", lit(h)))
+        frontier = ring
+      }
+      labeled.localCheckpoint()
     }
-    labeled
-  }
+
 
   /** WEIGHTED SSSP via bounded relaxation (Bellman–Ford rounds): after
     * `maxRounds` rounds each vertex holds the minimum total edge cost over
@@ -279,21 +317,22 @@ object GraphOps {
     * @return (id, cost) for vertices reachable within maxRounds edges
     */
   def ssspWeighted(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
-                   broadcastFrontier: Boolean = false): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("cost").as("w"))
-    var dist = seeds.select(col("id")).distinct()
-      .withColumn("cost", lit(0L))
-    for (_ <- 1 to maxRounds) {
-      val probe = if (broadcastFrontier) broadcast(dist) else dist
-      val relaxed = e.join(probe, col("src") === col("id"))
-        .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
-      dist = dist.unionByName(relaxed)
-        .groupBy(col("id")).agg(min(col("cost")).as("cost"))
-        .localCheckpoint() // keep the per-round lineage flat (plan depth
-        // otherwise grows a join+agg layer per round)
+                   broadcastFrontier: Boolean = false): DataFrame =
+    inLoopSession(Seq(edges.select(col("src"), col("dst"), col("cost").as("w")),
+        seeds.select(col("id")).distinct())) { case Seq(e, sd) =>
+      var dist = sd.withColumn("cost", lit(0L))
+      for (_ <- 1 to maxRounds) {
+        val probe = if (broadcastFrontier) broadcast(dist) else dist
+        val relaxed = e.join(probe, col("src") === col("id"))
+          .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
+        dist = dist.unionByName(relaxed)
+          .groupBy(col("id")).agg(min(col("cost")).as("cost"))
+          .localCheckpoint() // keep the per-round lineage flat (plan depth
+          // otherwise grows a join+agg layer per round)
+      }
+      dist
     }
-    dist
-  }
+
 
   /** GraphX Pregel twin of [[ssspWeighted]]: same bounded-round relaxation
     * semantics (maxIterations = maxRounds), used as a cross-check and as
@@ -362,23 +401,20 @@ object GraphOps {
     * reproducible in DuckDB (same discipline as [[graft.text.TextRank]]).
     * GraphX `staticPageRank` keeps double sums whose order varies run to run
     * — fine for analytics, unusable for a hash-compared gate. */
-  def pageRankDeterministic(edges: DataFrame, iterations: Int): DataFrame = {
-    // ALL loop invariants are cached — including `edges` itself: the caller
-    // usually passes a derived edge list (join+distinct+symmetrize), and an
-    // uncached reference would re-derive that subtree once per iteration.
-    val e = edges.select(col("src"), col("dst")).cache()
-    val nodes = e.select(col("src").as("id")).distinct().cache()
-    // Pre-join the out-degree ONTO the edge list once: `edges ⋈ outdeg` is
-    // loop-invariant, so attaching odeg here turns every iteration's
-    // 3-table join into a single ranks⋈eo equi-join — one join (and one
-    // cache scan) per round instead of two. Same division, same fixed-point
-    // floor: value-identical, oracle untouched.
-    val eo = e.join(
-        e.groupBy(col("src")).agg(count(lit(1)).as("odeg")), Seq("src"))
-      .cache()
-    // finally-unpersist: an exception mid-iteration must not leak the three
-    // loop-invariant caches (the discipline CacheHygieneSpec enforces).
-    try {
+  def pageRankDeterministic(edges: DataFrame, iterations: Int): DataFrame =
+    // r17: the loop runs in a working-set-sized child session
+    // (inLoopSession) — the caller usually passes a derived edge list
+    // (join+distinct+symmetrize), which the wrap materializes once.
+    inLoopSession(Seq(edges.select(col("src"), col("dst")))) { case Seq(e) =>
+      val nodes = e.select(col("src").as("id")).distinct().localCheckpoint()
+      // Pre-join the out-degree ONTO the edge list once: `edges ⋈ outdeg` is
+      // loop-invariant, so attaching odeg here turns every iteration's
+      // 3-table join into a single ranks⋈eo equi-join — one join per round
+      // instead of two. Same division, same fixed-point floor:
+      // value-identical, oracle untouched.
+      val eo = e.join(
+          e.groupBy(col("src")).agg(count(lit(1)).as("odeg")), Seq("src"))
+        .localCheckpoint()
       val nAgg = broadcast(nodes.agg(count(lit(1)).as("n")))
       var ranks = nodes.crossJoin(nAgg)
         .select(col("id"), (lit(1.0) / col("n")).as("rank"))
@@ -399,13 +435,9 @@ object GraphOps {
         // analysis/optimization cost alone goes superlinear without this.
         if (i % 3 == 0) ranks = ranks.localCheckpoint()
       }
-      // Materialize the final ranks so the invariant caches can be dropped
-      // without the caller's later action re-deriving the whole loop.
       ranks.localCheckpoint()
-    } finally {
-      e.unpersist(); nodes.unpersist(); eo.unpersist()
     }
-  }
+
 
   /** PERSONALIZED PageRank, deterministic fixed-point form: teleport mass
     * returns to the SEED set (uniformly) instead of all vertices, so ranks
@@ -423,19 +455,18 @@ object GraphOps {
     *              so the empty intersection fails loudly instead.
     */
   def personalizedPageRankDeterministic(edges: DataFrame, seeds: DataFrame,
-                                        iterations: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).cache()
-    val seedFlag = e.select(col("src").as("id")).distinct()
-      .join(seeds.select(col("id")).distinct().withColumn("sfl", lit(1)),
-        Seq("id"), "left")
-      .select(col("id"), coalesce(col("sfl"), lit(0)).as("s")).cache()
-    try {
+                                        iterations: Int): DataFrame =
+    inLoopSession(Seq(edges.select(col("src"), col("dst")),
+        seeds.select(col("id")).distinct())) { case Seq(e, sd) =>
+      val seedFlag = e.select(col("src").as("id")).distinct()
+        .join(sd.withColumn("sfl", lit(1)), Seq("id"), "left")
+        .select(col("id"), coalesce(col("sfl"), lit(0)).as("s"))
+        .localCheckpoint()
       // One 1-row aggregate action up front: the seed count is the teleport
       // denominator everywhere, and evaluating it eagerly both guards the
       // 0/0-NaN hole and replaces the broadcast crossJoin with a literal.
       // sum() over ZERO rows is NULL, not 0 — read through java.lang.Long
       // so an empty graph hits the require below instead of a null-deref
-      // (same hazard class as connectedComponentsDF's convergence probe)
       val ns = Option(seedFlag.agg(sum(col("s")).as("ns"))
           .first().getAs[java.lang.Long](0))
         .map(_.longValue).getOrElse(0L)
@@ -444,31 +475,27 @@ object GraphOps {
       // loop-invariant edges⋈outdeg pre-join, same as pageRankDeterministic
       val eo = e.join(
           e.groupBy(col("src")).agg(count(lit(1)).as("odeg")), Seq("src"))
-        .cache()
-      try {
-        var ranks = seedFlag
+        .localCheckpoint()
+      var ranks = seedFlag
+        .select(col("id"),
+          (col("s").cast("double") / lit(ns.toDouble)).as("rank"))
+      for (i <- 1 to iterations) {
+        val contribs = ranks.as("r")
+          .join(eo.as("e"), col("r.id") === col("e.src"))
+          .select(col("e.dst").as("id"),
+            floor((col("r.rank") / col("e.odeg")) * lit(1e15)).as("contrib"))
+          .groupBy(col("id"))
+          .agg((sum(col("contrib")).cast("double") / lit(1e15)).as("inflow"))
+        ranks = seedFlag
+          .join(contribs, Seq("id"), "left")
           .select(col("id"),
-            (col("s").cast("double") / lit(ns.toDouble)).as("rank"))
-        for (i <- 1 to iterations) {
-          val contribs = ranks.as("r")
-            .join(eo.as("e"), col("r.id") === col("e.src"))
-            .select(col("e.dst").as("id"),
-              floor((col("r.rank") / col("e.odeg")) * lit(1e15)).as("contrib"))
-            .groupBy(col("id"))
-            .agg((sum(col("contrib")).cast("double") / lit(1e15)).as("inflow"))
-          ranks = seedFlag
-            .join(contribs, Seq("id"), "left")
-            .select(col("id"),
-              (lit(0.15) * col("s").cast("double") / lit(ns.toDouble) +
-                lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-          if (i % 3 == 0) ranks = ranks.localCheckpoint()
-        }
-        ranks.localCheckpoint()
-      } finally eo.unpersist()
-    } finally {
-      e.unpersist(); seedFlag.unpersist()
+            (lit(0.15) * col("s").cast("double") / lit(ns.toDouble) +
+              lit(0.85) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        if (i % 3 == 0) ranks = ranks.localCheckpoint()
+      }
+      ranks.localCheckpoint()
     }
-  }
+
 
   /** HITS hubs & authorities, deterministic fixed-point form over a
     * DIRECTED edge list: hubs score by the authorities they point at,
@@ -487,8 +514,7 @@ object GraphOps {
   def hitsDeterministic(edges: DataFrame, iterations: Int): DataFrame = {
     def fpSum(c: org.apache.spark.sql.Column) =
       sum(floor(c * lit(1e15)).cast("long")).cast("double") / lit(1e15)
-    val e = edges.select(col("src"), col("dst")).cache()
-    try {
+    inLoopSession(Seq(edges.select(col("src"), col("dst")))) { case Seq(e) =>
       // init = 1/n (NOT 1.0): L1 scaling makes the fixpoint init-invariant,
       // but the FIRST round's fixed-point totals are not — an unnormalized
       // init sums |E|·1e15 and overflows Long once |E| > ~9000. With Σa = 1
@@ -522,8 +548,9 @@ object GraphOps {
         .select(col("id"), coalesce(col("hub"), lit(0.0)).as("hub"),
           coalesce(col("auth"), lit(0.0)).as("auth"))
         .localCheckpoint()
-    } finally e.unpersist()
+    }
   }
+
 
   /** G2 — reverse-reachability flag: does any edge point at this vertex?
     * (`has_ref`, /root/reference/src/senzing_pipeline.py:363-368.)
@@ -599,10 +626,9 @@ object GraphOps {
     * @param edges symmetric edge list (src, dst)
     * @return (id, label) — community = min vertex id that won the vote
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).cache()
-    val nodes = e.select(col("src").as("id")).distinct().cache()
-    try {
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame =
+    inLoopSession(Seq(edges.select(col("src"), col("dst")))) { case Seq(e) =>
+      val nodes = e.select(col("src").as("id")).distinct().localCheckpoint()
       var labels = nodes.select(col("id"), col("id").as("label"))
       for (i <- 1 to rounds) {
         val votes = e.join(labels, e("src") === labels("id"))
@@ -618,10 +644,8 @@ object GraphOps {
         if (i % 2 == 0) labels = labels.localCheckpoint()
       }
       labels.localCheckpoint()
-    } finally {
-      e.unpersist(); nodes.unpersist()
     }
-  }
+
 
   /** HASH-GUIDED GRAPH WALKS — node2vec-style corpus walks with a
     * DERANDOMIZED step rule: from each seed, take `steps` steps; at step k
