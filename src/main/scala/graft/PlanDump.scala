@@ -30,10 +30,28 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Library-level evidence frames: operator plans that final query plans
+    // hide behind eager localCheckpoints. The `_before` twin of
+    // minhash_signature still exists in code (minhashSignatureArray is the
+    // filtered-input form), so both plans dump from the current build.
+    val libFrames: Map[String, SparkSession => org.apache.spark.sql.DataFrame] = Map(
+      "minhash_signature_before" -> (s => {
+        val docs = Tables.documents(s, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.1"))
+        graft.dedup.DedupOps.minhashSignatureArray(
+          graft.dedup.DedupOps.shingleTable(docs, "doc_id", "text", 3), 32)
+      }),
+      "minhash_signature_after" -> (s => {
+        val docs = Tables.documents(s, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+          "/root/testdata/sf0.1"))
+        graft.dedup.DedupOps.minhashSignatureRows(docs, "doc_id", "text", 3, 32)
+      }))
+
     val names = namesCsv.split(",").map(_.trim).filter(_.nonEmpty)
     names.foreach { name =>
       try {
-        val df = SparkEntry.queries(name)(spark, sfDir)
+        val df = libFrames.get(name).map(_(spark))
+          .getOrElse(SparkEntry.queries(name)(spark, sfDir))
         val txt = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
         Files.write(Paths.get(s"$outDir/$name.txt"),
           txt.getBytes(StandardCharsets.UTF_8))

@@ -119,12 +119,14 @@ object VectorOps {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb")))
-    // fanned out: the broadcast-NL scoring stage inherits the corpus scan's
-    // width (single-task on the narrow driver files); cosine is the native
-    // codegen twin (bit-identical by CosineSpec)
-    val scored = graft.sources.Layout.fanOutScan(
-        corpus.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("c_emb")), col("neighbor_id"))
+    // cosine is the native codegen twin (bit-identical by CosineSpec) — no
+    // scan fan-out here: knnBruteForce callers often pass DERIVED corpora
+    // (hashEmbed outputs, truncations), where the fan-out gate's physical
+    // planning of the subtree costs more than the single-task savings the
+    // native cosine already removed (measured: q149 +1.2 s with the gate,
+    // q25 ±0.3 s)
+    val scored = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"))
       .join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         call_function("cosine_sim", col("q_emb"), col("c_emb")))
